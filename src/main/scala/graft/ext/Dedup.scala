@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed around the
+  * one rule that matters at 100 TB: NEVER generate all pairs. Candidate
+  * pairs come only from same-bucket joins (exact hash buckets, LSH bands,
+  * SimHash prefixes), so work scales with Σ bucket² over near-dup clusters,
+  * not N².
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by normalized content hash: one shuffle on the fingerprint,
+    * min-id wins per group. Returns (fingerprint, keep_id, dup_count).
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Corpus with exact duplicates removed (keeps the min-id representative). */
+  def dropExactDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = exactDupGroups(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    // broadcast-eligible only when the dup-group table is small; at scale
+    // this is a shuffled semi-join on the id — still a single shuffle.
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Sliding word n-gram shingles (distinct). Documents shorter than n
+    * contribute their whole token sequence as one shingle.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val slid = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(slid)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over the shingle set.
+    * h_i(s) = xxhash64(i, s): seeding by prepending the permutation index
+    * keeps every hash family member independent while staying inside
+    * codegen'd built-ins. Returns array<long> of length k.
+    */
+  def minHashSignature(shingles: Column, k: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows; band key = hash of the band's slice. A pair of documents
+    * lands in the same bucket iff one band matches exactly — the standard
+    * S-curve knob (bands↑ ⇒ recall↑, precision↓).
+    * Returns rows (idCol, band, band_hash), exploded one row per band.
+    */
+  def lshBands(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val rows = k / bands
+    require(rows * bands == k, s"bands=$bands must divide k=$k")
+    val sig = minHashSignature(wordShingles(col(textCol), shingleN), k)
+    docs
+      .select(col(idCol), sig.as("sig"))
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            // xxhash64 hashes the band's signature slice (arrays are
+            // directly hashable) together with the band index.
+            b => struct(
+              b.as("band"),
+              xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b)
+                .as("band_hash")))).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate near-dup pairs from LSH bucket joins (id1 < id2, distinct).
+    * The join key (band, band_hash) bounds pair generation to within-bucket:
+    * no crossJoin anywhere. `maxBucketSize` guards against degenerate
+    * buckets (e.g. empty docs all hashing together) blowing up quadratic
+    * within-bucket work — the standard skew guard at scale.
+    */
+  def candidatePairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val b = lshBands(docs, textCol, idCol, k, bands, shingleN)
+    val sized = b
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("bucket_size") <= maxBucketSize)
+    val l = sized.select(col("band"), col("band_hash"), col(idCol).as("id1"))
+    val r = sized.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification on candidate pairs only (never all pairs):
+    * join shingle sets back onto the (small) candidate set and compute
+    * |A∩B| / |A∪B|.
+    */
+  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val cands = candidatePairs(docs, textCol, idCol, k, bands, shingleN)
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over the token multiset: per-bit vote of each token's
+    * xxhash64, packed back into one long. Near-dups have small Hamming
+    * distance; bucketing by 16-bit prefix gives the scale path (a dup pair
+    * at distance ≤3 collides on ≥1 of 4 such prefixes).
+    */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        array((0 until 64).map { i =>
+          element_at(acc, i + 1) +
+            when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)
+        }: _*)
+      })
+    // pack bit-majority votes into one long: two 32-bit half-folds combined
+    // bitwise, so the sign bit never overflows ANSI long arithmetic.
+    def pack(half: Column): Column =
+      aggregate(half, lit(0L),
+        (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+    val high = pack(slice(votes, 1, 32))
+    val low = pack(slice(votes, 33, 32))
+    shiftleft(high, 32).bitwiseOR(low)
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs bucketed by 4×16-bit bands. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(col(idCol), simHash(col(textCol)).as("sh"))
+    val banded = withSh.select(
+      col(idCol), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("sh"), col("bb.band"), col("bb.band_key"))
+    val l = banded.select(col("band"), col("band_key"), col(idCol).as("id1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("band_key"), col(idCol).as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("sh1"), col("sh2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

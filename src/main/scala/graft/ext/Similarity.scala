@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - brute-force exact top-k: one scan, no shuffle until the final top-k —
+  *    the correctness baseline and perfectly adequate for a single query
+  *    vector even at large N (it is a map + TakeOrdered, embarrassingly
+  *    parallel);
+  *  - IVF-style bucketed search for query WORKLOADS: vectors are assigned
+  *    to coarse centroid buckets once (one shuffle, persisted/bucketed at
+  *    write time at scale), then each query probes only its nearest
+  *    `nprobe` buckets — candidate generation is a bucket-key join, never a
+  *    crossJoin.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double.
+    * zip_with + aggregate stays in Tungsten (no UDF deserialization).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact top-k by cosine similarity against one query vector.
+    * Deterministic: ties broken by ascending id. The plan is
+    * scan → project(sim) → TakeOrderedAndProject — no shuffle of the data,
+    * only k rows travel to the driver side of the sort.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryVec: Seq[Float], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    embeddings
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest coarse centroid (IVF list).
+    * Centroids come from a deterministic sample at build time; assignment
+    * is a broadcast of the (tiny) centroid table + argmax — one narrow
+    * stage, then an optional repartition by bucket for co-located probes.
+    */
+  def assignBuckets(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    // argmax over the centroid list via array_max on (sim, cid) structs
+    embeddings.withColumn("bucket", array_max(array(scored: _*)).getField("cid"))
+  }
+
+  /** Deterministic coarse centroids: the embeddings of the `m` smallest ids
+    * (a fixed sample is reproducible and plenty for a coarse quantizer; a
+    * k-means refinement is a drop-in replacement at build time).
+    */
+  def sampleCentroids(embeddings: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] =
+    embeddings
+      .orderBy(col(idCol))
+      .limit(m)
+      .select(col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+
+  /** IVF probe: search only the `nprobe` buckets nearest to the query.
+    * Equivalent recall knob to FAISS IVF nprobe; candidates are filtered by
+    * bucket membership (partition-prunable), then exact-scored.
+    */
+  def ivfTopK(bucketed: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      queryVec: Seq[Float], k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.iterator.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.iterator.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val probeBuckets = centroids
+      .map { case (cid, cvec) => (cid, cosLocal(cvec, queryVec)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe)
+      .map(_._1)
+    val q = array(queryVec.map(v => lit(v)): _*)
+    bucketed
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH:
+    * `planes` sign bits split into `bands`; a pair becomes a candidate if
+    * ANY band's bits match exactly (same S-curve recall/precision trade as
+    * MinHash banding). Candidates come only from same-(band, bits) bucket
+    * joins — no crossJoin — then exact cosine filters to `threshold`.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+      planes: Int = 8, bands: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val perBand = planes / bands
+    require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
+    // pseudo-random hyperplanes seeded deterministically
+    val rng = new scala.util.Random(42)
+    val planeVecs: Seq[Seq[Float]] =
+      Seq.fill(planes)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    val sigBits = planeVecs.map(p =>
+      when(dot(col(vecCol), array(p.map(lit): _*)) >= 0, "1").otherwise("0"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat(sigBits.slice(b * perBand, (b + 1) * perBand): _*).as("bits"))
+    }
+    val banded = embeddings
+      .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col("band"), col("bits"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = banded.select(col("band"), col("bits"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd built-in expressions (no UDFs): every function
+  * here stays inside WholeStageCodegen and is oracle-expressible, so it
+  * scales linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty tokens dropped (split-on-space keeps the
+    * semantics portable to the DuckDB oracle).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: word-piece splits on transitions
+    * between letter/digit/punctuation classes, approximated as
+    * words + digits-runs + punctuation-runs.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => t =!= lit(""))) +
+      size(filter(split(text, "[A-Za-z0-9 ]+"), t => t =!= lit("")))
+
+  /** Normalized document fingerprint (exact-dup key): md5 of
+    * lowercased, whitespace-trimmed text.
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
+  /** Rolling-hash (Rabin-Karp-style) content fingerprint over tokens:
+    * polynomial accumulation modulo a Mersenne prime, kept within 2^31 so
+    * the multiply never overflows ANSI long arithmetic; order-sensitive so
+    * reorderings produce different prints (unlike a bag-of-words hash).
+    */
+  def rollingHash(text: Column): Column = {
+    val M = lit(2147483647L)
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), M), M))
+  }
+
+  /** Quality-score features: character length, token count, punctuation
+    * ratio, stopword ratio, mean token length. Composable into a single
+    * 0..1 score.
+    */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0))
+      .otherwise(
+        (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          len.cast("double"))
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: long-enough docs with moderate
+    * punctuation and a natural-language stopword ratio score high.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore * lit(0.5) + punctScore * lit(0.25) + swScore * lit(0.25)), 6)
+  }
+
+  /** Language-ID by marker-token voting: count hits of per-language marker
+    * words, pick the argmax (deterministic tie-break by language order).
+    * Marker lists are the classic top-stopwords per language; the same rule
+    * is expressible in ANSI SQL for the oracle.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val mk = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(mk, t)))
+  }
+
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) =>
+      (lang, markerHits(text, markers))
+    }
+    // argmax with first-wins tie-break, as a fold over (bestLang, bestHits)
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bh), (lang, hits)) =>
+        (when(hits > bh, lit(lang)).otherwise(bl),
+         when(hits > bh, hits).otherwise(bh))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Per-document feature frame over a corpus. */
+  def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars_calc"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      fingerprint(t).as("fingerprint"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"))
+  }
+}

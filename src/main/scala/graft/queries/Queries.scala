@@ -1,0 +1,587 @@
+package graft.queries
+
+import graft.core.{Address, Tables, User}
+import graft.ext.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{EnrichmentJoin, Envelope, WindowCounts}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The engine's query surface over the driver test corpus (TESTDATA.md),
+  * with a DuckDB oracle statement per query (where ANSI-expressible).
+  *
+  * Cross-engine exactness rules used throughout (so the driver's hash
+  * compare is bit-stable, not approximately-equal):
+  *  - money sums go through DECIMAL(18,2) and back to DOUBLE — decimal
+  *    addition is exact and order-independent, and the final decimal→double
+  *    cast rounds identically in both engines;
+  *  - epoch-nanos arithmetic stays integral (DIV) — ns values exceed
+  *    double's 2^53 mantissa;
+  *  - DuckDB SUM over integers returns HUGEINT → always CAST ... AS BIGINT
+  *    to match Spark's long;
+  *  - every aggregate/computed column is aliased identically on both sides.
+  */
+object Queries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def msum(c: Column): Column = sum(money(c)).cast("double")
+  /** For PRODUCTS of 2-decimal values: the exact result has 4 decimals, so
+    * a DECIMAL(18,4) cast sits exactly on the grid — no engine ever rounds
+    * at a half-point (a 2-decimal cast would: Java's shortest-repr
+    * BigDecimal rounds x.xx5 HALF_UP while DuckDB rounds the raw binary,
+    * and they disagree).
+    */
+  private def msum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // ------------------------------------------------------------------
+  // Relational core (operator breadth over the TPC-H-ish corpus)
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg, fully pushed down. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        msum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+
+  /** Predicate + projection pushdown to the parquet scan. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** Broadcast join (customer is the small dim) + aggregation. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), msum(col("o_totalprice")).as("sum_price"))
+
+  /** Multiway star join: fact lineitem joined up the dims to region. */
+  def q04MultiwayRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        msum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Top-k with deterministic tie-break: TakeOrderedAndProject, no full sort. */
+  def q05TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Distinct (shuffle-dedup) over a two-column projection. */
+  def q06Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+
+  /** Ranking window function: best order per customer. */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Left-semi join: orders with at least one returned lineitem. */
+  def q08SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .join(
+        Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Left-anti join: customers that never ordered. */
+  def q09AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Set operation: distinct union of customer and supplier nations. */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** Rollup (grouping-set hierarchy) with exact money sums. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
+
+  /** Scalar string/math function coverage on part. */
+  def q12ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") * 2 + 1).as("size_calc"))
+
+  /** Date-part extraction + monthly aggregation. */
+  def q13DateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), msum(col("o_totalprice")).as("sum_price"))
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q14CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------------------
+  // Streaming-semantics analogs over the events table
+  // ------------------------------------------------------------------
+
+  /** W1/A1 analog: tumbling 1-minute processing-time counts (SURVEY §2 W1),
+    * keyed — the fully parallel replacement for the reference's
+    * parallelism-1 `windowAll` (`Main.java:137`).
+    */
+  def q15EventMinuteCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(
+        expr("ts_ns DIV 60000000000").as("epoch_min"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** S1–S3 analog: last-write-wins upsert materialization — latest event
+    * per user (SURVEY §2.2 sink contract as a batch query).
+    */
+  def q16LatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.loadEvents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** J1: the REAL cumulative-snapshot enrichment join (EnrichmentJoin, the
+    * reference's `Main.java:78-133` semantics) run in batch over a
+    * users/addresses stream synthesized from customer/orders, then reduced
+    * to per-user emission statistics that a closed-form oracle can check:
+    * a user with c addresses emits 1+c snapshots carrying c(c+1)/2 address
+    * rows in total — exactly the §2.1 over-counting contract.
+    */
+  def q17J1Snapshots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixedTs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val users = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("string").as("id"), col("c_name").as("name"))
+      .as[(String, String)]
+      .map { case (id, name) =>
+        Envelope(id, 0L, Some(User(id, name, s"$name@example.com", "O", fixedTs)), None)
+      }
+    val addrs = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").cast("string"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .as[(String, Long, String, String)]
+      .map { case (uid, ok, status, prio) =>
+        Envelope(uid, ok,
+          None, Some(Address(uid, s"addr-$ok", "city", prio, "00000", status)))
+      }
+    EnrichmentJoin.joinBatch(spark, users.unionByName(addrs)).toDF()
+      .groupBy(col("user.id").cast("long").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_snapshots"),
+        sum(size(col("addresses"))).as("n_addr_rows_emitted"),
+        max(size(col("addresses"))).cast("long").as("n_addresses_final"))
+  }
+
+  /** W1/A1: the REAL WindowCounts operator (tumbling window + keyed count)
+    * in batch, over snapshots synthesized from orders (one address per
+    * snapshot, procTime = order date, 1-day windows so sf-independent).
+    */
+  def q18WindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val snapshots = Tables.load(spark, dir, "orders").select(
+      col("o_orderdate").as("procTime"),
+      array(struct(
+        col("o_orderstatus").as("address"),
+        lit("city").as("city"),
+        col("o_orderpriority").as("state"),
+        lit("00000").as("zipCode"),
+        col("o_orderstatus").as("country"))).as("addresses"))
+    WindowCounts.countByState(snapshots, windowLength = "1 day")
+      .select(
+        // driver parquet timestamps are NTZ; interpret as UTC for epoch
+        col("window_start").cast("timestamp").cast("long").as("window_start_sec"),
+        col("state"), col("count").as("cnt"))
+  }
+
+  /** C3 analog: rename/flatten document projection through a dim join. */
+  def q19DocumentProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey").as("userId"),
+        col("c_name").as("userName"),
+        col("c_mktsegment").as("genre"),
+        col("n_name").as("country"))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: dedup / text / similarity / multimodal
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups by normalized md5 fingerprint. */
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables.load(spark, dir, "documents"))
+
+  /** Per-document text statistics. */
+  def q21TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  /** Corpus language/source statistics. */
+  def q22LangStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  /** Language-ID by marker-token voting (TextAnalysis.langId). */
+  def q23LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  /** Quality scoring (composite heuristic). */
+  def q24Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  /** Exact brute-force ANN: top-10 by cosine against the vec_id=0 vector. */
+  def q25AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Similarity.bruteForceTopK(emb, qv, 10).select(col("vec_id"))
+  }
+
+  /** Embedding corpus stats (schema/shape validation at scale). */
+  def q26EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max(size(col("embedding"))).cast("long").as("dim"),
+        min(col("vec_id")).as("min_id"))
+
+  /** Token-count with subword heuristic (regex class splits). */
+  def q27SubwordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+
+  /** Events: JSON property extraction (D1/D2 JSON-parsing analog). */
+  def q28EventProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sessionization: 30-minute-gap sessions per user (stateful-processing
+    * analog expressible for the oracle via lag()).
+    */
+  def q29Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > 1800000000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
+
+  /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
+  def q30MinHashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedNearDups(Tables.load(spark, dir, "documents"), threshold = 0.5)
+
+  /** SimHash near-dup pairs (prefix-bucketed). */
+  def q31SimHashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.load(spark, dir, "documents"), maxHamming = 16)
+
+  /** Embedding cosine near-dup pairs (hyperplane-LSH bucketed). */
+  def q32CosineNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
+      threshold = 0.3)
+
+  /** IVF-bucketed approximate top-k (scale path of q25). */
+  def q33IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Similarity.ivfTopK(Similarity.assignBuckets(emb, centroids), centroids, qv,
+      k = 10, nprobe = 3).select(col("vec_id"))
+  }
+
+  /** Multimodal: payload metadata + stubbed feature extraction. */
+  def q34MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultiModal.syntheticMediaFromDocs(
+      Tables.load(spark, dir, "documents"))
+    MultiModal.extractFeatures(media)
+      .withColumn("f0", round(element_at(col("features"), 1), 6))
+      .select(col("media_id"), col("f0"))
+  }
+
+  /** Rolling-hash document fingerprints (order-sensitive). */
+  def q35RollingHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_multiway_revenue" -> (q04MultiwayRevenue _),
+    "q05_top_orders" -> (q05TopOrders _),
+    "q06_distinct" -> (q06Distinct _),
+    "q07_window_rank" -> (q07WindowRank _),
+    "q08_semi_join" -> (q08SemiJoin _),
+    "q09_anti_join" -> (q09AntiJoin _),
+    "q10_set_ops" -> (q10SetOps _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_scalar_funcs" -> (q12ScalarFuncs _),
+    "q13_date_parts" -> (q13DateParts _),
+    "q14_case_agg" -> (q14CaseAgg _),
+    "q15_event_minute_counts" -> (q15EventMinuteCounts _),
+    "q16_latest_per_user" -> (q16LatestPerUser _),
+    "q17_j1_snapshots" -> (q17J1Snapshots _),
+    "q18_window_counts" -> (q18WindowCounts _),
+    "q19_document_projection" -> (q19DocumentProjection _),
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_text_stats" -> (q21TextStats _),
+    "q22_lang_stats" -> (q22LangStats _),
+    "q23_lang_id" -> (q23LangId _),
+    "q24_quality" -> (q24Quality _),
+    "q25_ann_topk" -> (q25AnnTopK _),
+    "q26_embedding_stats" -> (q26EmbeddingStats _),
+    "q27_subword_counts" -> (q27SubwordCounts _),
+    "q28_event_props" -> (q28EventProps _),
+    "q29_sessions" -> (q29Sessions _),
+    "q30_minhash_pairs" -> (q30MinHashPairs _),
+    "q31_simhash_pairs" -> (q31SimHashPairs _),
+    "q32_cosine_near_dups" -> (q32CosineNearDups _),
+    "q33_ivf_topk" -> (q33IvfTopK _),
+    "q34_media_features" -> (q34MediaFeatures _),
+    "q35_rolling_hash" -> (q35RollingHash _))
+
+  /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_multiway_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q05_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q06_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q08_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""",
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q10_set_ops" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey AS nationkey FROM supplier""",
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 10)) AS name10,
+         CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+         CONCAT_WS('-', p_brand, p_type) AS brand_type,
+         p_size * 2 + 1 AS size_calc FROM part""",
+    "q13_date_parts" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+         CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+    "q14_case_agg" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority""",
+    "q15_event_minute_counts" ->
+      """SELECT epoch_ns(ts) // 60000000000 AS epoch_min, event_type,
+         COUNT(*) AS cnt FROM events GROUP BY 1, 2""",
+    "q16_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q17_j1_snapshots" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+         SELECT c_custkey AS user_id,
+                1 + COALESCE(c, 0) AS n_snapshots,
+                COALESCE((c * (c + 1)) // 2, 0) AS n_addr_rows_emitted,
+                COALESCE(c, 0) AS n_addresses_final
+         FROM customer LEFT JOIN oc ON c_custkey = o_custkey""",
+    "q18_window_counts" ->
+      """SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS window_start_sec,
+         o_orderpriority AS state, COUNT(*) AS cnt
+         FROM orders GROUP BY 1, 2""",
+    "q19_document_projection" ->
+      """SELECT c_custkey AS userId, c_name AS userName,
+         c_mktsegment AS genre, n_name AS country
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q20_dedup_exact" ->
+      """SELECT md5(LOWER(TRIM(text))) AS fingerprint,
+         MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "q21_text_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents""",
+    "q22_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM documents GROUP BY lang, source""",
+    "q23_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['el','los','las','una','es'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS h_zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                ELSE 'zh' END AS lang_pred
+         FROM h""",
+    "q24_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ltoks
+           FROM documents),
+         s AS (SELECT doc_id,
+             LEAST(len(toks) / 20.0, 1.0) AS len_score,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
+             END AS punct_ratio,
+             CASE WHEN len(ltoks) = 0 THEN 0.0
+                  ELSE len(list_filter(ltoks, x -> list_contains(
+                         ['the','a','an','and','or','of','to','in','is','it',
+                          'for','on','with','as','at','by','from','that','this'], x))) / len(ltoks)
+             END AS sw_ratio
+           FROM t)
+         SELECT doc_id,
+           ROUND(len_score * 0.5 + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+                 + LEAST(sw_ratio * 5.0, 1.0) * 0.25, 6) AS quality
+         FROM s""",
+    "q25_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               k -> CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE))) /
+             (NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                 k -> CAST(q.qe[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))), 0)) AS sim
+           FROM embeddings e, q)
+         ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q27_subword_counts" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) +
+              len(list_filter(string_split_regex(text, '[A-Za-z0-9 ]+'), x -> x <> '')) AS BIGINT) AS n_subwords
+         FROM documents""",
+    "q26_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+         MIN(vec_id) AS min_id
+         FROM embeddings GROUP BY label""",
+    "q28_event_props" ->
+      """SELECT CAST(props ->> '$.k' AS BIGINT) AS k, COUNT(*) AS cnt
+         FROM events GROUP BY 1""",
+    "q29_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+         m AS (SELECT user_id,
+                 CASE WHEN LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
+                        OR tns - LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e)
+         SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM m GROUP BY user_id""")
+}
