@@ -34,24 +34,31 @@ final class Pipeline(
     stateCountSink: DocumentSink,
     countryCountSink: DocumentSink,
     windowLength: String = "1 minute",
-    stateTtl: Option[java.time.Duration] = None) {
+    stateTtl: Option[java.time.Duration] = None,
+    procTimeExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.current_timestamp()) {
 
   /** Parse both topics and merge into the keyed envelope stream. */
   def envelopes(spark: SparkSession): Dataset[Envelope] = {
     import spark.implicits._
+    // Within one micro-batch, users sort before addresses (seq 0 < 1) —
+    // the reference generator's wire order (`user-generator.py:57-71`
+    // emits each user before its addresses); across batches arrival order
+    // rules, exactly like the reference's Kafka consumption.
     val users = Schemas.parseUsers(source.users(spark))
-      .map(u => Envelope.ofUser(u))
+      .map(u => Envelope.ofUser(u, 0L))
     val addresses = Schemas.parseAddresses(source.addresses(spark))
-      .map(a => Envelope.ofAddress(a))
+      .map(a => Envelope.ofAddress(a, 1L))
     users.unionByName(addresses)
   }
 
   /** The joined cumulative-snapshot stream, stamped with processing time
     * (the reference is watermark-free processing time, `Main.java:70-71`).
+    * Tests inject a deterministic `procTimeExpr` to control window closing.
     */
   def snapshots(spark: SparkSession): DataFrame =
-    Schemas.stampProcTime(
-      EnrichmentJoin.joinStream(spark, envelopes(spark), stateTtl).toDF())
+    EnrichmentJoin.joinStream(spark, envelopes(spark), stateTtl).toDF()
+      .withColumn("procTime", procTimeExpr)
 
   private def upsertEachBatch(df: DataFrame, mode: OutputMode, checkpoint: String,
       trigger: Trigger, sink: DocumentSink, keyField: String,

@@ -92,6 +92,25 @@ object EnrichmentJoin {
     * @param stateTtl optional processing-time TTL after which an idle key's
     *                 state is dropped (reference behavior = None = never).
     */
+  /** The per-key state-update function, exposed so tests can drive it with
+    * `TestGroupState` (incl. the timeout branch) without a running stream.
+    */
+  def stateFunc(stateTtl: Option[java.time.Duration])(
+      key: String, it: Iterator[Envelope],
+      state: GroupState[JoinState]): Iterator[UserAddress] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val init = state.getOption.getOrElse(emptyState)
+      // Within a micro-batch Spark gives no intra-group order guarantee;
+      // order by the ingest-assigned seq so interleavings are stable.
+      val (s, out) = runKey(it.toVector.sortBy(_.seq).iterator, init)
+      state.update(s)
+      stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      out
+    }
+
   def joinStream(
       spark: SparkSession,
       events: Dataset[Envelope],
@@ -103,20 +122,7 @@ object EnrichmentJoin {
 
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState[JoinState, UserAddress](OutputMode.Append, timeout) {
-        (_: String, it: Iterator[Envelope], state: GroupState[JoinState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val init = state.getOption.getOrElse(emptyState)
-            // Within a micro-batch Spark gives no intra-group order guarantee;
-            // order by the ingest-assigned seq so interleavings are stable.
-            val (s, out) = runKey(it.toVector.sortBy(_.seq).iterator, init)
-            state.update(s)
-            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-            out
-          }
-      }
+      .flatMapGroupsWithState[JoinState, UserAddress](OutputMode.Append, timeout)(
+        stateFunc(stateTtl))
   }
 }

@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object WindowCounts {
 
-  /** Explode the snapshot stream's address arrays; empty snapshots contribute
-    * no rows (matches `Main.java:142-146`, which iterates an empty list).
+  /** Explode the snapshot stream's address arrays. `explode_outer` keeps a
+    * null-address row for empty snapshots: they contribute nothing to the
+    * counts (the null group is dropped after the aggregation, matching
+    * `Main.java:142-146`, which iterates an empty list) but they MUST keep
+    * flowing so the event-time watermark advances — in streaming, the
+    * per-window emission is gated on watermark progress, and empty
+    * snapshots are often the only traffic.
     */
   def explodedAddresses(snapshots: DataFrame, procTimeCol: String = "procTime"): DataFrame =
-    snapshots.select(col(procTimeCol), explode(col("addresses")).as("addr"))
+    snapshots.select(col(procTimeCol), explode_outer(col("addresses")).as("addr"))
 
   private def windowed(snapshots: DataFrame, keyExpr: Column, keyName: String,
       procTimeCol: String, windowLength: String): DataFrame =
     explodedAddresses(snapshots, procTimeCol)
       .groupBy(window(col(procTimeCol), windowLength).as("win"), keyExpr.as(keyName))
       .count()
+      .filter(col(keyName).isNotNull)
       .select(col("win.start").as("window_start"), col(keyName), col("count"))
 
   /** A1: per-window address count by state (`Main.java:136-150`). */

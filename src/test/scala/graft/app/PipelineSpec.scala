@@ -1,0 +1,76 @@
+package graft.app
+
+import graft.SparkSpecBase
+import graft.sinks.InMemoryDocumentSink
+import graft.sources.IngestSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end: two JSON streams → parse → J1 → three upsert sinks, the full
+  * reference topology (`/root/reference/src/main/java/Main.java:45-182`)
+  * against the FIXTURES.md golden shapes. Window closing is made
+  * deterministic by stamping procTime from the user's registerDate.
+  */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def userJson(id: String, name: String, ts: String) =
+    s"""{"id":"$id","name":"$name","email":"$id@x.org","genre":"F","registerDate":"$ts"}"""
+  private def addrJson(uid: String, tag: String, state: String, country: String) =
+    s"""{"userId":"$uid","address":"$tag","city":"c","state":"$state","zipCode":"z","country":"$country"}"""
+
+  test("full topology: snapshots upserted by userId; windowed counts by state/country") {
+    implicit val sqlCtx = spark.sqlContext
+    val userStream = MemoryStream[String]
+    val addrStream = MemoryStream[String]
+    val source = new IngestSource {
+      override def users(s: SparkSession): DataFrame = userStream.toDF().toDF("value")
+      override def addresses(s: SparkSession): DataFrame = addrStream.toDF().toDF("value")
+    }
+    val uaSink = new InMemoryDocumentSink
+    val stSink = new InMemoryDocumentSink
+    val coSink = new InMemoryDocumentSink
+    val pipeline = new Pipeline(source, uaSink, stSink, coSink,
+      windowLength = "1 minute",
+      procTimeExpr = col("user.registerDate"))
+    val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val queries = pipeline.startAll(spark, cp, Trigger.ProcessingTime(0))
+    try {
+      // F2 interleaving, one event per batch so snapshot order (and the
+      // §2.1 over-count) is deterministic
+      userStream.addData(userJson("u1", "Maria", "2026-01-01T10:00:10.000000+0000"))
+      queries.foreach(_.processAllAvailable())
+      addrStream.addData(addrJson("u1", "a1", "IL", "BR"))
+      queries.foreach(_.processAllAvailable())
+      addrStream.addData(addrJson("u1", "a2", "IL", "BR"))
+      queries.foreach(_.processAllAvailable())
+      addrStream.addData(addrJson("u1", "a3", "NY", "US"))
+      queries.foreach(_.processAllAvailable())
+      // batch 2: user u2 five minutes later → closes u1's 10:00 window
+      userStream.addData(userJson("u2", "Joao", "2026-01-01T10:05:30.000000+0000"))
+      queries.foreach(_.processAllAvailable())
+      // one more tick so append-mode windows emitted after the watermark
+      // advance land in the sinks
+      userStream.addData(userJson("u3", "Ana", "2026-01-01T10:06:00.000000+0000"))
+      queries.foreach(_.processAllAvailable())
+
+      // S3: LWW by userId converges to the complete address list
+      val u1doc = uaSink.get("u1").get
+      val addrs = u1doc.getSeq[org.apache.spark.sql.Row](u1doc.fieldIndex("addresses"))
+      assert(addrs.map(_.getString(0)).sorted == Seq("a1", "a2", "a3"))
+      assert(uaSink.get("u2").exists(
+        _.getSeq[Any](u1doc.fieldIndex("addresses")).isEmpty))
+
+      // S1: over-counting per §2.1 — u1's minute window: IL = a1×3? no:
+      // snapshots (u,[]),(u,[a1]),(u,[a1,a2]),(u,[a1,a2,a3])
+      // IL appears: a1 in 3 snapshots + a2 in 2 → 5; NY: a3 in 1 → 1
+      assert(stSink.get("IL").map(_.getLong(2)).contains(5L))
+      assert(stSink.get("NY").map(_.getLong(2)).contains(1L))
+      // S2: BR = 5 (a1,a2), US = 1 (a3)
+      assert(coSink.get("BR").map(_.getLong(2)).contains(5L))
+      assert(coSink.get("US").map(_.getLong(2)).contains(1L))
+    } finally queries.foreach(_.stop())
+  }
+}

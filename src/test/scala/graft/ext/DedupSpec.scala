@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (3L, "completely different content about spark engines and data pipelines here"),
+    (4L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY") // case dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: case-normalized duplicates group together, min id kept") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(0L) == 3L) // docs 0,1,4 share a fingerprint; keep_id=0
+    val kept = Dedup.dropExactDups(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash/LSH: near-dup pair found, unrelated pair absent, pairs band-bounded") {
+    val pairs = Dedup.candidatePairs(docs, k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → all bands collide
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (x, y) => Set(x, y).contains(3L) && Set(x, y).intersect(Set(0L, 1L, 2L)).nonEmpty } ||
+      // doc 3 shares no shingles with 0/1/2: a collision would be a hash fluke
+      false)
+    val verified = Dedup.verifiedNearDups(docs, threshold = 0.5, k = 16, bands = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified.contains((0L, 1L)) && verified.contains((0L, 2L)))
+    assert(!verified.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
+  test("verified jaccard matches hand computation") {
+    val two = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e g")).toDF("doc_id", "text")
+    // 3-shingles: doc0 {abc,bcd,cde,def}, doc1 {abc,bcd,cde,deg} → J = 3/5
+    val j = Dedup.verifiedNearDups(two, threshold = 0.1, k = 16, bands = 16)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && math.abs(j.head - 0.6) < 1e-9)
+  }
+
+  test("simhash: identical docs hamming 0; near-dups closer than unrelated") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("LSH bucket-size guard drops degenerate buckets") {
+    // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
+    val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
+    val guarded = Dedup.candidatePairs(many, maxBucketSize = 10).count()
+    assert(guarded == 0)
+    val unguarded = Dedup.candidatePairs(many, maxBucketSize = 1000).count()
+    assert(unguarded == 50L * 49L / 2)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MultiModalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media = MultiModal.syntheticMediaFromDocs(
+    Seq((0L, "hello world", "en", "s", 11L), (1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("media table has the binary+metadata schema") {
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+  }
+
+  test("stubbed feature extraction is deterministic and normalized") {
+    val f1 = MultiModal.extractFeatures(media).orderBy("media_id")
+      .as[(Long, Seq[Double])].collect()
+    val f2 = MultiModal.extractFeatures(media).orderBy("media_id")
+      .as[(Long, Seq[Double])].collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.head._2.length == 8)
+    assert(math.abs(f1.head._2.sum - 1.0) < 1e-9) // histogram normalized
+    assert(f1(1)._2.sum == 0.0) // empty payload → zero features
+  }
+
+  test("chunk sampling slices payloads into n chunks") {
+    val chunks = MultiModal.sampleChunks(media, n = 2, chunkSize = 4)
+      .orderBy("media_id").as[(Long, Seq[Array[Byte]])].collect()
+    assert(chunks.head._2.length == 2)
+    assert(new String(chunks.head._2.head) == "hell")
+  }
+
+  test("metadata-only scan prunes the payload column (ReadSchema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val proj = MultiModal.metadataOnly(dir, spark)
+    val physical = proj.queryExecution.executedPlan.toString
+    assert(physical.contains("media_id"))
+    assert(!physical.contains("payload"), s"payload not pruned:\n$physical")
+  }
+}

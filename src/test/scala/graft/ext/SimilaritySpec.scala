@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // two tight clusters around orthogonal axes + one outlier
+  private def vec(base: Array[Float], jitter: Float, seed: Int): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    base.map(v => v + (r.nextFloat() - 0.5f) * jitter).toSeq
+  }
+  private val ax = Array(1f, 0f, 0f, 0f)
+  private val ay = Array(0f, 1f, 0f, 0f)
+  private val embeddings = (
+    (0L until 5L).map(i => (i, vec(ax, 0.1f, i.toInt))) ++
+    (5L until 10L).map(i => (i, vec(ay, 0.1f, i.toInt))) :+
+    (10L, Seq(-1f, -1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot/cosine column functions match hand computation") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()
+    assert(d == 32.0)
+    val c = df.select(Similarity.cosine(col("a"), col("a"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns the query's own cluster first") {
+    val top = Similarity.bruteForceTopK(embeddings, Seq(1f, 0f, 0f, 0f), 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("IVF with enough probes reproduces brute-force exactly") {
+    val centroids = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val bucketed = Similarity.assignBuckets(embeddings, centroids)
+    // cluster-x vectors land in bucket 0, cluster-y in bucket 1
+    val buckets = bucketed.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert((0L until 5L).forall(buckets(_) == 0))
+    assert((5L until 10L).forall(buckets(_) == 1))
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val bf = Similarity.bruteForceTopK(embeddings, q, 5).select("vec_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(bucketed, centroids, q, 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == bf)
+    // nprobe=1 restricts to the nearest bucket only (the scale path)
+    val ivf1 = Similarity.ivfTopK(bucketed, centroids, q, 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf1 == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
+    val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
+      planes = 8, bands = 4, dim = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // every reported pair is within one cluster (cos>=0.9 can't cross clusters)
+    assert(pairs.forall { case (i, j) => (i < 5 && j < 5) || (i >= 5 && i < 10 && j >= 5 && j < 10) })
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.{Address, User, UserAddress}
+import org.apache.spark.sql.functions._
+
+/** W1/A1+W2/A2 semantics incl. the §2.1 over-counting consequence (F7/F8 of
+  * FIXTURES.md §4): every cumulative snapshot contributes ALL its addresses
+  * to the window it lands in.
+  */
+class WindowCountsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private def u1 = User("u1", "n", "e", "F", ts)
+  private def addr(tag: String, state: String) = Address("u1", tag, "c", state, "z", s"C-$state")
+
+  private def snapshotsDf(snaps: Seq[(UserAddress, String)]) =
+    snaps.toDF("ua", "procTimeStr")
+      .select(col("ua.user").as("user"), col("ua.addresses").as("addresses"),
+        to_timestamp(col("procTimeStr")).as("procTime"))
+
+  test("F7: full F2 interleaving inside one window over-counts a1×3,a2×2,a3×1") {
+    val t = "2026-01-01 10:00:10"
+    val snaps = Seq(
+      (UserAddress(u1, Seq()), t),
+      (UserAddress(u1, Seq(addr("a1", "S1"))), t),
+      (UserAddress(u1, Seq(addr("a1", "S1"), addr("a2", "S1"))), t),
+      (UserAddress(u1, Seq(addr("a1", "S1"), addr("a2", "S2"), addr("a3", "S2"))), t))
+    val counts = WindowCounts.countByState(snapshotsDf(snaps))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // S1: a1 three times + a2 once = 4; S2: a2 once + a3 once = 2
+    assert(counts == Map("S1" -> 4, "S2" -> 2))
+  }
+
+  test("F8: snapshots straddling the minute boundary split per window") {
+    val snaps = Seq(
+      (UserAddress(u1, Seq(addr("a1", "S1"))), "2026-01-01 10:00:59"),
+      (UserAddress(u1, Seq(addr("a1", "S1"), addr("a2", "S1"))), "2026-01-01 10:01:01"))
+    val rows = WindowCounts.countByState(snapshotsDf(snaps))
+      .orderBy("window_start").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getTimestamp(0).toString).toSeq ==
+      Seq("2026-01-01 10:00:00.0", "2026-01-01 10:01:00.0"))
+  }
+
+  test("empty snapshots contribute nothing; country counts keyed separately") {
+    val t = "2026-01-01 10:00:10"
+    val snaps = Seq(
+      (UserAddress(u1, Seq()), t),
+      (UserAddress(u1, Seq(addr("a1", "S1"))), t))
+    val state = WindowCounts.countByState(snapshotsDf(snaps)).collect()
+    val country = WindowCounts.countByCountry(snapshotsDf(snaps)).collect()
+    assert(state.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("S1", 1)))
+    assert(country.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("C-S1", 1)))
+  }
+}
