@@ -12,6 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup on the smallest sf: JIT-compiles the scan/agg/join
+    // codegen paths so the first timed query isn't charged JVM startup.
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory) {
+      try {
+        SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, warmupDir).count())
+        SparkEntry.queries.get("q04_multiway_revenue").foreach(_(spark, warmupDir).count())
+      } catch { case _: Throwable => () }
+    }
     val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

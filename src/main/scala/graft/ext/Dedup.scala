@@ -33,27 +33,23 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Sliding word n-gram shingles (distinct). Documents shorter than n
-    * contribute their whole token sequence as one shingle.
+    * contribute their whole token sequence as one shingle. Backed by the
+    * native `WordShingles` expression (graft.functions) — the composable
+    * `transform`/`slice` formulation pays interpreted-lambda cost per
+    * position and dominated the profile.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val slid = transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    array_distinct(slid)
-  }
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.native.wordShingles(text, n)
 
   // -------------------------------------------------------------- minhash
 
   /** k-permutation MinHash signature over the shingle set.
-    * h_i(s) = xxhash64(i, s): seeding by prepending the permutation index
-    * keeps every hash family member independent while staying inside
-    * codegen'd built-ins. Returns array<long> of length k.
+    * h_i(s) = xxhash64(s, seed=i): seeding by permutation index keeps every
+    * hash family member independent. Native expression (tight loop over
+    * `ArrayData`); returns array<long> of length k.
     */
   def minHashSignature(shingles: Column, k: Int = 16): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    graft.functions.native.minHashSig(shingles, k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows; band key = hash of the band's slice. A pair of documents
@@ -131,27 +127,8 @@ object Dedup {
     * distance; bucketing by 16-bit prefix gives the scale path (a dup pair
     * at distance ≤3 collides on ≥1 of 4 such prefixes).
     */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        array((0 until 64).map { i =>
-          element_at(acc, i + 1) +
-            when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)
-        }: _*)
-      })
-    // pack bit-majority votes into one long: two 32-bit half-folds combined
-    // bitwise, so the sign bit never overflows ANSI long arithmetic.
-    def pack(half: Column): Column =
-      aggregate(half, lit(0L),
-        (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
-    val high = pack(slice(votes, 1, 32))
-    val low = pack(slice(votes, 33, 32))
-    shiftleft(high, 32).bitwiseOR(low)
-  }
+  def simHash(text: Column): Column =
+    graft.functions.native.simHash64(TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

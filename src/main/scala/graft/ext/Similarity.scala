@@ -19,12 +19,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double.
-    * zip_with + aggregate stays in Tungsten (no UDF deserialization).
+    * Native codegen'd expression (graft.functions.DotProductF) — a tight
+    * primitive loop inside whole-stage codegen, no per-element lambda cost.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.native.dotF(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -110,29 +108,43 @@ object Similarity {
     * joins — no crossJoin — then exact cosine filters to `threshold`.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      planes: Int = 8, bands: Int = 4, dim: Int = 64,
+      planes: Int = 32, bands: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val perBand = planes / bands
     require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
+    require(perBand <= 30, "band keys are packed into an int")
     // pseudo-random hyperplanes seeded deterministically
     val rng = new scala.util.Random(42)
     val planeVecs: Seq[Seq[Float]] =
       Seq.fill(planes)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
     val sigBits = planeVecs.map(p =>
-      when(dot(col(vecCol), array(p.map(lit): _*)) >= 0, "1").otherwise("0"))
+      when(dot(col(vecCol), array(p.map(lit): _*)) >= 0, 1).otherwise(0))
+    // pack each band's bits into an int key
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat(sigBits.slice(b * perBand, (b + 1) * perBand): _*).as("bits"))
+      val key = (0 until perBand)
+        .map(j => sigBits(b * perBand + j) * lit(1 << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bits"))
     }
+    // candidates first (ids only, deduped), score after — the pair table is
+    // the big side; vectors+precomputed norms join back by id
     val banded = embeddings
-      .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bits"))
-    val l = banded.select(col("band"), col("bits"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = banded.select(col("band"), col("bits"), col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("band", "bits"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col("band"), col("bits"), col(idCol).as("id1"))
+    val r = banded.select(col("band"), col("bits"), col(idCol).as("id2"))
+    val cands = l.join(r, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .select("id1", "id2")
       .distinct()
+    val withNorm = embeddings.select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    cands
+      .join(withNorm.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1")), "id1")
+      .join(withNorm.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos",
+        when(col("n1") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
