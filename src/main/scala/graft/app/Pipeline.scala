@@ -62,13 +62,14 @@ final class Pipeline(
 
   private def upsertEachBatch(df: DataFrame, mode: OutputMode, checkpoint: String,
       trigger: Trigger, sink: DocumentSink, keyField: String,
-      orderCol: Option[String]): StreamingQuery =
+      orderCol: Option[String],
+      prep: DataFrame => DataFrame = identity): StreamingQuery =
     df.writeStream
       .outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink.upsert(batch, keyField, orderCol)
+        if (!batch.isEmpty) sink.upsert(prep(batch), keyField, orderCol)
       }
       .start()
 
@@ -81,7 +82,19 @@ final class Pipeline(
     upsertEachBatch(
       Projections.userAddressDocument(snapshots(spark)),
       OutputMode.Append, s"$checkpointDir/userAddress", trigger,
-      userAddressSink, "userId", orderCol = None)
+      userAddressSink, "userId", orderCol = Some("snap_order"),
+      prep = withSnapshotOrder)
+
+  /** A batch can carry several cumulative snapshots of one user; the upsert
+    * must keep the LAST-emitted one. A user's snapshots are produced in
+    * emission order by a single task (keyed state op, no shuffle before the
+    * sink), so a per-partition monotonic id is a valid order stamp. Applied
+    * inside foreachBatch — the streaming plan itself cannot host
+    * monotonically_increasing_id.
+    */
+  private def withSnapshotOrder(docs: DataFrame): DataFrame =
+    docs.withColumn("snap_order",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
 
   private def startCountQuery(spark: SparkSession, byState: Boolean,
       checkpoint: String, trigger: Trigger): StreamingQuery = {
@@ -124,7 +137,8 @@ final class Pipeline(
     batch.persist()
     try {
       userAddressSink.upsert(
-        Projections.userAddressDocument(batch), "userId", orderCol = None)
+        withSnapshotOrder(Projections.userAddressDocument(batch)),
+        "userId", orderCol = Some("snap_order"))
       stateCountSink.upsert(
         WindowCounts.countByState(batch, windowLength = windowLength),
         "state", orderCol = Some("window_start"))

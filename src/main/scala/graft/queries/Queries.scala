@@ -323,6 +323,28 @@ object Queries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** D1: the real wire-format JSON parse (Schemas.parseUsers) over user
+    * records synthesized from customer — round-trips the producer's
+    * timestamp format (`user-generator.py:22`) and projects typed fields
+    * the oracle reproduces directly from the base table.
+    */
+  def q36D1Parse(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.load(spark, dir, "customer").select(
+      to_json(struct(
+        col("c_custkey").cast("string").as("id"),
+        col("c_name").as("name"),
+        concat(col("c_name"), lit("@example.org")).as("email"),
+        col("c_mktsegment").as("genre"),
+        lit("2024-03-05T06:07:08.123456+0000").as("registerDate"))).as("value"))
+    graft.core.Schemas.parseUsers(wire).toDF()
+      .select(
+        col("id").cast("long").as("userId"),
+        col("name"),
+        col("email"),
+        col("genre"),
+        col("registerDate").cast("long").as("register_epoch"))
+  }
+
   // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
@@ -399,7 +421,8 @@ object Queries {
     "q32_cosine_near_dups" -> (q32CosineNearDups _),
     "q33_ivf_topk" -> (q33IvfTopK _),
     "q34_media_features" -> (q34MediaFeatures _),
-    "q35_rolling_hash" -> (q35RollingHash _))
+    "q35_rolling_hash" -> (q35RollingHash _),
+    "q36_d1_parse" -> (q36D1Parse _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -583,5 +606,10 @@ object Queries {
                FROM e)
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                 COUNT(*) AS n_events
-         FROM m GROUP BY user_id""")
+         FROM m GROUP BY user_id""",
+    "q36_d1_parse" ->
+      """SELECT c_custkey AS userId, c_name AS name,
+         c_name || '@example.org' AS email, c_mktsegment AS genre,
+         CAST(1709618828 AS BIGINT) AS register_epoch
+         FROM customer""")
 }
