@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.{Address, Tables, User}
 import graft.ext.{Dedup, MultiModal, Similarity, TextAnalysis}
-import graft.operators.{EnrichmentJoin, Envelope, WindowCounts}
+import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -345,6 +345,38 @@ object Queries {
         col("registerDate").cast("long").as("register_epoch"))
   }
 
+  /** Skew-salted two-phase aggregation — result identical to a plain
+    * groupBy count (the oracle), physical work balanced across salts.
+    */
+  def q37SaltedCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(Tables.load(spark, dir, "lineitem"), Seq("l_returnflag"))
+
+  /** Distinct aggregation (COUNT DISTINCT inside groupBy). */
+  def q38DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt"))
+
+  /** Cube grouping sets over two dimensions. */
+  def q39Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
+
+  /** Backward as-of join (point-in-time): for each order, the customer's
+    * latest event at-or-before the order date.
+    */
+  def q40AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("o_ns",
+        col("o_orderdate").cast("timestamp").cast("long") * lit(1000000000L))
+    val events = Tables.loadEvents(spark, dir)
+    AsofJoin.backward(orders, events, "o_custkey", "user_id", "o_ns", "ts_ns")
+      .select(col("o_orderkey"), col("asof_ts").as("last_event_ns"))
+  }
+
   // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
@@ -422,7 +454,11 @@ object Queries {
     "q33_ivf_topk" -> (q33IvfTopK _),
     "q34_media_features" -> (q34MediaFeatures _),
     "q35_rolling_hash" -> (q35RollingHash _),
-    "q36_d1_parse" -> (q36D1Parse _))
+    "q36_d1_parse" -> (q36D1Parse _),
+    "q37_salted_count" -> (q37SaltedCount _),
+    "q38_distinct_agg" -> (q38DistinctAgg _),
+    "q39_cube" -> (q39Cube _),
+    "q40_asof_join" -> (q40AsofJoin _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -611,5 +647,21 @@ object Queries {
       """SELECT c_custkey AS userId, c_name AS name,
          c_name || '@example.org' AS email, c_mktsegment AS genre,
          CAST(1709618828 AS BIGINT) AS register_epoch
-         FROM customer""")
+         FROM customer""",
+    "q37_salted_count" ->
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q38_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS cnt
+         FROM events GROUP BY event_type""",
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q40_asof_join" ->
+      """SELECT o_orderkey,
+         (SELECT CAST(MAX(epoch_ns(ts)) AS BIGINT) FROM events
+          WHERE user_id = o_custkey
+            AND epoch_ns(ts) <= CAST(epoch(o_orderdate) AS BIGINT) * 1000000000)
+           AS last_event_ns
+         FROM orders""")
 }
