@@ -377,6 +377,20 @@ object Queries {
       .select(col("o_orderkey"), col("asof_ts").as("last_event_ns"))
   }
 
+  /** The spark.sql(...) entry path: identical semantics are reachable via
+    * registered views + ANSI SQL (Catalyst plans both identically).
+    */
+  def q41SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_open,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
+         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY c_mktsegment""")
+  }
+
   // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
@@ -458,7 +472,8 @@ object Queries {
     "q37_salted_count" -> (q37SaltedCount _),
     "q38_distinct_agg" -> (q38DistinctAgg _),
     "q39_cube" -> (q39Cube _),
-    "q40_asof_join" -> (q40AsofJoin _))
+    "q40_asof_join" -> (q40AsofJoin _),
+    "q41_sql_api" -> (q41SqlApi _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -663,5 +678,11 @@ object Queries {
           WHERE user_id = o_custkey
             AND epoch_ns(ts) <= CAST(epoch(o_orderdate) AS BIGINT) * 1000000000)
            AS last_event_ns
-         FROM orders""")
+         FROM orders""",
+    "q41_sql_api" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_open,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY c_mktsegment""")
 }
