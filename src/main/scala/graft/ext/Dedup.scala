@@ -61,7 +61,8 @@ object Dedup {
       k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rows = k / bands
     require(rows * bands == k, s"bands=$bands must divide k=$k")
-    val sig = minHashSignature(wordShingles(col(textCol), shingleN), k)
+    // lowercase before shingling: near-dup means same content, not same case
+    val sig = minHashSignature(wordShingles(lower(col(textCol)), shingleN), k)
     docs
       .select(col(idCol), sig.as("sig"))
       .select(
@@ -109,7 +110,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val cands = candidatePairs(docs, textCol, idCol, k, bands, shingleN)
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    val sh = docs.select(col(idCol), wordShingles(lower(col(textCol)), shingleN).as("sh"))
     cands
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
@@ -119,6 +120,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Near-dup removal: drop every document that is the larger-id member of
+    * a verified near-dup pair (keep-first policy). This is the standard
+    * single-pass dedup used on training corpora: it does not chase
+    * transitive chains (a↔b, b↔c with a↮c keeps a, drops b and c), which
+    * at scale is the deliberate trade — full connected components need an
+    * iterative join loop for marginal corpus-quality gain.
+    */
+  def dropNearDups(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val losers = verifiedNearDups(docs, threshold, textCol, idCol, k, bands, shingleN)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming exact dedup: wraps `dropDuplicates` with the watermark-bound
+    * state contract — the fingerprint is the dedup key, and state for keys
+    * older than the watermark delay is dropped (without a watermark, dedup
+    * state grows forever, the same failure mode as the reference's J1
+    * state).
+    */
+  def streamingExactDedup(docs: DataFrame, watermarkDelay: String = "10 minutes",
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("fingerprint")
 
   // -------------------------------------------------------------- simhash
 

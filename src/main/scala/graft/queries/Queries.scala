@@ -425,6 +425,11 @@ object Queries {
       .select(col("media_id"), col("f0"))
   }
 
+  /** End-to-end near-dup removal (keep-first over verified LSH pairs). */
+  def q42DropNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDups(Tables.load(spark, dir, "documents"), threshold = 0.5)
+      .select(col("doc_id"))
+
   /** Rolling-hash document fingerprints (order-sensitive). */
   def q35RollingHash(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -473,7 +478,8 @@ object Queries {
     "q38_distinct_agg" -> (q38DistinctAgg _),
     "q39_cube" -> (q39Cube _),
     "q40_asof_join" -> (q40AsofJoin _),
-    "q41_sql_api" -> (q41SqlApi _))
+    "q41_sql_api" -> (q41SqlApi _),
+    "q42_drop_near_dups" -> (q42DropNearDups _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(

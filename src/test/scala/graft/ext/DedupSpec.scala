@@ -57,6 +57,32 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("dropNearDups keeps the smallest id per near-dup family") {
+    val kept = Dedup.dropNearDups(docs, threshold = 0.5, k = 16, bands = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 (exact dup), 2 (near dup), 4 (case dup) all pair with 0 → dropped
+    assert(kept == Seq(0L, 3L))
+  }
+
+  test("streaming exact dedup drops duplicate fingerprints across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = Dedup.streamingExactDedup(
+      input.toDF().toDF("ts", "text"), watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      input.addData((t, "same doc"))
+      q.processAllAvailable()
+      input.addData((t, "same doc"), (t, "OTHER doc"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_stream").as[String].collect().sorted
+      assert(texts.toSeq == Seq("OTHER doc", "same doc"))
+    } finally q.stop()
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")

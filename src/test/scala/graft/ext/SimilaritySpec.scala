@@ -51,6 +51,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf1 == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("k-means refinement converges to the cluster axes and preserves IVF recall") {
+    val centroids = Similarity.kmeansCentroids(embeddings, k = 2, iters = 3)
+    assert(centroids.length == 2)
+    // each refined centroid should strongly align with one axis
+    val aligned = centroids.map { case (_, c) =>
+      math.max(math.abs(c.head), math.abs(c(1)))
+    }
+    assert(aligned.forall(_ > 0.5))
+    val bucketed = Similarity.assignBuckets(embeddings, centroids)
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val bf = Similarity.bruteForceTopK(embeddings, q, 5).select("vec_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(bucketed, centroids, q, 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == bf)
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)
