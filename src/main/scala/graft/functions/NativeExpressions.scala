@@ -203,4 +203,38 @@ object native {
     col(SimHash64(ex(tokens)))
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ex(text), n))
+
+  /** SQL-surface builders (integer literals become the Int parameters). */
+  private[functions] def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product_f" -> { args => DotProductF(args(0), args(1)) },
+    "minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
+
+  /** Make the native expressions callable from spark.sql on a live session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, b) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, b)
+    }
+}
+
+/** Session-extension entry point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and the native
+  * functions are available in every new session's SQL dialect.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    native.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
 }

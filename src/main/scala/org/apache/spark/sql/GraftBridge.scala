@@ -11,4 +11,13 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a temp SQL function on an
+    * existing session (sessionState is private[sql]; for new sessions use
+    * `graft.functions.GraftExtensions` via `spark.sql.extensions`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

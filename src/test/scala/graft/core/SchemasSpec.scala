@@ -33,6 +33,13 @@ class SchemasSpec extends SparkSpecBase {
     assert(users.length == 1 && users.head.id == null)
   }
 
+  test("strict mode surfaces malformed JSON (Jackson throw-on-garbage parity)") {
+    val bad = Seq("""{"id": not valid""").toDF("value")
+    intercept[Exception] {
+      Schemas.parseUsers(bad, strict = true).collect()
+    }
+  }
+
   test("address JSON parses with embedded newline in address") {
     val parsed = Schemas.parseAddresses(
       Seq("""{"userId":"u1","address":"1 Main St\nApt 5","city":"X","state":"Illinois","zipCode":"62701","country":"Brazil"}""")
