@@ -391,6 +391,39 @@ object Queries {
          GROUP BY c_mktsegment""")
   }
 
+  /** Analytic window-function battery: lag/lead/rank/dense_rank/ntile over
+    * per-customer order sequences (all-integer outputs → hash-exact).
+    */
+  def q43Analytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  /** Full outer join with null-handling: per-nation customer and supplier
+    * counts merged, absent sides coalesced to zero.
+    */
+  def q44FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.load(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(
+        col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
@@ -479,7 +512,9 @@ object Queries {
     "q39_cube" -> (q39Cube _),
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_sql_api" -> (q41SqlApi _),
-    "q42_drop_near_dups" -> (q42DropNearDups _))
+    "q42_drop_near_dups" -> (q42DropNearDups _),
+    "q43_analytics" -> (q43Analytics _),
+    "q44_full_outer" -> (q44FullOuter _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -690,5 +725,23 @@ object Queries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
-         GROUP BY c_mktsegment""")
+         GROUP BY c_mktsegment""",
+    "q43_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         LAG(o_orderkey, 1) OVER w AS prev_order,
+         LEAD(o_orderkey, 1) OVER w AS next_order,
+         CAST(RANK() OVER w AS INTEGER) AS rnk,
+         CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+         CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "q44_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1) s
+         ON c.nationkey = s.nationkey""")
 }
