@@ -104,7 +104,11 @@ object Tables {
     val tsIsRawNanos = df.schema("ts").dataType == LongType
     // ns-since-epoch (~1.7e18) exceeds double's 2^53 mantissa: all epoch
     // arithmetic must stay integral (DIV), never float division.
-    val nanos = if (tsIsRawNanos) col("ts") else unix_micros(col("ts")) * lit(1000L)
+    // non-ns files may read as TIMESTAMP or TIMESTAMP_NTZ; normalize via an
+    // LTZ cast (session TZ is UTC) before extracting micros
+    val nanos =
+      if (tsIsRawNanos) col("ts")
+      else unix_micros(col("ts").cast("timestamp")) * lit(1000L)
     df.withColumn("ts_ns", nanos)
       .withColumn("epoch_sec", expr("ts_ns DIV 1000000000"))
   }

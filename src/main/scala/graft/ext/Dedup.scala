@@ -162,9 +162,15 @@ object Dedup {
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs bucketed by 4×16-bit bands. */
+  /** SimHash near-dup candidate pairs bucketed by 4×16-bit bands. The
+    * hamming filter runs BEFORE the distinct (cheap arithmetic prunes the
+    * bulk of candidates ahead of the dedup shuffle), and `maxBucketSize`
+    * caps degenerate buckets — large exact-duplicate families otherwise
+    * make the within-bucket join quadratic.
+    */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucketSize: Int = 1000): DataFrame = {
     val withSh = docs.select(col(idCol), simHash(col(textCol)).as("sh"))
     val banded = withSh.select(
       col(idCol), col("sh"),
@@ -174,12 +180,16 @@ object Dedup {
           shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sh"), col("bb.band"), col("bb.band_key"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_key")))
+      .filter(col("bucket_size") <= maxBucketSize)
     val l = banded.select(col("band"), col("band_key"), col(idCol).as("id1"), col("sh").as("sh1"))
     val r = banded.select(col("band"), col("band_key"), col(idCol).as("id2"), col("sh").as("sh2"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("sh1"), col("sh2")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
