@@ -103,4 +103,25 @@ final class ParquetDocumentSink(path: String) extends DocumentSink {
     require(v >= 0, s"no data written to $path yet")
     spark.read.parquet(fs.resolve(s"v$v").toString)
   }
+
+  /** Drop all but the newest `keep` versions (copy-on-write tables grow one
+    * full copy per batch; compaction is part of the contract at scale).
+    */
+  def vacuum(keep: Int = 2): Unit = synchronized {
+    val v = currentVersion
+    if (v >= 0) {
+      val cutoff = v - keep + 1
+      val dirs = java.nio.file.Files.list(fs).iterator()
+      while (dirs.hasNext) {
+        val d = dirs.next()
+        val name = d.getFileName.toString
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+            name.drop(1).toInt < cutoff) {
+          // delete the whole version directory tree
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
 }

@@ -20,6 +20,10 @@ trait IngestSource {
   * `Main.java:51-67` (topics `user` / `address`, `earliest`, value
   * deserialization only). Partition discovery is automatic per micro-batch
   * in Spark; consumer-group management is internal to Spark's Kafka source.
+  *
+  * Requires `spark-sql-kafka-0-10` on the classpath (not present in this
+  * zero-egress sandbox, so this impl is configuration-only here; the file
+  * and memory sources drive all local testing through the same trait).
   */
 final class KafkaIngestSource(
     bootstrapServers: String,

@@ -35,6 +35,16 @@ class DocumentSinkSpec extends SparkSpecBase {
     assert(out == Map("u1" -> "a", "u2" -> "B2", "u3" -> "c"))
   }
 
+  test("parquet sink vacuum keeps the newest versions and the table stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    val sink = new ParquetDocumentSink(dir)
+    (1 to 5).foreach(i => sink.upsert(Seq(("k", i.toLong)).toDF("id", "v"), "id"))
+    sink.vacuum(keep = 2)
+    val versions = new java.io.File(dir).list().filter(_.startsWith("v")).sorted
+    assert(versions.toSeq == Seq("v3", "v4"))
+    assert(sink.snapshot(spark).collect().head.getLong(1) == 5L)
+  }
+
   test("idempotent: re-upserting the same batch changes nothing (reprocess safety)") {
     val sink = new InMemoryDocumentSink
     val batch = Seq(("IL", 3L)).toDF("state", "cnt")
