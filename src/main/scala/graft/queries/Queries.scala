@@ -424,6 +424,20 @@ object Queries {
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
   }
 
+  /** Spark 4 VARIANT path for semi-structured props: parse once to the
+    * binary variant encoding, extract typed fields — the scale-path
+    * replacement for per-access string re-parsing (`get_json_object`).
+    */
+  def q45VariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .select(
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        msum(col("value")).as("sum_value"))
+
   // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
@@ -514,7 +528,8 @@ object Queries {
     "q41_sql_api" -> (q41SqlApi _),
     "q42_drop_near_dups" -> (q42DropNearDups _),
     "q43_analytics" -> (q43Analytics _),
-    "q44_full_outer" -> (q44FullOuter _))
+    "q44_full_outer" -> (q44FullOuter _),
+    "q45_variant_props" -> (q45VariantProps _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -743,5 +758,9 @@ object Queries {
          FULL OUTER JOIN
               (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
                FROM supplier GROUP BY 1) s
-         ON c.nationkey = s.nationkey""")
+         ON c.nationkey = s.nationkey""",
+    "q45_variant_props" ->
+      """SELECT CAST(props ->> '$.k' AS BIGINT) AS k, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""")
 }
