@@ -22,14 +22,19 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // two timed runs per query, min wins: absorbs one-off JIT/GC noise so
+    // the reported number reflects the plan, not the scheduler's mood
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // surface failures instead of letting a broken query look fast
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // surface failures instead of letting a broken query look fast
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
