@@ -76,22 +76,20 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](0)) }
 
   /** Lloyd's k-means refinement of the coarse centroids, fully distributed:
-    * assign (broadcast centroids + argmax) → per-bucket mean via
-    * posexplode/groupBy — no vector ever leaves the executors. A few
-    * iterations turn the deterministic seed sample into a real quantizer.
+    * assign (broadcast centroids + argmax) → per-bucket mean via the
+    * one-pass `VectorMeanAggregator` (partial sums merge associatively; no
+    * posexplode shuffle of every element). A few iterations turn the
+    * deterministic seed sample into a real quantizer.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    val centroidOf = udaf(graft.functions.VectorMeanAggregator)
     var centroids = sampleCentroids(embeddings, k, idCol, vecCol)
     for (_ <- 0 until iters) {
       val assigned = assignBuckets(embeddings, centroids, idCol, vecCol)
       val means = assigned
-        .select(col("bucket"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("bucket", "pos")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("bucket")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("bucket"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+        .groupBy(col("bucket"))
+        .agg(centroidOf(col(vecCol)).as("centroid"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1)))
         .toMap
