@@ -44,12 +44,16 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** k-permutation MinHash signature over the shingle set.
-    * h_i(s) = xxhash64(s, seed=i): seeding by permutation index keeps every
-    * hash family member independent. Native expression (tight loop over
-    * `ArrayData`); returns array<long> of length k.
+    * h_i(s) = md5-derived 60-bit hash of ("i|" + s): seeding by permutation
+    * index keeps every hash family member independent, and the md5 base
+    * makes the whole signature replayable by any engine with md5 (the
+    * DuckDB oracle recomputes it exactly). Native expression (tight loop
+    * over `ArrayData`); returns array<long> of length k. A ~5× faster
+    * xxhash64 variant exists as `graft.functions.native.minHashSig` for
+    * pipelines that don't need cross-engine replay.
     */
   def minHashSignature(shingles: Column, k: Int = 16): Column =
-    graft.functions.native.minHashSig(shingles, k)
+    graft.functions.native.minHashSigP(shingles, k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows; band key = hash of the band's slice. A pair of documents
@@ -70,12 +74,17 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), lit(bands - 1)),
-            // xxhash64 hashes the band's signature slice (arrays are
-            // directly hashable) together with the band index.
+            // portable band hash: md5 of "b:v1,v2,..." over the band's
+            // signature slice rendered in decimal — byte-identical to the
+            // oracle's md5(b || ':' || array_to_string(list_slice(...)))
             b => struct(
               b.as("band"),
-              xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)), b)
-                .as("band_hash")))).as("bb"))
+              conv(substring(md5(concat(
+                b.cast("string"), lit(":"),
+                array_join(
+                  transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
+                    v => v.cast("string")), ",")).cast("binary")), 1, 15), 16, 10)
+                .cast("long").as("band_hash")))).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.band_hash"))
   }
 
@@ -136,33 +145,40 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Streaming exact dedup: wraps `dropDuplicates` with the watermark-bound
-    * state contract — the fingerprint is the dedup key, and state for keys
-    * older than the watermark delay is dropped (without a watermark, dedup
-    * state grows forever, the same failure mode as the reference's J1
-    * state).
+  /** Streaming exact dedup with watermark-bounded state: the fingerprint is
+    * the dedup key, and per-key state is EVICTED once the watermark passes
+    * the key's event time. Plain `dropDuplicates("fingerprint")` would keep
+    * fingerprint state forever (the watermark only drops late input rows
+    * when the event-time column is not part of the dedup key) — the exact
+    * unbounded-state failure mode of the reference's J1 state.
+    * `dropDuplicatesWithinWatermark` is the Spark operator built for this
+    * contract: duplicates are guaranteed deduped only while their first
+    * sighting is within the watermark delay, which is the right trade at
+    * 100 TB — bounded state, dedup horizon = `watermarkDelay`.
     */
   def streamingExactDedup(docs: DataFrame, watermarkDelay: String = "10 minutes",
       textCol: String = "text", tsCol: String = "ts"): DataFrame =
     docs
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over the token multiset: per-bit vote of each token's
-    * xxhash64, packed back into one long. Near-dups have small Hamming
-    * distance; bucketing by 16-bit prefix gives the scale path (a dup pair
-    * at distance ≤3 collides on ≥1 of 4 such prefixes).
+  /** 60-bit SimHash over the token multiset: per-bit vote of each token's
+    * md5-derived 60-bit hash, packed back into one long (portable to the
+    * DuckDB oracle; a 64-bit xxhash64 variant exists as
+    * `graft.functions.native.simHash64`). Near-dups have small Hamming
+    * distance; bucketing by 15-bit bands gives the scale path (a dup pair
+    * at distance ≤3 collides on ≥1 of 4 such bands).
     */
   def simHash(text: Column): Column =
-    graft.functions.native.simHash64(TextAnalysis.tokens(text))
+    graft.functions.native.simHash60P(TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs bucketed by 4×16-bit bands. The
+  /** SimHash near-dup candidate pairs bucketed by 4×15-bit bands. The
     * hamming filter runs BEFORE the distinct (cheap arithmetic prunes the
     * bulk of candidates ahead of the dedup shuffle), and `maxBucketSize`
     * caps degenerate buckets — large exact-duplicate families otherwise
@@ -177,7 +193,7 @@ object Dedup {
       explode(array((0 until 4).map { b =>
         struct(
           lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))
+          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("band_key"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sh"), col("bb.band"), col("bb.band_key"))
       .withColumn("bucket_size",

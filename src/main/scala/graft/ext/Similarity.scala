@@ -137,10 +137,17 @@ object Similarity {
     val perBand = planes / bands
     require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
     require(perBand <= 30, "band keys are packed into an int")
-    // pseudo-random hyperplanes seeded deterministically
-    val rng = new scala.util.Random(42)
+    // Rademacher (±1) hyperplanes derived from md5 parity: entry (p, k) is
+    // +1 iff bit 0 of the md5-60 hash of "p,k" is set. ±1 entries keep the
+    // projection a sum of exactly-representable ±v[k] terms, and the md5
+    // derivation lets the DuckDB oracle rebuild the identical plane matrix
+    // (sign-random projections preserve cosine the same as Gaussian ones).
     val planeVecs: Seq[Seq[Float]] =
-      Seq.fill(planes)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+      (0 until planes).map { p =>
+        (0 until dim).map { k =>
+          if ((graft.functions.Md5Utils.hash60(s"$p,$k") & 1L) == 1L) 1.0f else -1.0f
+        }
+      }
     val sigBits = planeVecs.map(p =>
       when(dot(col(vecCol), array(p.map(lit): _*)) >= 0, 1).otherwise(0))
     // pack each band's bits into an int key

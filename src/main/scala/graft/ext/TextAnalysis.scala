@@ -36,13 +36,18 @@ object TextAnalysis {
     * polynomial accumulation modulo a Mersenne prime, kept within 2^31 so
     * the multiply never overflows ANSI long arithmetic; order-sensitive so
     * reorderings produce different prints (unlike a bag-of-words hash).
+    * The per-token base hash is md5-derived (first 15 hex digits as a
+    * 60-bit value) so a DuckDB oracle replays the identical fold:
+    * `list_reduce(list_prepend(0, hashes), (a, h) -> (a*1000003 + h) % M)`.
     */
   def rollingHash(text: Column): Column = {
     val M = lit(2147483647L)
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), M), M))
+      (acc, t) =>
+        pmod(acc * lit(1000003L) +
+          pmod(conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"), M), M))
   }
 
   /** Quality-score features: character length, token count, punctuation

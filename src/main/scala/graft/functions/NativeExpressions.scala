@@ -145,6 +145,116 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Portable 60-bit md5-derived hash, shared by the cross-engine-replayable
+  * expression variants: the value of the first 15 hex digits of md5(input),
+  * identical to DuckDB's `('0x' || substr(md5(x), 1, 15))::BIGINT` and to
+  * Spark SQL's `conv(substring(md5(x), 1, 15), 16, 10)`. 60 bits keeps every
+  * value non-negative and safely inside BIGINT in both engines.
+  */
+object Md5Utils {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes): first 8 digest bytes big-endian >>> 4. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  def hash60(s: String): Long =
+    hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** Portable MinHash signature: sig[i] = min over shingles s of
+  * hash60(i + "|" + s) — the md5-based hash family a DuckDB oracle can
+  * replay exactly (`list_min(list_transform(sh, s -> ('0x' ||
+  * substr(md5(i || '|' || s), 1, 15))::BIGINT))`). Same banding/recall
+  * structure as `MinHashSig`; use that (xxhash64, ~5× faster) when
+  * cross-engine replay isn't needed.
+  */
+case class MinHashSigP(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_p"
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j).toString
+        var i = 0
+        while (i < k) {
+          val h = Md5Utils.hash60(i.toString + "|" + s)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigP =
+    copy(child = newChild)
+}
+
+/** Portable 60-bit SimHash: per-bit majority vote of each token's
+  * `Md5Utils.hash60`, packed into one long (bit j set iff the vote sum is
+  * strictly positive). 60 bits instead of 64 so the token hash — and
+  * therefore the whole computation — is replayable by a DuckDB oracle.
+  */
+case class SimHash60P(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_p"
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = Md5Utils.hash60(arr.getUTF8String(j).toString)
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60P =
+    copy(child = newChild)
+}
+
 /** Distinct sliding word n-gram shingles of a whitespace-tokenized string.
   * Semantics match the composable version: tokens are space-separated,
   * empties dropped; documents with fewer than n tokens contribute their
@@ -199,8 +309,12 @@ object native {
     col(DotProductF(ex(a), ex(b)))
   def minHashSig(shingles: Column, k: Int): Column =
     col(MinHashSig(ex(shingles), k))
+  def minHashSigP(shingles: Column, k: Int): Column =
+    col(MinHashSigP(ex(shingles), k))
   def simHash64(tokens: Column): Column =
     col(SimHash64(ex(tokens)))
+  def simHash60P(tokens: Column): Column =
+    col(SimHash60P(ex(tokens)))
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ex(text), n))
 
@@ -214,7 +328,9 @@ object native {
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product_f" -> { args => DotProductF(args(0), args(1)) },
     "minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
+    "minhash_sig_p" -> { args => MinHashSigP(args(0), intArg(args(1), "k")) },
     "simhash64" -> { args => SimHash64(args(0)) },
+    "simhash60_p" -> { args => SimHash60P(args(0)) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
 
   /** Make the native expressions callable from spark.sql on a live session. */

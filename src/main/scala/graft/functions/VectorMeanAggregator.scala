@@ -14,23 +14,30 @@ object VectorMeanAggregator
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  /** Grow `sums` to `dim` (vector dimensions may legitimately vary only in
+    * that the zero buffer starts empty; a genuine dimension mismatch in the
+    * data widens the buffer rather than silently truncating the sum).
+    */
+  private def grown(sums: Array[Double], dim: Int): Array[Double] =
+    if (sums.length >= dim) sums else java.util.Arrays.copyOf(sums, dim)
+
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     if (v == null) return b
-    val (sums, n) = b
-    val acc = if (sums.isEmpty) new Array[Double](v.length) else sums
+    val acc = grown(b._1, v.length)
     var i = 0
-    val m = math.min(acc.length, v.length)
-    while (i < m) { acc(i) += v(i); i += 1 }
-    (acc, n + 1)
+    while (i < v.length) { acc(i) += v(i); i += 1 }
+    (acc, b._2 + 1)
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) return b
-    if (b._1.isEmpty) return a
-    val out = a._1.clone()
+    // The zero buffer is identified by n == 0, NOT by an empty sums array:
+    // zero-length input vectors increment n while leaving sums empty, and
+    // such a buffer still carries a count that must survive the merge.
+    if (a._2 == 0) return b
+    if (b._2 == 0) return a
+    val out = grown(a._1.clone(), b._1.length)
     var i = 0
-    val m = math.min(out.length, b._1.length)
-    while (i < m) { out(i) += b._1(i); i += 1 }
+    while (i < b._1.length) { out(i) += b._1(i); i += 1 }
     (out, a._2 + b._2)
   }
 

@@ -33,12 +33,24 @@ object WindowCounts {
   def explodedAddresses(snapshots: DataFrame, procTimeCol: String = "procTime"): DataFrame =
     snapshots.select(col(procTimeCol), explode_outer(col("addresses")).as("addr"))
 
+  /** The post-aggregation filter drops ONLY the `explode_outer` placeholder
+    * rows (whole-`addr` null), not genuine addresses whose key field is
+    * null: the reference's `HashMap.put(null, ...)` counts null keys
+    * (`Main.java:142-148`), so a null-state address forms its own group
+    * here too. `addr IS NOT NULL` is carried through the aggregation as a
+    * grouping column (constant per (win, key) group except for the null
+    * key, where it separates real null-key addresses from placeholders),
+    * which keeps the filter expressible after a streaming aggregation.
+    */
   private def windowed(snapshots: DataFrame, keyExpr: Column, keyName: String,
       procTimeCol: String, windowLength: String): DataFrame =
     explodedAddresses(snapshots, procTimeCol)
-      .groupBy(window(col(procTimeCol), windowLength).as("win"), keyExpr.as(keyName))
+      .groupBy(
+        window(col(procTimeCol), windowLength).as("win"),
+        keyExpr.as(keyName),
+        col("addr").isNotNull.as("is_real"))
       .count()
-      .filter(col(keyName).isNotNull)
+      .filter(col("is_real"))
       .select(col("win.start").as("window_start"), col(keyName), col("count"))
 
   /** A1: per-window address count by state (`Main.java:136-150`). */

@@ -438,7 +438,9 @@ object Queries {
         count(lit(1)).as("cnt"),
         msum(col("value")).as("sum_value"))
 
-  // ---- no-oracle queries (non-SQL-expressible; rows-only driver check) ----
+  // ---- formerly no-oracle: now fully replayed by DuckDB via the md5-based
+  // portable hash family (same LSH/banding structure; only the hash
+  // primitive changed from xxhash64 to md5-60) ----
 
   /** MinHash/LSH near-dup candidate pairs (band-bucketed, never all-pairs). */
   def q30MinHashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -463,13 +465,23 @@ object Queries {
       k = 10, nprobe = 3).select(col("vec_id"))
   }
 
-  /** Multimodal: payload metadata + stubbed feature extraction. */
+  /** Multimodal: payload metadata + stubbed feature extraction. The fake
+    * decode is a deterministic byte histogram, so the oracle replays it
+    * over the (ASCII) document text: bin b = fraction of bytes with
+    * value >> 5 == b. Emitted: payload size, bin 0 (control chars), bin 3
+    * (lowercase letters).
+    */
   def q34MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = MultiModal.syntheticMediaFromDocs(
       Tables.load(spark, dir, "documents"))
     MultiModal.extractFeatures(media)
-      .withColumn("f0", round(element_at(col("features"), 1), 6))
-      .select(col("media_id"), col("f0"))
+      .join(media.select(col("media_id"),
+        MultiModal.payloadBytes(col("payload")).cast("long").as("n_bytes")), "media_id")
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 4), 6).as("f3"))
   }
 
   /** End-to-end near-dup removal (keep-first over verified LSH pairs). */
@@ -762,5 +774,144 @@ object Queries {
     "q45_variant_props" ->
       """SELECT CAST(props ->> '$.k' AS BIGINT) AS k, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1""")
+         FROM events GROUP BY 1""",
+    "q30_minhash_pairs" -> (MinHashOracleCtes +
+      "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
+    "q42_drop_near_dups" -> (MinHashOracleCtes +
+      """SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id2 FROM pairs WHERE jaccard >= 0.5)"""),
+    "q31_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT) AS hs FROM tok),
+         s AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN list_sum(list_transform(hs, hh -> CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+           FROM h),
+         banded AS (
+           SELECT doc_id, sh, b, (sh >> CAST(b*15 AS INTEGER)) & 32767 AS band_key
+           FROM s, range(0,4) t(b))
+         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+           CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+         FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key
+         WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sh, r.sh)) <= 16""",
+    "q32_cosine_near_dups" ->
+      """WITH planes AS (
+           SELECT p, list_transform(range(0, 64), k ->
+             CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
+           FROM range(0, 32) t(p)),
+         sb AS (
+           SELECT e.vec_id, p.p,
+             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), k ->
+                    p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM embeddings e, planes p),
+         bandkeys AS (
+           SELECT vec_id, p // 8 AS band, CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
+           FROM sb GROUP BY vec_id, p // 8),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+           FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
+           WHERE l.vec_id < r.vec_id),
+         wn AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+               CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT c.id1, c.id2,
+             CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(a.embedding)+1), k ->
+                         CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))) / (a.nrm * b.nrm)
+             END AS cos
+           FROM cand c JOIN wn a ON c.id1 = a.vec_id JOIN wn b ON c.id2 = b.vec_id)
+         SELECT id1, id2, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.3""",
+    "q33_ivf_topk" ->
+      """WITH cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         qv AS (SELECT embedding AS qe,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE vec_id = 0),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
+         en AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM embeddings),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         probe AS (
+           SELECT c.cid FROM cn c, qv
+           ORDER BY CASE WHEN c.nrm * qv.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
+                           CAST(c.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (c.nrm * qv.nrm) END DESC,
+                    c.cid ASC
+           LIMIT 3)
+         SELECT vec_id FROM (
+           SELECT e.vec_id,
+             CASE WHEN e.nrm * qv.nrm = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                         CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (e.nrm * qv.nrm) END AS sim
+           FROM asg e, qv WHERE e.bucket IN (SELECT cid FROM probe))
+         ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 0)) AS DOUBLE) / length(text), 6) END AS f0,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 3)) AS DOUBLE) / length(text), 6) END AS f3
+         FROM documents""",
+    "q35_rolling_hash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT % 2147483647) AS hs FROM t)
+         SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT, hs), (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS rhash FROM h""")
+
+  /** Shared CTE chain replaying the portable MinHash/LSH pipeline in DuckDB
+    * (shingles → md5-60 signatures → band hashes → bucket pairs → exact
+    * Jaccard). The q34 media-feature oracle relies on the documents corpus
+    * being ASCII (byte == codepoint), which holds for the driver testdata.
+    */
+  private def MinHashOracleCtes: String =
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
+                       array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS sh
+         FROM tok),
+       sig AS (
+         SELECT doc_id,
+           list_transform(range(0, 16), i ->
+             list_min(list_transform(sh, s -> ('0x' || substr(md5(i::VARCHAR || '|' || s),1,15))::BIGINT))) AS sig
+         FROM sh),
+       bands AS (
+         SELECT doc_id, b,
+           ('0x' || substr(md5(b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ',')),1,15))::BIGINT AS band_hash
+         FROM sig, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         FROM bands l JOIN bands r ON l.b = r.b AND l.band_hash = r.band_hash
+         WHERE l.doc_id < r.doc_id),
+       pairs AS (
+         SELECT c.id1, c.id2,
+           CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE) AS jaccard
+         FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id)
+       """
 }

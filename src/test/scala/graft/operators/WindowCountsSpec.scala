@@ -44,6 +44,20 @@ class WindowCountsSpec extends SparkSpecBase {
       Seq("2026-01-01 10:00:00.0", "2026-01-01 10:01:00.0"))
   }
 
+  test("null-keyed addresses form their own group; placeholders still dropped") {
+    // Reference parity: Main.java:142-148 HashMap.put(null, ...) counts
+    // null state keys — only explode_outer placeholder rows (empty
+    // snapshots) must vanish, not genuine addresses with a null state.
+    val t = "2026-01-01 10:00:10"
+    val snaps = Seq(
+      (UserAddress(u1, Seq()), t), // placeholder-only snapshot
+      (UserAddress(u1, Seq(Address("u1", "a1", "c", null, "z", "C1"))), t),
+      (UserAddress(u1, Seq(addr("a2", "S1"))), t))
+    val counts = WindowCounts.countByState(snapshotsDf(snaps))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(counts == Map(Option(null) -> 1L, Some("S1") -> 1L))
+  }
+
   test("empty snapshots contribute nothing; country counts keyed separately") {
     val t = "2026-01-01 10:00:10"
     val snaps = Seq(
