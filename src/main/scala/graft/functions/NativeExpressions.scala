@@ -155,11 +155,16 @@ object Md5Utils {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** First 60 bits of md5(bytes): first 8 digest bytes big-endian >>> 4. */
-  def hash60(bytes: Array[Byte]): Long = {
+  /** Raw 16-byte md5 digest (thread-local MessageDigest, no allocation churn). */
+  def digest128(bytes: Array[Byte]): Array[Byte] = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.digest(bytes)
+  }
+
+  /** First 60 bits of md5(bytes): first 8 digest bytes big-endian >>> 4. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = digest128(bytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
@@ -168,14 +173,23 @@ object Md5Utils {
 
   def hash60(s: String): Long =
     hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  val Mask55: Long = (1L << 55) - 1
+  val Mask60: Long = (1L << 60) - 1
 }
 
-/** Portable MinHash signature: sig[i] = min over shingles s of
-  * hash60(i + "|" + s) — the md5-based hash family a DuckDB oracle can
-  * replay exactly (`list_min(list_transform(sh, s -> ('0x' ||
-  * substr(md5(i || '|' || s), 1, 15))::BIGINT))`). Same banding/recall
-  * structure as `MinHashSig`; use that (xxhash64, ~5× faster) when
-  * cross-engine replay isn't needed.
+/** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
+  * shingle is md5'd ONCE, its digest split into two 60-bit halves
+  * a = hex[1..15], b = hex[17..31], and the k family members are
+  * h_i = (a + i * (b & 2^55-1)) & (2^60-1) — KM double hashing gives the
+  * same LSH banding guarantees as k independent hashes at 1/k the digest
+  * cost, and every step is replayable by a DuckDB oracle:
+  * `(('0x'||substr(md5(s),1,15))::BIGINT +
+  *   i * (('0x'||substr(md5(s),17,15))::BIGINT & 36028797018963967))
+  *  & 1152921504606846975`.
+  * The 55-bit mask on b bounds i*b + a below 2^63 (no overflow in either
+  * engine). An xxhash64 variant exists as `MinHashSig` for pipelines that
+  * don't need cross-engine replay.
   */
 case class MinHashSigP(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -194,12 +208,21 @@ case class MinHashSigP(child: Expression, k: Int)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j).toString
+        val d = Md5Utils.digest128(arr.getUTF8String(j).getBytes)
+        var a = 0L
+        var b = 0L
+        var t = 0
+        while (t < 8) { a = (a << 8) | (d(t) & 0xFFL); t += 1 }
+        while (t < 16) { b = (b << 8) | (d(t) & 0xFFL); t += 1 }
+        a >>>= 4
+        val bm = (b >>> 4) & Md5Utils.Mask55
+        var h = a
         var i = 0
         while (i < k) {
-          val h = Md5Utils.hash60(i.toString + "|" + s)
-          if (h < sig(i)) sig(i) = h
+          val hv = h & Md5Utils.Mask60
+          if (hv < sig(i)) sig(i) = hv
           i += 1
+          h += bm
         }
       }
       j += 1

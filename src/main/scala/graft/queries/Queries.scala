@@ -895,11 +895,16 @@ object Queries {
                        array_to_string(list_slice(toks, i, i + 2), ' ')))
            END AS sh
          FROM tok),
+       hx AS (
+         SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hx FROM sh),
        sig AS (
          SELECT doc_id,
            list_transform(range(0, 16), i ->
-             list_min(list_transform(sh, s -> ('0x' || substr(md5(i::VARCHAR || '|' || s),1,15))::BIGINT))) AS sig
-         FROM sh),
+             list_min(list_transform(hx, m ->
+               (('0x' || substr(m,1,15))::BIGINT +
+                i * (('0x' || substr(m,17,15))::BIGINT & 36028797018963967))
+               & 1152921504606846975))) AS sig
+         FROM hx),
        bands AS (
          SELECT doc_id, b,
            ('0x' || substr(md5(b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ',')),1,15))::BIGINT AS band_hash
