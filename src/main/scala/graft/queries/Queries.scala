@@ -438,6 +438,83 @@ object Queries {
         count(lit(1)).as("cnt"),
         msum(col("value")).as("sum_value"))
 
+  /** Exact linear-interpolation percentiles per group. The p50/p90 of
+    * 2-decimal money at those fractions are exact 3-decimal rationals, so
+    * round(4) is engine-stable.
+    */
+  def q46Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("cnt"))
+
+  /** Pivot (columns from values): order counts per priority × status. */
+  def q47Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+
+  /** Regex function battery: extract / replace / match over part names. */
+  def q48RegexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("STEEL|BRASS").cast("int").as("is_metal"))
+
+  /** Ordered string aggregation per group (collect_list → sort → join —
+    * the deterministic formulation of string_agg).
+    */
+  def q49StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("names"))
+
+  /** The custom typed Aggregator (VectorMeanAggregator) through the gate:
+    * per-label centroid, exploded to scalar rows. Float means are not
+    * bit-portable across engines, so values are rounded to 4 decimals
+    * (double-accumulated means of ~unit floats are identical far beyond
+    * that precision).
+    */
+  def q50Centroids(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(graft.functions.VectorMeanAggregator)
+    Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), round(col("v").cast("double"), 4).as("m4"))
+  }
+
+  /** Range join (equi key + time-range residual): events within 7 days
+    * after the order date, for a keyed subset of orders. The equi key keeps
+    * the physical plan a hash join with a residual filter — never a
+    * nested-loop cross product.
+    */
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_ns", col("o_orderdate").cast("timestamp").cast("long") * lit(1000000000L))
+    val events = Tables.loadEvents(spark, dir)
+    orders.join(events,
+      orders("o_custkey") === events("user_id") &&
+        events("ts_ns") >= orders("o_ns") &&
+        events("ts_ns") < orders("o_ns") + lit(7L * 86400L * 1000000000L))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_ns")).as("max_ns"))
+  }
+
+  /** Set-op coverage beyond union: intersect and except (distinct). */
+  def q52ExceptIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val suppN = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    custN.intersect(suppN).withColumn("op", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("op", lit("cust_only")))
+  }
+
   // ---- formerly no-oracle: now fully replayed by DuckDB via the md5-based
   // portable hash family (same LSH/banding structure; only the hash
   // primitive changed from xxhash64 to md5-60) ----
@@ -541,7 +618,14 @@ object Queries {
     "q42_drop_near_dups" -> (q42DropNearDups _),
     "q43_analytics" -> (q43Analytics _),
     "q44_full_outer" -> (q44FullOuter _),
-    "q45_variant_props" -> (q45VariantProps _))
+    "q45_variant_props" -> (q45VariantProps _),
+    "q46_percentiles" -> (q46Percentiles _),
+    "q47_pivot" -> (q47Pivot _),
+    "q48_regex_funcs" -> (q48RegexFuncs _),
+    "q49_string_agg" -> (q49StringAgg _),
+    "q50_centroids" -> (q50Centroids _),
+    "q51_range_join" -> (q51RangeJoin _),
+    "q52_except_intersect" -> (q52ExceptIntersect _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -775,6 +859,53 @@ object Queries {
       """SELECT CAST(props ->> '$.k' AS BIGINT) AS k, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+    "q46_percentiles" ->
+      """SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority""",
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "q48_regex_funcs" ->
+      """SELECT p_partkey,
+         regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+         CAST(regexp_matches(p_type, 'STEEL|BRASS') AS INTEGER) AS is_metal
+         FROM part""",
+    "q49_string_agg" ->
+      """SELECT s_nationkey AS nationkey,
+         string_agg(s_name, '|' ORDER BY s_name) AS names
+         FROM supplier GROUP BY s_nationkey""",
+    "q50_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+         ROUND(AVG(CAST(v AS DOUBLE)), 4) AS m4
+         FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+         GROUP BY label, pos""",
+    "q51_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_events,
+         CAST(MAX(epoch_ns(ts)) AS BIGINT) AS max_ns
+         FROM (SELECT o_orderkey, o_custkey,
+                 CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS o_ns
+               FROM orders WHERE o_orderkey % 97 = 0) o
+         JOIN events e ON e.user_id = o.o_custkey
+           AND epoch_ns(e.ts) >= o.o_ns
+           AND epoch_ns(e.ts) < o.o_ns + 604800 * CAST(1000000000 AS BIGINT)
+         GROUP BY o_orderkey""",
+    "q52_except_intersect" ->
+      """SELECT nationkey, 'both' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'cust_only' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier)""",
     "q30_minhash_pairs" -> (MinHashOracleCtes +
       "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q42_drop_near_dups" -> (MinHashOracleCtes +
