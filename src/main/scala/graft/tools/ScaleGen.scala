@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation corpus generator: writes an N× replica of an sf dir,
+  * used to demonstrate that every operator's runtime scales ~linearly with
+  * data volume (the local stand-in for the 100 TB question — a superlinear
+  * operator shows up immediately as a >N× runtime jump at N× data).
+  *
+  * Replication rules preserve workload SHAPE, not just row counts:
+  *  - surrogate keys are offset per replica (`key + i * (max+1)`), so
+  *    customer→orders→lineitem referential fan-out is identical per replica
+  *    and join/agg key cardinalities grow N× like real growth would;
+  *  - document text gets a per-replica vocabulary translation (every token
+  *    suffixed `_r<i>`): similarity structure WITHIN a replica is exactly
+  *    preserved (dup/near-dup families replicate), while cross-replica
+  *    Jaccard is 0 — without this, every doc would gain N-1 exact copies
+  *    and the near-dup pair count would grow N²-ish, which is a different
+  *    workload, not a bigger one;
+  *  - embeddings are circularly rotated by the replica index (an isometry:
+  *    intra-replica cosine structure exact, cross-replica ≈ random);
+  *  - dimension tables (region, nation) are shared, as at real scale.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sfx")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, n)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    // driver events.parquet carries ns-precision timestamps Spark can't
+    // represent natively; read them as raw longs (the replica keeps the
+    // BIGINT ts schema, which Tables.loadEvents handles transparently)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0)
+
+    // one row per (source row, replica): the replica index drives key offsets
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("_i", explode(sequence(lit(0), lit(n - 1))))
+
+    def off(c: String, span: Long): Column = col(c) + col("_i") * lit(span + 1)
+
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val cust = rd("customer")
+    val custSpan = maxOf(cust, "c_custkey")
+    wr(replicate(cust).withColumn("c_custkey", off("c_custkey", custSpan)).drop("_i"),
+      "customer")
+
+    val supp = rd("supplier")
+    val suppSpan = maxOf(supp, "s_suppkey")
+    wr(replicate(supp).withColumn("s_suppkey", off("s_suppkey", suppSpan)).drop("_i"),
+      "supplier")
+
+    val part = rd("part")
+    val partSpan = maxOf(part, "p_partkey")
+    wr(replicate(part).withColumn("p_partkey", off("p_partkey", partSpan)).drop("_i"),
+      "part")
+
+    val orders = rd("orders")
+    val orderSpan = maxOf(orders, "o_orderkey")
+    wr(replicate(orders)
+      .withColumn("o_orderkey", off("o_orderkey", orderSpan))
+      .withColumn("o_custkey", off("o_custkey", custSpan))
+      .drop("_i"), "orders")
+
+    wr(replicate(rd("lineitem"))
+      .withColumn("l_orderkey", off("l_orderkey", orderSpan))
+      .withColumn("l_partkey", off("l_partkey", partSpan))
+      .withColumn("l_suppkey", off("l_suppkey", suppSpan))
+      .drop("_i"), "lineitem")
+
+    val events = rd("events")
+    val eventSpan = maxOf(events, "event_id")
+    wr(replicate(events)
+      .withColumn("event_id", off("event_id", eventSpan))
+      .withColumn("user_id", off("user_id", custSpan))
+      .drop("_i"), "events")
+
+    val docs = rd("documents")
+    val docSpan = maxOf(docs, "doc_id")
+    wr(replicate(docs)
+      .withColumn("doc_id", off("doc_id", docSpan))
+      .withColumn("text",
+        when(col("_i") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              t => when(t === "", t).otherwise(concat(t, lit("_r"), col("_i")))),
+            " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("_i"), "documents")
+
+    val emb = rd("embeddings")
+    val vecSpan = maxOf(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    wr(replicate(emb)
+      .withColumn("vec_id", off("vec_id", vecSpan))
+      .withColumn("embedding",
+        when(col("_i") === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"), (col("_i") % dim) + 1, lit(dim) - (col("_i") % dim)),
+            slice(col("embedding"), lit(1), col("_i") % dim))))
+      .drop("_i"), "embeddings")
+
+    println(s"[scalegen] wrote ${n}x of $src to $dst")
+  }
+}
