@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{Address, User, UserAddress}
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Two-input envelope standing in for Flink's `connect` of the user and
@@ -70,16 +71,18 @@ object EnrichmentJoin {
 
   /** Batch mode: deterministic replay ordered by `seq` within each key.
     * Shuffles once on the key (`Exchange hashpartitioning`), like the
-    * reference's `keyBy`; per-key groups are sorted in memory, which is safe
-    * because per-user address cardinality is small and bounded in practice —
-    * at scale, cap via the TTL/maxAddresses knobs rather than buffering.
+    * reference's `keyBy`. The per-key `seq` ordering rides the shuffle's
+    * sort (`flatMapSortedGroups` = secondary sort), so no group is ever
+    * materialized or sorted in executor memory — the event stream for a
+    * hot key folds through the state machine as a lazy iterator, which is
+    * what survives a key with millions of events.
     */
   def joinBatch(spark: SparkSession, events: Dataset[Envelope]): Dataset[UserAddress] = {
     import spark.implicits._
     events
       .groupByKey(_.key)
-      .flatMapGroups { (_, it) =>
-        val (_, out) = runKey(it.toVector.sortBy(_.seq).iterator)
+      .flatMapSortedGroups(col("seq")) { (_, it) =>
+        val (_, out) = runKey(it)
         out
       }
   }
