@@ -515,6 +515,39 @@ object Queries {
       .unionByName(custN.except(suppN).withColumn("op", lit("cust_only")))
   }
 
+  /** Corpus document-frequency statistics (the exact-integer core of
+    * TF-IDF): distinct-per-doc tokens → doc counts → deterministic top-20.
+    */
+  def q53DocFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(array_distinct(TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(20)
+
+  /** Explicit GROUPING SETS through the SQL API (beyond rollup/cube). */
+  def q54GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem_v
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+  }
+
+  /** Null-handling scalar battery: coalesce / nullif / least / greatest /
+    * conditional over exact types.
+    */
+  def q55ScalarNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("flag_or_x"),
+        least(col("l_linenumber"), lit(3)).as("ln3"),
+        greatest(col("l_quantity").cast("long"), lit(25L)).as("q25"),
+        when(col("l_discount") > 0.05, "HI").otherwise("LO").as("disc_band"))
+
   // ---- formerly no-oracle: now fully replayed by DuckDB via the md5-based
   // portable hash family (same LSH/banding structure; only the hash
   // primitive changed from xxhash64 to md5-60) ----
@@ -625,7 +658,10 @@ object Queries {
     "q49_string_agg" -> (q49StringAgg _),
     "q50_centroids" -> (q50Centroids _),
     "q51_range_join" -> (q51RangeJoin _),
-    "q52_except_intersect" -> (q52ExceptIntersect _))
+    "q52_except_intersect" -> (q52ExceptIntersect _),
+    "q53_doc_freq" -> (q53DocFreq _),
+    "q54_grouping_sets" -> (q54GroupingSets _),
+    "q55_scalar_null" -> (q55ScalarNull _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -906,6 +942,23 @@ object Queries {
          SELECT nationkey, 'cust_only' AS op FROM
            (SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier)""",
+    "q53_doc_freq" ->
+      """SELECT term, COUNT(*) AS df FROM (
+           SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS term
+           FROM documents)
+         GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""",
+    "q54_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "q55_scalar_null" ->
+      """SELECT l_orderkey, l_linenumber,
+         COALESCE(NULLIF(l_returnflag, 'N'), 'X') AS flag_or_x,
+         LEAST(l_linenumber, 3) AS ln3,
+         GREATEST(CAST(l_quantity AS BIGINT), 25) AS q25,
+         CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
+         FROM lineitem""",
     "q30_minhash_pairs" -> (MinHashOracleCtes +
       "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q42_drop_near_dups" -> (MinHashOracleCtes +
