@@ -548,6 +548,36 @@ object Queries {
         greatest(col("l_quantity").cast("long"), lit(25L)).as("q25"),
         when(col("l_discount") > 0.05, "HI").otherwise("LO").as("disc_band"))
 
+  /** Native session windows (gaps-and-islands with a 30-minute gap) via
+    * Spark's `session_window` — the streaming-capable session operator; the
+    * oracle replays it with the LAG/cumulative-sum island technique.
+    */
+  def q56SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .withColumn("ts_m", timestamp_micros(expr("ts_ns DIV 1000")))
+      .groupBy(col("user_id"), session_window(col("ts_m"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        col("cnt"))
+
+  /** Sliding (overlapping) windows: 10-minute length, 5-minute slide —
+    * every event lands in exactly two windows; the oracle unrolls the
+    * window assignment arithmetic.
+    */
+  def q57SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .withColumn("ts_m", timestamp_micros(expr("ts_ns DIV 1000")))
+      .groupBy(
+        window(col("ts_m"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"),
+        col("cnt"))
+
   // ---- formerly no-oracle: now fully replayed by DuckDB via the md5-based
   // portable hash family (same LSH/banding structure; only the hash
   // primitive changed from xxhash64 to md5-60) ----
@@ -661,7 +691,9 @@ object Queries {
     "q52_except_intersect" -> (q52ExceptIntersect _),
     "q53_doc_freq" -> (q53DocFreq _),
     "q54_grouping_sets" -> (q54GroupingSets _),
-    "q55_scalar_null" -> (q55ScalarNull _))
+    "q55_scalar_null" -> (q55ScalarNull _),
+    "q56_session_window" -> (q56SessionWindow _),
+    "q57_sliding_window" -> (q57SlidingWindow _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -959,6 +991,27 @@ object Queries {
          GREATEST(CAST(l_quantity AS BIGINT), 25) AS q25,
          CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
          FROM lineitem""",
+    "q56_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+         m AS (SELECT user_id, tus,
+                 CASE WHEN LAG(tus) OVER w IS NULL
+                        OR tus - LAG(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         s AS (SELECT user_id, tus,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us, COUNT(*) AS cnt
+         FROM s GROUP BY user_id, sid""",
+    "q57_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+         w AS (SELECT event_type, tus,
+                 unnest([(tus // 300000000) * 300000000,
+                         (tus // 300000000) * 300000000 - 300000000]) AS ws
+               FROM e)
+         SELECT CAST(ws AS BIGINT) AS window_start_us, event_type, COUNT(*) AS cnt
+         FROM w WHERE tus >= ws AND tus < ws + 600000000
+         GROUP BY ws, event_type""",
     "q30_minhash_pairs" -> (MinHashOracleCtes +
       "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q42_drop_near_dups" -> (MinHashOracleCtes +
