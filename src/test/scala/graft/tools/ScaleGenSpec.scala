@@ -1,0 +1,55 @@
+package graft.tools
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The scale generator must preserve workload SHAPE, not just multiply
+  * rows — these invariants are what make an N× run a valid linearity probe.
+  */
+class ScaleGenSpec extends SparkSpecBase {
+
+  private val out = "/tmp/scalegen_spec"
+
+  test("3x replica preserves counts, referential integrity, and structure") {
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 3)
+
+    def cnt(t: String): Long = spark.read.parquet(s"$out/$t.parquet").count()
+    def srcCnt(t: String): Long =
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
+
+    for (t <- Seq("customer", "orders", "lineitem", "documents", "embeddings", "events"))
+      assert(cnt(t) == 3 * srcCnt(t), s"$t not exactly 3x")
+    assert(cnt("nation") == srcCnt("nation")) // dims shared
+
+    // every order still resolves to a customer (offsets kept fan-out intact)
+    val orders = spark.read.parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    val dangling = orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(dangling == 0)
+
+    // replica vocabularies are disjoint: a cross-replica doc pair can never
+    // be a near-dup, so similarity workload grows Nx, not N^2-ish
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val srcMax = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val tok = docs
+      .withColumn("replica", col("doc_id") / lit(srcMax + 1))
+      .select(col("replica").cast("int").as("replica"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val shared = tok.filter(col("replica") === 0).select("t").distinct()
+      .intersect(tok.filter(col("replica") === 1).select("t").distinct())
+    assert(shared.count() == 0)
+
+    // rotation is an isometry: the multiset of vector norms is unchanged
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val normCounts = emb
+      .select(round(sqrt(graft.functions.native.dotF(col("embedding"), col("embedding"))), 4).as("n"))
+      .groupBy("n").count()
+    val srcNormCounts = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(round(sqrt(graft.functions.native.dotF(col("embedding"), col("embedding"))), 4).as("n"))
+      .groupBy("n").count()
+      .withColumn("count", col("count") * 3)
+    assert(normCounts.exceptAll(srcNormCounts).count() == 0)
+  }
+}
