@@ -58,6 +58,32 @@ class WindowCountsSpec extends SparkSpecBase {
     assert(counts == Map(Option(null) -> 1L, Some("S1") -> 1L))
   }
 
+  test("session windows emit in streaming append mode once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes").as("sw"))
+      .count()
+      .select(col("user"), col("sw.start").as("start"), col("count"))
+    val q = sessions.writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // one session (10:00 extended by 10:10), then a gap > 30 min
+      input.addData((t("2026-01-01 10:00:00"), "u1"), (t("2026-01-01 10:10:00"), "u1"),
+        (t("2026-01-01 11:30:00"), "u1"))
+      q.processAllAvailable()
+      // watermark (11:29) has passed the first session's end (10:40) → emits
+      input.addData((t("2026-01-01 13:00:00"), "u1"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, start, count FROM session_stream")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(rows.toSet.contains(("u1", "2026-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("empty snapshots contribute nothing; country counts keyed separately") {
     val t = "2026-01-01 10:00:10"
     val snaps = Seq(
