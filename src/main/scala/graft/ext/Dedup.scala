@@ -163,6 +163,86 @@ object Dedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  // ------------------------------------------------- streaming near-dup
+
+  /** Streaming incremental near-dup detection: as documents arrive, each is
+    * checked against the docs already seen in its LSH buckets and candidate
+    * pairs are emitted immediately — the stateful-enrichment pattern (J1)
+    * applied to the dedup domain.
+    *
+    * Per (band, band_hash) bucket, state holds the (docId, signature) list;
+    * a new arrival emits a pair for every stored doc whose
+    * signature-estimated Jaccard (fraction of equal MinHash components —
+    * the standard unbiased estimate) clears `threshold`, then appends
+    * itself. Scale properties: candidates never leave their bucket (no
+    * all-pairs), state per bucket is capped at `maxBucketSize` (arrivals
+    * beyond the cap are checked but not stored, so a degenerate
+    * all-identical stream cannot grow state), and an optional processing-
+    * time TTL drops idle buckets. A pair colliding in b bands is emitted b
+    * times (at-least-once semantics); run a batch `distinct` downstream or
+    * key the sink by (id1, id2) for exactly-once materialization.
+    */
+  def streamingNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      maxBucketSize: Int = 1000,
+      stateTtl: Option[java.time.Duration] = None,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    require(rows * bands == k, s"bands=$bands must divide k=$k")
+    val sig = minHashSignature(wordShingles(lower(col(textCol)), shingleN), k)
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+      .select(
+        col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat(b.cast("string"), lit(":"),
+            xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).cast("string"))))
+          .as("bucket"))
+      .as[(Long, Seq[Long], String)]
+
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      if (n == 0) 0.0 else eq.toDouble / n
+    }
+
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append, timeout) { (_, it, state: GroupState[List[(Long, Seq[Long])]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var stored = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          it.foreach { case (id, sigArr, _) =>
+            stored.foreach { case (oid, osig) =>
+              if (oid != id) {
+                val est = estJaccard(sigArr, osig)
+                if (est >= threshold)
+                  out += ((math.min(id, oid), math.max(id, oid), est))
+              }
+            }
+            if (stored.lengthCompare(maxBucketSize) < 0) stored = (id, sigArr) :: stored
+          }
+          state.update(stored)
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          out.result().iterator
+        }
+      }
+      .toDF("id1", "id2", "est_jaccard")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over the token multiset: per-bit vote of each token's

@@ -83,6 +83,29 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs emit on arrival against bucket state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val pairs = Dedup.streamingNearDupPairs(input.toDF().toDF("doc_id", "text"))
+    val q = pairs.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup_stream").count() == 0)
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different words entirely unrelated content here"))
+      q.processAllAvailable()
+      // the exact dup collides in every band (4 emissions, distinct → 1 pair
+      // at estimate 1.0); the unrelated doc pairs with nothing
+      val rows = spark.sql("SELECT DISTINCT id1, id2, est_jaccard FROM neardup_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((0L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
