@@ -21,6 +21,39 @@ class PipelineSpec extends SparkSpecBase {
   private def addrJson(uid: String, tag: String, state: String, country: String) =
     s"""{"userId":"$uid","address":"$tag","city":"c","state":"$state","zipCode":"z","country":"$country"}"""
 
+  test("checkpoint recovery: J1 state survives a query restart") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-recovery")
+    val in = base.resolve("in")
+    Files.createDirectories(in.resolve("user"))
+    Files.createDirectories(in.resolve("address"))
+    val cp = base.resolve("cp").toString
+    val source = new graft.sources.FileIngestSource(in.toString)
+    val uaSink = new InMemoryDocumentSink
+    val pipeline = new Pipeline(source, uaSink, new InMemoryDocumentSink,
+      new InMemoryDocumentSink,
+      procTimeExpr = col("user.registerDate"))
+
+    // phase 1: only the user arrives; its offset is committed to the
+    // checkpoint, so a restart will NOT re-read this file
+    Files.writeString(in.resolve("user/u1.json"),
+      userJson("u1", "Maria", "2026-01-01T10:00:10.000000+0000"))
+    val q1 = pipeline.startUserAddressQuery(spark, cp, Trigger.ProcessingTime(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(uaSink.get("u1").exists(
+      r => r.getSeq[Any](r.fieldIndex("addresses")).isEmpty))
+
+    // phase 2: restart from the checkpoint; an address-only batch can only
+    // produce a snapshot if u1's user was RECOVERED from the state store
+    Files.writeString(in.resolve("address/a1.json"),
+      addrJson("u1", "a1", "IL", "BR"))
+    val q2 = pipeline.startUserAddressQuery(spark, cp, Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    val u1doc = uaSink.get("u1").get
+    val addrs = u1doc.getSeq[org.apache.spark.sql.Row](u1doc.fieldIndex("addresses"))
+    assert(addrs.map(_.getString(0)) == Seq("a1"))
+  }
+
   test("full topology: snapshots upserted by userId; windowed counts by state/country") {
     implicit val sqlCtx = spark.sqlContext
     val userStream = MemoryStream[String]
