@@ -130,38 +130,44 @@ object Similarity {
     * ANY band's bits match exactly (same S-curve recall/precision trade as
     * MinHash banding). Candidates come only from same-(band, bits) bucket
     * joins — no crossJoin — then exact cosine filters to `threshold`.
+    *
+    * SIZE THE BAND KEY TO THE CORPUS: random collisions grow as
+    * N² / 2^(planes/bands) per band, so the per-band bit width must keep
+    * 2^(planes/bands) ≳ N or candidate generation turns quadratic — an 8-bit
+    * key was measurably superlinear at 150k vectors (a 3× data step cost
+    * 8.8× runtime); the 16-bit default holds to ~10⁶ vectors, and larger
+    * corpora raise `planes`. `maxBucketSize` additionally drops degenerate
+    * buckets (e.g. a spike of identical embeddings) whose within-bucket
+    * join would be quadratic regardless of key width.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      planes: Int = 32, bands: Int = 4, dim: Int = 64,
+      planes: Int = 64, bands: Int = 4, dim: Int = 64,
+      maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val perBand = planes / bands
     require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
-    require(perBand <= 30, "band keys are packed into an int")
-    // Rademacher (±1) hyperplanes derived from md5 parity: entry (p, k) is
-    // +1 iff bit 0 of the md5-60 hash of "p,k" is set. ±1 entries keep the
-    // projection a sum of exactly-representable ±v[k] terms, and the md5
-    // derivation lets the DuckDB oracle rebuild the identical plane matrix
-    // (sign-random projections preserve cosine the same as Gaussian ones).
-    val planeVecs: Seq[Seq[Float]] =
-      (0 until planes).map { p =>
-        (0 until dim).map { k =>
-          if ((graft.functions.Md5Utils.hash60(s"$p,$k") & 1L) == 1L) 1.0f else -1.0f
-        }
-      }
-    val sigBits = planeVecs.map(p =>
-      when(dot(col(vecCol), array(p.map(lit): _*)) >= 0, 1).otherwise(0))
-    // pack each band's bits into an int key
+    // Rademacher (±1) hyperplanes derived from md5 parity (the DuckDB
+    // oracle rebuilds the identical matrix; sign-random projections
+    // preserve cosine the same as Gaussian ones). All sign bits are
+    // computed by ONE native expression pass per row — the per-plane
+    // literal-array formulation fell out of codegen and was ~10× slower.
+    val sig = graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
+    // slice the bitmask into per-band keys
     val bandCols = (0 until bands).map { b =>
-      val key = (0 until perBand)
-        .map(j => sigBits(b * perBand + j) * lit(1 << j))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bits"))
+      struct(lit(b).as("band"),
+        shiftright(col("sigbits"), b * perBand)
+          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
     }
     // candidates first (ids only, deduped), score after — the pair table is
     // the big side; vectors+precomputed norms join back by id
     val banded = embeddings
+      .select(col(idCol), sig.as("sigbits"))
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bits"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bits")))
+      .filter(col("bucket_size") <= maxBucketSize)
     val l = banded.select(col("band"), col("bits"), col(idCol).as("id1"))
     val r = banded.select(col("band"), col("bits"), col(idCol).as("id2"))
     val cands = l.join(r, Seq("band", "bits"))

@@ -278,6 +278,64 @@ case class SimHash60P(child: Expression)
     copy(child = newChild)
 }
 
+/** All `planes` Rademacher-hyperplane sign bits of an `array<float>` vector
+  * in ONE pass, packed into a long bitmask (bit p = 1 iff
+  * Σ_k r[p][k]·v[k] >= 0, r[p][k] = ±1 from bit 0 of md5-60("p,k")).
+  *
+  * Replaces a per-plane `DotProductF(vec, <64-literal array>)` column
+  * formulation whose 4096 literal nodes fell out of codegen and were
+  * re-evaluated interpreted per row. The plane matrix is derived once per
+  * executor (lazily, at the first row's dimensionality) from the same md5
+  * parity the DuckDB oracle uses, so the result is replayed bit-exactly:
+  * adding/subtracting v[k] equals multiplying by ±1.0 exactly, in the same
+  * index order as the oracle's sequential `list_sum`.
+  */
+case class HyperplaneSignBits(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 64, "planes must fit a long bitmask")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sign_bits"
+
+  // one matrix per (planes, dim) per executor; dim discovered from data
+  @transient private lazy val matrixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Boolean]]]()
+
+  private def matrix(dim: Int): Array[Array[Boolean]] =
+    matrixCache.computeIfAbsent(dim, _ =>
+      Array.tabulate(planes, dim)((p, k) =>
+        (Md5Utils.hash60(s"$p,$k") & 1L) == 1L))
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = matrix(n)
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var s = 0.0
+      var k = 0
+      while (k < n) {
+        val x = v.getFloat(k).toDouble
+        if (row(k)) s += x else s -= x
+        k += 1
+      }
+      if (s >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBits =
+    copy(child = newChild)
+}
+
 /** Distinct sliding word n-gram shingles of a whitespace-tokenized string.
   * Semantics match the composable version: tokens are space-separated,
   * empties dropped; documents with fewer than n tokens contribute their
@@ -338,6 +396,8 @@ object native {
     col(SimHash64(ex(tokens)))
   def simHash60P(tokens: Column): Column =
     col(SimHash60P(ex(tokens)))
+  def hyperplaneSignBits(vec: Column, planes: Int): Column =
+    col(HyperplaneSignBits(ex(vec), planes))
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ex(text), n))
 
@@ -354,6 +414,7 @@ object native {
     "minhash_sig_p" -> { args => MinHashSigP(args(0), intArg(args(1), "k")) },
     "simhash64" -> { args => SimHash64(args(0)) },
     "simhash60_p" -> { args => SimHash60P(args(0)) },
+    "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
 
   /** Make the native expressions callable from spark.sql on a live session. */

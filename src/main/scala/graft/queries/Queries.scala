@@ -1040,15 +1040,15 @@ object Queries {
            SELECT p, list_transform(range(0, 64), k ->
              CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
-           FROM range(0, 32) t(p)),
+           FROM range(0, 64) t(p)),
          sb AS (
            SELECT e.vec_id, p.p,
              CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), k ->
                     p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
            FROM embeddings e, planes p),
          bandkeys AS (
-           SELECT vec_id, p // 8 AS band, CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
-           FROM sb GROUP BY vec_id, p // 8),
+           SELECT vec_id, p // 16 AS band, CAST(SUM(bit * (1 << CAST(p % 16 AS INTEGER))) AS BIGINT) AS bits
+           FROM sb GROUP BY vec_id, p // 16),
          cand AS (
            SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
            FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits

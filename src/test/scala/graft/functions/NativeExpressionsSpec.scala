@@ -44,7 +44,7 @@ class NativeExpressionsSpec extends SparkSpecBase {
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
-      Seq("dot_product_f", "minhash_sig", "minhash_sig_p", "simhash60_p",
-        "simhash64", "word_shingles"))
+      Seq("dot_product_f", "hyperplane_sign_bits", "minhash_sig",
+        "minhash_sig_p", "simhash60_p", "simhash64", "word_shingles"))
   }
 }
