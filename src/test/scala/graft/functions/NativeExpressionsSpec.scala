@@ -24,6 +24,31 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(sigs(2L).forall(_ == Long.MaxValue))
   }
 
+  test("hyperplaneSignBits matches the explicit md5-parity projection") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(8)(i => (i - 3.5).toFloat)),
+      (1L, Seq.tabulate(8)(i => math.sin(i.toDouble).toFloat)),
+      (2L, Seq.fill(8)(0f)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), native.hyperplaneSignBits(col("v"), 16).as("bits"))
+      .as[(Long, Long)].collect().toMap
+    def expected(v: Seq[Float]): Long = {
+      var bits = 0L
+      for (p <- 0 until 16) {
+        var s = 0.0
+        for (k <- v.indices) {
+          val sign = if ((Md5Utils.hash60(s"$p,$k") & 1L) == 1L) 1.0 else -1.0
+          s += sign * v(k).toDouble
+        }
+        if (s >= 0) bits |= (1L << p)
+      }
+      bits
+    }
+    vecs.foreach { case (id, v) => assert(got(id) == expected(v), s"vec $id") }
+    // zero vector projects to 0 on every plane → all sign bits set (s >= 0)
+    assert(got(2L) == (1L << 16) - 1)
+  }
+
   test("SQL registration: native functions callable from spark.sql") {
     native.registerAll(spark)
     val row = spark.sql(
