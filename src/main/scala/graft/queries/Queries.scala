@@ -578,6 +578,19 @@ object Queries {
         col("event_type"),
         col("cnt"))
 
+  /** max_by/min_by-style aggregates with deterministic tie-break via
+    * lexicographic struct ordering (the portable formulation of arg-max).
+    */
+  def q58MinMaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(struct(col("o_totalprice"), col("o_orderkey")))
+          .getField("o_orderkey").as("top_order"),
+        min(struct(col("o_totalprice"), col("o_orderkey")))
+          .getField("o_orderkey").as("bottom_order"),
+        count(lit(1)).as("cnt"))
+
   // ---- formerly no-oracle: now fully replayed by DuckDB via the md5-based
   // portable hash family (same LSH/banding structure; only the hash
   // primitive changed from xxhash64 to md5-60) ----
@@ -693,7 +706,8 @@ object Queries {
     "q54_grouping_sets" -> (q54GroupingSets _),
     "q55_scalar_null" -> (q55ScalarNull _),
     "q56_session_window" -> (q56SessionWindow _),
-    "q57_sliding_window" -> (q57SlidingWindow _))
+    "q57_sliding_window" -> (q57SlidingWindow _),
+    "q58_minmax_by" -> (q58MinMaxBy _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1012,6 +1026,19 @@ object Queries {
          SELECT CAST(ws AS BIGINT) AS window_start_us, event_type, COUNT(*) AS cnt
          FROM w WHERE tus >= ws AND tus < ws + 600000000
          GROUP BY ws, event_type""",
+    "q58_minmax_by" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+           FROM orders)
+         SELECT o_orderpriority,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+           COUNT(*) AS cnt
+         FROM r GROUP BY o_orderpriority""",
     "q30_minhash_pairs" -> (MinHashOracleCtes +
       "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q42_drop_near_dups" -> (MinHashOracleCtes +
