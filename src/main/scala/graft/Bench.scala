@@ -22,11 +22,14 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.Map.empty[String, String]
-    // two timed runs per query, min over SUCCESSFUL runs wins: absorbs
-    // one-off JIT/GC noise, and a single flaky failure neither poisons the
-    // measurement nor marks the query errored — only both runs failing does
+    // three timed runs per query; min over SUCCESSFUL runs is the score and
+    // (max - min) is reported as the per-query spread, so round-over-round
+    // comparisons can separate real regressions from JIT/GC jitter (sub-100ms
+    // deltas on sub-300ms queries showed up as phantom 1.4x "regressions"
+    // under single-number reporting). A flaky single failure neither poisons
+    // the measurement nor marks the query errored — only all runs failing does.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -39,18 +42,22 @@ object Bench {
         }
       }
       val good = runs.flatten
-      if (good.nonEmpty) { errors.remove(name); Some(name -> good.min) } else None
+      if (good.nonEmpty) {
+        errors.remove(name)
+        Some((name, good.min, good.max - good.min))
+      } else None
     }
-    val ok = results
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

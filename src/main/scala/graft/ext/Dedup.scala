@@ -43,14 +43,19 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over the shingle set.
-    * h_i(s) = md5-derived 60-bit hash of ("i|" + s): seeding by permutation
-    * index keeps every hash family member independent, and the md5 base
-    * makes the whole signature replayable by any engine with md5 (the
-    * DuckDB oracle recomputes it exactly). Native expression (tight loop
-    * over `ArrayData`); returns array<long> of length k. A ~5× faster
-    * xxhash64 variant exists as `graft.functions.native.minHashSig` for
-    * pipelines that don't need cross-engine replay.
+  /** k-permutation MinHash signature over the shingle set, via
+    * Kirsch–Mitzenmacher double hashing: each shingle is md5'd once, the
+    * digest split into two 60-bit halves (a, b), and family member i is
+    * h_i(s) = (a + i·(b & 2^55-1)) & (2^60-1) — see `MinHashSigP`'s
+    * scaladoc for the authoritative formula and the DuckDB replay
+    * expression. KM gives the same LSH banding guarantees as k independent
+    * hashes at 1/k the digest cost, and the md5 base makes the whole
+    * signature replayable by any engine with md5 (the DuckDB oracle
+    * recomputes it exactly). Native expression (tight loop over
+    * `ArrayData`); returns array<long> of length k ≤ 224 (the overflow-safe
+    * bound). A ~5× faster xxhash64 variant exists as
+    * `graft.functions.native.minHashSig` for pipelines that don't need
+    * cross-engine replay.
     */
   def minHashSignature(shingles: Column, k: Int = 16): Column =
     graft.functions.native.minHashSigP(shingles, k)

@@ -193,6 +193,10 @@ object Md5Utils {
   */
 case class MinHashSigP(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  // k ≤ 224 keeps a + (k-1)·(b & 2^55-1) < 2^63: beyond that the JVM sum
+  // silently wraps while the DuckDB replay raises BIGINT overflow — the
+  // cross-engine portability guarantee would quietly break.
+  require(k >= 1 && k <= 224, s"k must be in [1, 224], got $k")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -315,15 +319,24 @@ case class HyperplaneSignBits(child: Expression, planes: Int)
     val v = in.asInstanceOf[ArrayData]
     val n = v.numElements()
     val m = matrix(n)
+    // materialize once: null elements contribute 0 regardless of physical
+    // representation (UnsafeArrayData reads 0.0 at null slots but
+    // GenericArrayData would NPE — behavior must not depend on which one
+    // arrives), and the 64-plane loop then runs over a primitive array
+    val xs = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      if (!v.isNullAt(k)) xs(k) = v.getFloat(k).toDouble
+      k += 1
+    }
     var bits = 0L
     var p = 0
     while (p < planes) {
       val row = m(p)
       var s = 0.0
-      var k = 0
+      k = 0
       while (k < n) {
-        val x = v.getFloat(k).toDouble
-        if (row(k)) s += x else s -= x
+        if (row(k)) s += xs(k) else s -= xs(k)
         k += 1
       }
       if (s >= 0) bits |= (1L << p)

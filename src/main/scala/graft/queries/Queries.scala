@@ -231,6 +231,26 @@ object Queries {
         col("state"), col("count").as("cnt"))
   }
 
+  /** W2/A2: the country-keyed variant of q18 through the REAL
+    * `WindowCounts.countByCountry` path — same parameterized operator, but
+    * this row exercises the country key end-to-end against the oracle
+    * (`Main.java:153-167`).
+    */
+  def q59WindowCountsCountry(spark: SparkSession, dir: String): DataFrame = {
+    val snapshots = Tables.load(spark, dir, "orders").select(
+      col("o_orderdate").as("procTime"),
+      array(struct(
+        col("o_orderstatus").as("address"),
+        lit("city").as("city"),
+        col("o_orderpriority").as("state"),
+        lit("00000").as("zipCode"),
+        col("o_orderstatus").as("country"))).as("addresses"))
+    WindowCounts.countByCountry(snapshots, windowLength = "1 day")
+      .select(
+        col("window_start").cast("timestamp").cast("long").as("window_start_sec"),
+        col("country"), col("count").as("cnt"))
+  }
+
   /** C3 analog: rename/flatten document projection through a dim join. */
   def q19DocumentProjection(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer")
@@ -707,7 +727,8 @@ object Queries {
     "q55_scalar_null" -> (q55ScalarNull _),
     "q56_session_window" -> (q56SessionWindow _),
     "q57_sliding_window" -> (q57SlidingWindow _),
-    "q58_minmax_by" -> (q58MinMaxBy _))
+    "q58_minmax_by" -> (q58MinMaxBy _),
+    "q59_window_counts_country" -> (q59WindowCountsCountry _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1039,6 +1060,10 @@ object Queries {
            MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
            COUNT(*) AS cnt
          FROM r GROUP BY o_orderpriority""",
+    "q59_window_counts_country" ->
+      """SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS window_start_sec,
+         o_orderstatus AS country, COUNT(*) AS cnt
+         FROM orders GROUP BY 1, 2""",
     "q30_minhash_pairs" -> (MinHashOracleCtes +
       "SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5"),
     "q42_drop_near_dups" -> (MinHashOracleCtes +
@@ -1057,7 +1082,9 @@ object Queries {
            FROM h),
          banded AS (
            SELECT doc_id, sh, b, (sh >> CAST(b*15 AS INTEGER)) & 32767 AS band_key
-           FROM s, range(0,4) t(b))
+           FROM s, range(0,4) t(b)
+           -- mirror Spark's simHashPairs maxBucketSize=1000 skew guard
+           QUALIFY COUNT(*) OVER (PARTITION BY b, band_key) <= 1000)
          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
            CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
          FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key
@@ -1075,7 +1102,9 @@ object Queries {
            FROM embeddings e, planes p),
          bandkeys AS (
            SELECT vec_id, p // 16 AS band, CAST(SUM(bit * (1 << CAST(p % 16 AS INTEGER))) AS BIGINT) AS bits
-           FROM sb GROUP BY vec_id, p // 16),
+           FROM sb GROUP BY vec_id, p // 16
+           -- mirror Spark's cosineNearDupPairs maxBucketSize=10000 skew guard
+           QUALIFY COUNT(*) OVER (PARTITION BY (p // 16), CAST(SUM(bit * (1 << CAST(p % 16 AS INTEGER))) AS BIGINT)) <= 10000),
          cand AS (
            SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
            FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
@@ -1172,7 +1201,10 @@ object Queries {
        bands AS (
          SELECT doc_id, b,
            ('0x' || substr(md5(b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ',')),1,15))::BIGINT AS band_hash
-         FROM sig, range(0, 4) t(b)),
+         FROM sig, range(0, 4) t(b)
+         -- mirror Spark's candidatePairs maxBucketSize=1000 skew guard so the
+         -- compare stays exact even if a corpus grows a degenerate bucket
+         QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= 1000),
        cand AS (
          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
          FROM bands l JOIN bands r ON l.b = r.b AND l.band_hash = r.band_hash

@@ -109,13 +109,20 @@ object ScaleGen {
     val emb = rd("embeddings")
     val vecSpan = maxOf(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // rotation 1 + (_i-1) % (dim-1) ∈ [1, dim-1] for every non-zero replica:
+    // a plain `_i % dim` yields rotation 0 whenever _i is a multiple of dim
+    // (possible when n > dim), which would clone replica 0's vectors and
+    // inflate near-dup counts superlinearly — breaking the "cross-replica
+    // ≈ random" invariant the scale probe relies on.
+    val rot = when(col("_i") === 0, lit(0))
+      .otherwise((col("_i") - 1) % (dim - 1) + 1)
     wr(replicate(emb)
       .withColumn("vec_id", off("vec_id", vecSpan))
       .withColumn("embedding",
         when(col("_i") === 0, col("embedding")).otherwise(
           concat(
-            slice(col("embedding"), (col("_i") % dim) + 1, lit(dim) - (col("_i") % dim)),
-            slice(col("embedding"), lit(1), col("_i") % dim))))
+            slice(col("embedding"), rot + 1, lit(dim) - rot),
+            slice(col("embedding"), lit(1), rot))))
       .drop("_i"), "embeddings")
 
     println(s"[scalegen] wrote ${n}x of $src to $dst")
