@@ -150,6 +150,94 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------ connected components
+
+  /** Connected components of an undirected edge list via alternating
+    * large-star / small-star contractions (the MapReduce-CC formulation of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"): each
+    * round is a per-node window-min plus a regroup, and the edge set
+    * provably contracts to per-component stars in O(log² n) rounds
+    * (O(log n) in practice) — independent of component DIAMETER, which is
+    * what kills plain label propagation on a long near-dup chain at scale.
+    * Lineage is truncated every round (`localCheckpoint`), so the plan does
+    * not grow with iterations. Input: two columns (either names); output:
+    * (node, component) for every node appearing in an edge, where
+    * component = the minimum node id of its CC.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+
+    // large-star: every strictly-larger neighbor of u links to
+    // m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: group by the larger endpoint; every smaller neighbor and
+    // the node itself link to the minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val withM = dir.withColumn("m", min(col("v")).over(w))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = edges.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // distinct sets are equal iff same size and empty difference
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      i += 1
+    }
+    // fail loudly rather than return a partially-contracted (wrong) result
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Keep exactly one document (the minimum id) per connected component of
+    * the given pair graph; documents in no pair are untouched.
+    */
+  def dropByComponents(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Opt-in TRANSITIVE near-dup removal: cluster the verified-pair graph
+    * into connected components and keep only each component's minimum-id
+    * doc — an a↔b↔c chain keeps exactly one document even when a↮c,
+    * unlike `dropNearDups`' single-pass keep-first policy (which keeps a,
+    * drops b and c). Costs the CC iteration on top of pair verification;
+    * the pair count — not the corpus — bounds the iterative work, so the
+    * overhead is small whenever near-dups are a minority of the corpus.
+    */
+  def dropNearDupsCC(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    dropByComponents(docs,
+      verifiedNearDups(docs, threshold, textCol, idCol, k, bands, shingleN)
+        .select(col("id1"), col("id2")),
+      idCol)
+
   /** Streaming exact dedup with watermark-bounded state: the fingerprint is
     * the dedup key, and per-key state is EVICTED once the watermark passes
     * the key's event time. Plain `dropDuplicates("fingerprint")` would keep

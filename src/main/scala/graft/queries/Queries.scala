@@ -662,6 +662,15 @@ object Queries {
     Dedup.dropNearDups(Tables.load(spark, dir, "documents"), threshold = 0.5)
       .select(col("doc_id"))
 
+  /** Transitive (connected-components) near-dup removal — the opt-in
+    * alternative to q42's single-pass keep-first policy: an a↔b↔c chain
+    * keeps exactly one doc even when a↮c. The oracle replays the CC with a
+    * recursive transitive-closure CTE over the same verified-pair graph.
+    */
+  def q60CcDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDupsCC(Tables.load(spark, dir, "documents"), threshold = 0.5)
+      .select(col("doc_id"))
+
   /** Rolling-hash document fingerprints (order-sensitive). */
   def q35RollingHash(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -728,7 +737,8 @@ object Queries {
     "q56_session_window" -> (q56SessionWindow _),
     "q57_sliding_window" -> (q57SlidingWindow _),
     "q58_minmax_by" -> (q58MinMaxBy _),
-    "q59_window_counts_country" -> (q59WindowCountsCountry _))
+    "q59_window_counts_country" -> (q59WindowCountsCountry _),
+    "q60_cc_dedup" -> (q60CcDedup _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1167,6 +1177,18 @@ object Queries {
          CASE WHEN length(text) = 0 THEN 0.0 ELSE
            ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 3)) AS DOUBLE) / length(text), 6) END AS f3
          FROM documents""",
+    "q60_cc_dedup" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+      """,
+         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
+               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
     "q35_rolling_hash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT % 2147483647) AS hs FROM t)

@@ -106,6 +106,41 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("connectedComponents contracts chains, stars, and isolated pairs") {
+    // chain 1-2-3 (+ 3-4), separate pair 7-8, self-loop ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+    // empty edge set converges to an empty mapping
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
+  test("CC dedup keeps exactly one doc per transitive chain (a-b-c, a not~c)") {
+    val corpus = Seq(
+      (10L, "a"), (11L, "b"), (12L, "c"), (13L, "d"), (14L, "e"), (15L, "f"))
+      .toDF("doc_id", "text")
+    // verified pairs a↔b and b↔c but NOT a↔c, plus an unrelated pair d↔e:
+    // keep-first (dropNearDups) would keep 10 and drop 11,12 — CC must give
+    // the same members here, but by clustering, not pair direction
+    val pairs = Seq((10L, 11L), (11L, 12L), (13L, 14L)).toDF("id1", "id2")
+    val kept = Dedup.dropByComponents(corpus, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 13L, 15L))
+    // direction-agnostic: reversed pair order changes nothing
+    val keptRev = Dedup.dropByComponents(corpus,
+      Seq((12L, 11L), (10L, 11L), (14L, 13L)).toDF("id1", "id2"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptRev == Seq(10L, 13L, 15L))
+  }
+
+  test("dropNearDupsCC subsumes dropNearDups on the shared corpus") {
+    val cc = Dedup.dropNearDupsCC(docs, threshold = 0.5, k = 16, bands = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // same family structure as dropNearDups here (0,1,2,4 one component)
+    assert(cc == Seq(0L, 3L))
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
