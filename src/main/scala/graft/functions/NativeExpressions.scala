@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,8 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * function path — measured ~30s for MinHash signatures over 5k documents.
   * These expressions run the same math as tight JVM loops over `ArrayData`
   * (no per-element boxing, no lambda dispatch), 100-1000× faster, and keep
-  * the DataFrame API surface unchanged. `DotProductF` additionally
-  * participates in whole-stage codegen via `doGenCode`.
+  * the DataFrame API surface unchanged. Every expression participates in
+  * whole-stage codegen: `DotProductF` inlines its loop via `doGenCode`; the
+  * hash family emits one static call into `HashKernels` per row, so no
+  * operator ever falls back to interpreted row-at-a-time eval.
   */
 
 /** Dot product of two `array<float>` columns accumulated in double. */
@@ -69,7 +71,7 @@ case class DotProductF(left: Expression, right: Expression)
   * `array<bigint>` of length k (empty input → MaxValue sentinels).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -78,25 +80,12 @@ case class MinHashSig(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(k)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        var i = 0
-        while (i < k) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, i)
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      j += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.minHashSig(in.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minHashSig($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -106,7 +95,7 @@ case class MinHashSig(child: Expression, k: Int)
   * xxhash64, packed into one long.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -115,31 +104,12 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-      }
-      j += 1
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) {
-      if (votes(i) > 0) out |= (1L << i)
-      i += 1
-    }
-    out
-  }
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.simHash64(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simHash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -178,35 +148,65 @@ object Md5Utils {
   val Mask60: Long = (1L << 60) - 1
 }
 
-/** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
-  * shingle is md5'd ONCE, its digest split into two 60-bit halves
-  * a = hex[1..15], b = hex[17..31], and the k family members are
-  * h_i = (a + i * (b & 2^55-1)) & (2^60-1) — KM double hashing gives the
-  * same LSH banding guarantees as k independent hashes at 1/k the digest
-  * cost, and every step is replayable by a DuckDB oracle:
-  * `(('0x'||substr(md5(s),1,15))::BIGINT +
-  *   i * (('0x'||substr(md5(s),17,15))::BIGINT & 36028797018963967))
-  *  & 1152921504606846975`.
-  * The 55-bit mask on b bounds i*b + a below 2^63 (no overflow in either
-  * engine). An xxhash64 variant exists as `MinHashSig` for pipelines that
-  * don't need cross-engine replay.
+/** Per-row JVM kernels shared by interpreted eval and generated code. Each
+  * expression's `doGenCode` emits ONE static call into this object (Scala
+  * emits static forwarders for top-level objects, so the generated Java can
+  * call `graft.functions.HashKernels.xxx(...)` directly). That keeps the
+  * surrounding operator inside WholeStageCodegen — under `CodegenFallback`
+  * these expressions forced a fallback split that boxed every input row and
+  * re-entered interpreted eval per row, and they dominated the four slowest
+  * bench queries (q30/q31/q42).
   */
-case class MinHashSigP(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  // k ≤ 224 keeps a + (k-1)·(b & 2^55-1) < 2^63: beyond that the JVM sum
-  // silently wraps while the DuckDB replay raises BIGINT overflow — the
-  // cross-engine portability guarantee would quietly break.
-  require(k >= 1 && k <= 224, s"k must be in [1, 224], got $k")
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
-    }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig_p"
+object HashKernels {
 
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  /** xxhash64 MinHash: sig[i] = min over shingles of xxhash64(s, seed=i). */
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of each token's xxhash64. */
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Portable KM double-hash MinHash (see MinHashSigP scaladoc). */
+  def minHashSigP(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
@@ -234,33 +234,14 @@ case class MinHashSigP(child: Expression, k: Int)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigP =
-    copy(child = newChild)
-}
-
-/** Portable 60-bit SimHash: per-bit majority vote of each token's
-  * `Md5Utils.hash60`, packed into one long (bit j set iff the vote sum is
-  * strictly positive). 60 bits instead of 64 so the token hash — and
-  * therefore the whole computation — is replayable by a DuckDB oracle.
-  */
-case class SimHash60P(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
-    }
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash60_p"
-
-  override def nullSafeEval(in: Any): Any = {
-    val arr = in.asInstanceOf[ArrayData]
+  /** Portable 60-bit SimHash: per-bit majority vote of md5-60 token hashes. */
+  def simHash60P(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](60)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = Md5Utils.hash60(arr.getUTF8String(j).toString)
+        val h = Md5Utils.hash60(arr.getUTF8String(j).getBytes)
         var i = 0
         while (i < 60) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -278,51 +259,24 @@ case class SimHash60P(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash60P =
-    copy(child = newChild)
-}
+  // one Rademacher plane matrix per (planes, dim) per executor JVM,
+  // derived from the md5 parity the DuckDB oracle replays
+  private val matrixCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Boolean]]]()
 
-/** All `planes` Rademacher-hyperplane sign bits of an `array<float>` vector
-  * in ONE pass, packed into a long bitmask (bit p = 1 iff
-  * Σ_k r[p][k]·v[k] >= 0, r[p][k] = ±1 from bit 0 of md5-60("p,k")).
-  *
-  * Replaces a per-plane `DotProductF(vec, <64-literal array>)` column
-  * formulation whose 4096 literal nodes fell out of codegen and were
-  * re-evaluated interpreted per row. The plane matrix is derived once per
-  * executor (lazily, at the first row's dimensionality) from the same md5
-  * parity the DuckDB oracle uses, so the result is replayed bit-exactly:
-  * adding/subtracting v[k] equals multiplying by ±1.0 exactly, in the same
-  * index order as the oracle's sequential `list_sum`.
-  */
-case class HyperplaneSignBits(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(planes >= 1 && planes <= 64, "planes must fit a long bitmask")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
-    }
-  override def dataType: DataType = LongType
-  override def prettyName: String = "hyperplane_sign_bits"
-
-  // one matrix per (planes, dim) per executor; dim discovered from data
-  @transient private lazy val matrixCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Boolean]]]()
-
-  private def matrix(dim: Int): Array[Array[Boolean]] =
-    matrixCache.computeIfAbsent(dim, _ =>
+  private def matrix(planes: Int, dim: Int): Array[Array[Boolean]] =
+    matrixCache.computeIfAbsent((planes.toLong << 32) | dim, _ =>
       Array.tabulate(planes, dim)((p, k) =>
         (Md5Utils.hash60(s"$p,$k") & 1L) == 1L))
 
-  override def nullSafeEval(in: Any): Any = {
-    val v = in.asInstanceOf[ArrayData]
+  /** All `planes` hyperplane sign bits of a float vector in one pass. */
+  def hyperplaneSignBits(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
-    val m = matrix(n)
+    val m = matrix(planes, n)
     // materialize once: null elements contribute 0 regardless of physical
     // representation (UnsafeArrayData reads 0.0 at null slots but
     // GenericArrayData would NPE — behavior must not depend on which one
-    // arrives), and the 64-plane loop then runs over a primitive array
+    // arrives), and the plane loop then runs over a primitive array
     val xs = new Array[Double](n)
     var k = 0
     while (k < n) {
@@ -345,26 +299,9 @@ case class HyperplaneSignBits(child: Expression, planes: Int)
     bits
   }
 
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBits =
-    copy(child = newChild)
-}
-
-/** Distinct sliding word n-gram shingles of a whitespace-tokenized string.
-  * Semantics match the composable version: tokens are space-separated,
-  * empties dropped; documents with fewer than n tokens contribute their
-  * whole token sequence as a single shingle.
-  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
-
-  override def nullSafeEval(in: Any): Any = {
-    val toks = in.asInstanceOf[UTF8String].toString
-      .split(' ').iterator.filter(_.nonEmpty).toArray
+  /** Distinct sliding word n-gram shingles (see WordShingles scaladoc). */
+  def wordShingles(in: UTF8String, n: Int): ArrayData = {
+    val toks = in.toString.split(' ').iterator.filter(_.nonEmpty).toArray
     val seen = new java.util.LinkedHashSet[String]()
     if (toks.length < n) {
       seen.add(toks.mkString(" "))
@@ -388,6 +325,126 @@ case class WordShingles(child: Expression, n: Int)
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
+  * shingle is md5'd ONCE, its digest split into two 60-bit halves
+  * a = hex[1..15], b = hex[17..31], and the k family members are
+  * h_i = (a + i * (b & 2^55-1)) & (2^60-1) — KM double hashing gives the
+  * same LSH banding guarantees as k independent hashes at 1/k the digest
+  * cost, and every step is replayable by a DuckDB oracle:
+  * `(('0x'||substr(md5(s),1,15))::BIGINT +
+  *   i * (('0x'||substr(md5(s),17,15))::BIGINT & 36028797018963967))
+  *  & 1152921504606846975`.
+  * The 55-bit mask on b bounds i*b + a below 2^63 (no overflow in either
+  * engine). An xxhash64 variant exists as `MinHashSig` for pipelines that
+  * don't need cross-engine replay.
+  */
+case class MinHashSigP(child: Expression, k: Int)
+    extends UnaryExpression {
+  // k ≤ 224 keeps a + (k-1)·(b & 2^55-1) < 2^63: beyond that the JVM sum
+  // silently wraps while the DuckDB replay raises BIGINT overflow — the
+  // cross-engine portability guarantee would quietly break.
+  require(k >= 1 && k <= 224, s"k must be in [1, 224], got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_p"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.minHashSigP(in.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minHashSigP($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigP =
+    copy(child = newChild)
+}
+
+/** Portable 60-bit SimHash: per-bit majority vote of each token's
+  * `Md5Utils.hash60`, packed into one long (bit j set iff the vote sum is
+  * strictly positive). 60 bits instead of 64 so the token hash — and
+  * therefore the whole computation — is replayable by a DuckDB oracle.
+  */
+case class SimHash60P(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_p"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.simHash60P(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simHash60P($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60P =
+    copy(child = newChild)
+}
+
+/** All `planes` Rademacher-hyperplane sign bits of an `array<float>` vector
+  * in ONE pass, packed into a long bitmask (bit p = 1 iff
+  * Σ_k r[p][k]·v[k] >= 0, r[p][k] = ±1 from bit 0 of md5-60("p,k")).
+  *
+  * Replaces a per-plane `DotProductF(vec, <64-literal array>)` column
+  * formulation whose 4096 literal nodes fell out of codegen and were
+  * re-evaluated interpreted per row. The plane matrix is derived once per
+  * executor (lazily, at the first row's dimensionality) from the same md5
+  * parity the DuckDB oracle uses, so the result is replayed bit-exactly:
+  * adding/subtracting v[k] equals multiplying by ±1.0 exactly, in the same
+  * index order as the oracle's sequential `list_sum`.
+  */
+case class HyperplaneSignBits(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "planes must fit a long bitmask")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sign_bits"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.hyperplaneSignBits(in.asInstanceOf[ArrayData], planes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.hyperplaneSignBits($c, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBits =
+    copy(child = newChild)
+}
+
+/** Distinct sliding word n-gram shingles of a whitespace-tokenized string.
+  * Semantics match the composable version: tokens are space-separated,
+  * empties dropped; documents with fewer than n tokens contribute their
+  * whole token sequence as a single shingle.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.wordShingles(in.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)

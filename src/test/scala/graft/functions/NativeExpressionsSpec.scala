@@ -66,6 +66,51 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(row.getLong(0) == again)
   }
 
+  test("hash family: generated-code path agrees with interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val tokens = Seq("alpha", "beta", "gamma", "delta", "beta")
+    val text = "the quick brown fox jumps over the lazy dog"
+    val vec = Seq.tabulate(16)(i => math.sin(i.toDouble).toFloat)
+
+    // interpreted path: eval() on an InternalRow
+    val sArr = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+    val sRef = BoundReference(0, ArrayType(StringType), nullable = false)
+    val sRow = InternalRow(sArr)
+    val fArr = new GenericArrayData(vec.toArray[Any])
+    val fRef = BoundReference(0, ArrayType(FloatType), nullable = false)
+    val fRow = InternalRow(fArr)
+    val tRef = BoundReference(0, StringType, nullable = false)
+    val tRow = InternalRow(UTF8String.fromString(text))
+
+    val iSigP = MinHashSigP(sRef, 16).eval(sRow).asInstanceOf[ArrayData].toLongArray.toSeq
+    val iSig = MinHashSig(sRef, 16).eval(sRow).asInstanceOf[ArrayData].toLongArray.toSeq
+    val iSh64 = SimHash64(sRef).eval(sRow).asInstanceOf[Long]
+    val iSh60 = SimHash60P(sRef).eval(sRow).asInstanceOf[Long]
+    val iBits = HyperplaneSignBits(fRef, 32).eval(fRow).asInstanceOf[Long]
+    val iShin = WordShingles(tRef, 3).eval(tRow).asInstanceOf[ArrayData]
+      .toArray[UTF8String](StringType).map(_.toString).toSeq
+
+    // codegen path: project over a shuffled (non-local) relation so the
+    // ConvertToLocalRelation rule can't constant-fold it interpreted
+    val df = Seq((tokens, text, vec)).toDF("toks", "text", "vec").repartition(1)
+    val (gSigP, gSig, gSh64, gSh60, gBits, gShin) = df.select(
+      native.minHashSigP(col("toks"), 16),
+      native.minHashSig(col("toks"), 16),
+      native.simHash64(col("toks")),
+      native.simHash60P(col("toks")),
+      native.hyperplaneSignBits(col("vec"), 32),
+      native.wordShingles(col("text"), 3))
+      .as[(Seq[Long], Seq[Long], Long, Long, Long, Seq[String])].head()
+
+    assert(gSigP == iSigP && gSig == iSig && gSh64 == iSh64 &&
+      gSh60 == iSh60 && gBits == iBits && gShin == iShin)
+  }
+
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
