@@ -69,9 +69,14 @@ object EnrichmentJoinTws {
       events: Dataset[Envelope],
       stateTtl: Option[java.time.Duration] = None): Dataset[UserAddress] = {
     import spark.implicits._
+    // state TTL requires the processing-time mode (TTL expiry is stamped
+    // against batch processing time); without TTL, TimeMode.None avoids
+    // the per-batch timestamp bookkeeping
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_.key)
       .transformWithState(
-        new EnrichmentProcessor(stateTtl), TimeMode.None(), OutputMode.Append())
+        new EnrichmentProcessor(stateTtl), timeMode, OutputMode.Append())
   }
 }

@@ -20,6 +20,10 @@ trait DocumentSink {
   def upsert(batch: DataFrame, keyField: String, orderCol: Option[String] = None): Unit
   /** Current materialized table (one row per key). */
   def snapshot(spark: SparkSession): DataFrame
+  /** Like `snapshot`, but None before the first upsert — read-merge-write
+    * callers (the shared-topology count merge) need a safe first-batch read.
+    */
+  def snapshotOption(spark: SparkSession): Option[DataFrame]
 }
 
 object DocumentSink {
@@ -67,6 +71,9 @@ final class InMemoryDocumentSink extends DocumentSink {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), lastSchema)
   }
 
+  override def snapshotOption(spark: SparkSession): Option[DataFrame] =
+    synchronized { if (table.isEmpty) None else Some(snapshot(spark)) }
+
   def get(key: Any): Option[Row] = synchronized(table.get(key))
   def size: Int = synchronized(table.size)
 }
@@ -103,6 +110,9 @@ final class ParquetDocumentSink(path: String) extends DocumentSink {
     require(v >= 0, s"no data written to $path yet")
     spark.read.parquet(fs.resolve(s"v$v").toString)
   }
+
+  override def snapshotOption(spark: SparkSession): Option[DataFrame] =
+    if (currentVersion >= 0) Some(snapshot(spark)) else None
 
   /** Drop all but the newest `keep` versions (copy-on-write tables grow one
     * full copy per batch; compaction is part of the contract at scale).

@@ -54,6 +54,59 @@ class PipelineSpec extends SparkSpecBase {
     assert(addrs.map(_.getString(0)) == Seq("a1"))
   }
 
+  test("shared single-state topology converges to the same sink state as startAll") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.StreamingQuery
+
+    // identical F2 interleaving through either topology, fresh sinks each run
+    def run(start: (Pipeline, String) => Seq[StreamingQuery])
+        : (InMemoryDocumentSink, InMemoryDocumentSink, InMemoryDocumentSink) = {
+      val userStream = MemoryStream[String]
+      val addrStream = MemoryStream[String]
+      val source = new IngestSource {
+        override def users(s: SparkSession): DataFrame = userStream.toDF().toDF("value")
+        override def addresses(s: SparkSession): DataFrame = addrStream.toDF().toDF("value")
+      }
+      val (ua, st, co) =
+        (new InMemoryDocumentSink, new InMemoryDocumentSink, new InMemoryDocumentSink)
+      val pipeline = new Pipeline(source, ua, st, co,
+        windowLength = "1 minute", procTimeExpr = col("user.registerDate"))
+      val cp = java.nio.file.Files.createTempDirectory("graft-cp-shared").toString
+      val queries = start(pipeline, cp)
+      try {
+        userStream.addData(userJson("u1", "Maria", "2026-01-01T10:00:10.000000+0000"))
+        queries.foreach(_.processAllAvailable())
+        addrStream.addData(addrJson("u1", "a1", "IL", "BR"))
+        queries.foreach(_.processAllAvailable())
+        // two addresses in ONE batch: the shared path must accumulate the
+        // batch partial (IL+2) onto the prior partial (IL+1), not overwrite
+        addrStream.addData(addrJson("u1", "a2", "IL", "BR"))
+        queries.foreach(_.processAllAvailable())
+        addrStream.addData(addrJson("u1", "a3", "NY", "US"))
+        queries.foreach(_.processAllAvailable())
+        userStream.addData(userJson("u2", "Joao", "2026-01-01T10:05:30.000000+0000"))
+        queries.foreach(_.processAllAvailable())
+        userStream.addData(userJson("u3", "Ana", "2026-01-01T10:06:00.000000+0000"))
+        queries.foreach(_.processAllAvailable())
+      } finally queries.foreach(_.stop())
+      (ua, st, co)
+    }
+
+    val (ua1, st1, co1) = run((p, cp) => p.startAll(spark, cp, Trigger.ProcessingTime(0)))
+    val (ua2, st2, co2) = run((p, cp) => Seq(p.startAllShared(spark, cp, Trigger.ProcessingTime(0))))
+
+    // snap_order is a physical emission stamp (monotonic id), not part of
+    // the logical document — compare everything else exactly
+    def canon(s: InMemoryDocumentSink, dropCols: String*): Set[String] =
+      s.snapshot(spark).drop(dropCols: _*).collect().map(_.toString).toSet
+    assert(canon(ua2, "snap_order") == canon(ua1, "snap_order"))
+    assert(canon(st2) == canon(st1))
+    assert(canon(co2) == canon(co1))
+    // and the converged values are the §2.1 over-counts
+    assert(st2.get("IL").map(_.getLong(2)).contains(5L))
+    assert(co2.get("BR").map(_.getLong(2)).contains(5L))
+  }
+
   test("full topology: snapshots upserted by userId; windowed counts by state/country") {
     implicit val sqlCtx = spark.sqlContext
     val userStream = MemoryStream[String]
