@@ -125,6 +125,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build-time half of the physically bucketed IVF index: write the
+    * embeddings as a parquet table PARTITIONED BY the coarse bucket, so a
+    * query's `bucket IN (nprobe buckets)` predicate becomes a partition
+    * filter — the scan reads only the probed directories and never touches
+    * the other (nlist - nprobe)/nlist of the corpus. At 100 TB this is the
+    * difference between an O(corpus) scan per query and O(corpus·nprobe/
+    * nlist); the index is built once (one assignment pass + one shuffled
+    * write) and amortized over the query workload.
+    */
+  def writeIvfIndex(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assignBuckets(embeddings, centroids, idCol, vecCol)
+      // one file per bucket directory keeps the read side's file listing
+      // proportional to nprobe, not nprobe × shuffle-partitions
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Query-time half: `ivfTopK` over the partitioned index. Identical
+    * results to the in-memory `assignBuckets` + `ivfTopK` pipeline; the
+    * bucket filter is pruned at the source (assert via `PartitionFilters`
+    * in the scan node — SimilaritySpec pins this).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: Seq[(Int, Seq[Float])], queryVec: Seq[Float], k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(spark.read.parquet(indexPath), centroids, queryVec, k, nprobe, idCol, vecCol)
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH:
     * `planes` sign bits split into `bands`; a pair becomes a candidate if
     * ANY band's bits match exactly (same S-curve recall/precision trade as

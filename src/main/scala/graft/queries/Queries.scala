@@ -638,6 +638,26 @@ object Queries {
       k = 10, nprobe = 3).select(col("vec_id"))
   }
 
+  /** The physically bucketed IVF scale path of q33: embeddings are written
+    * once as a parquet table partitioned by coarse bucket, and the probe's
+    * `bucket IN (...)` becomes a PARTITION filter — the scan touches only
+    * nprobe directories instead of post-filtering a full-corpus read. Same
+    * algorithm, same oracle as q33; the index build is part of the query
+    * here for gate self-containment, but at scale it's a build-once
+    * artifact amortized over the query workload.
+    */
+  def q61IvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // index path keyed by the sf dir so concurrent gates don't collide
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+    Similarity.writeIvfIndex(emb, centroids, idx)
+    Similarity.ivfTopKIndexed(spark, idx, centroids, qv, k = 10, nprobe = 3)
+      .select(col("vec_id"))
+  }
+
   /** Multimodal: payload metadata + stubbed feature extraction. The fake
     * decode is a deterministic byte histogram, so the oracle replays it
     * over the (ASCII) document text: bin b = fraction of bytes with
@@ -712,6 +732,7 @@ object Queries {
     "q31_simhash_pairs" -> (q31SimHashPairs _),
     "q32_cosine_near_dups" -> (q32CosineNearDups _),
     "q33_ivf_topk" -> (q33IvfTopK _),
+    "q61_ivf_indexed" -> (q61IvfIndexed _),
     "q34_media_features" -> (q34MediaFeatures _),
     "q35_rolling_hash" -> (q35RollingHash _),
     "q36_d1_parse" -> (q36D1Parse _),
@@ -1132,8 +1153,49 @@ object Queries {
              END AS cos
            FROM cand c JOIN wn a ON c.id1 = a.vec_id JOIN wn b ON c.id2 = b.vec_id)
          SELECT id1, id2, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.3""",
-    "q33_ivf_topk" ->
-      """WITH cent AS (
+    "q33_ivf_topk" -> IvfTopKOracle,
+    // q61 is the physically partitioned index path of the same IVF
+    // algorithm — identical probe, scoring, and tie-break, so it replays
+    // against the identical oracle.
+    "q61_ivf_indexed" -> IvfTopKOracle,
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 0)) AS DOUBLE) / length(text), 6) END AS f0,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 3)) AS DOUBLE) / length(text), 6) END AS f3
+         FROM documents""",
+    "q60_cc_dedup" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+      """,
+         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
+               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
+    "q35_rolling_hash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT % 2147483647) AS hs FROM t)
+         SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT, hs), (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS rhash FROM h""")
+
+  /** Shared CTE chain replaying the portable MinHash/LSH pipeline in DuckDB
+    * (shingles → md5-60 signatures → band hashes → bucket pairs → exact
+    * Jaccard). The q34 media-feature oracle relies on the documents corpus
+    * being ASCII (byte == codepoint), which holds for the driver testdata.
+    */
+  /** DuckDB replay of the IVF probe pipeline (deterministic seed centroids →
+    * argmax bucket assignment → nprobe=3 probe → exact cosine over probed
+    * buckets, ties broken by vec_id). Shared by q33 (in-memory bucketing)
+    * and q61 (parquet-partitioned index) — the physical layout differs, the
+    * algebra and therefore the oracle are identical.
+    */
+  private def IvfTopKOracle: String =
+    """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
          qv AS (SELECT embedding AS qe,
@@ -1168,37 +1230,8 @@ object Queries {
                   ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
                          CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (e.nrm * qv.nrm) END AS sim
            FROM asg e, qv WHERE e.bucket IN (SELECT cid FROM probe))
-         ORDER BY sim DESC, vec_id ASC LIMIT 10""",
-    "q34_media_features" ->
-      """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 0)) AS DOUBLE) / length(text), 6) END AS f0,
-         CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 3)) AS DOUBLE) / length(text), 6) END AS f3
-         FROM documents""",
-    "q60_cc_dedup" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
-      """,
-         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
-               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
-         reach(u, v) AS (
-           SELECT u, v FROM e
-           UNION
-           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-         comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
-                  FROM reach GROUP BY u)
-         SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
-    "q35_rolling_hash" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-         h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT % 2147483647) AS hs FROM t)
-         SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT, hs), (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS rhash FROM h""")
+         ORDER BY sim DESC, vec_id ASC LIMIT 10"""
 
-  /** Shared CTE chain replaying the portable MinHash/LSH pipeline in DuckDB
-    * (shingles → md5-60 signatures → band hashes → bucket pairs → exact
-    * Jaccard). The q34 media-feature oracle relies on the documents corpus
-    * being ASCII (byte == codepoint), which holds for the driver testdata.
-    */
   private def MinHashOracleCtes: String =
     """WITH tok AS (
          SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

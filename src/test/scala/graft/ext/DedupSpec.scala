@@ -106,6 +106,70 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs reconcile with the batch LSH path on random corpora") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    // random corpus where every third doc is a one-word mutation of its
+    // predecessor — a mix of near-dup families and unrelated docs
+    def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+      val r = new scala.util.Random(seed)
+      val base = (0 until n).map { _ =>
+        (0 until (5 + r.nextInt(8)))
+          .map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      }.toArray
+      (0 until n).map { i =>
+        if (i % 3 == 2) {
+          val toks = base(i - 1).split(" ")
+          toks(r.nextInt(toks.length)) = vocab(r.nextInt(vocab.size))
+          (i.toLong, toks.mkString(" "))
+        } else (i.toLong, base(i))
+      }
+    }
+    val t = 0.5
+    var sawPairs = false
+    for (seed <- Seq(42, 43, 44)) {
+      val docs = corpus(seed, 30)
+      val df = docs.toDF("doc_id", "text")
+      // expected = batch candidate pairs (same band-slice bucketing, modulo
+      // hash function) filtered by the SAME signature-estimated Jaccard the
+      // streaming operator applies
+      val sigs = df.select(col("doc_id"),
+        Dedup.minHashSignature(Dedup.wordShingles(lower(col("text")))).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      def est(a: Seq[Long], b: Seq[Long]): Double =
+        a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+      val batchCands = Dedup.candidatePairs(df).as[(Long, Long)].collect().toSet
+      val expected = batchCands.filter { case (i, j) => est(sigs(i), sigs(j)) >= t }
+      // stream the same corpus in three arrival chunks
+      val input = MemoryStream[(Long, String)]
+      val q = Dedup.streamingNearDupPairs(input.toDF().toDF("doc_id", "text"),
+        threshold = t)
+        .writeStream.format("memory").queryName(s"neardup_prop_$seed")
+        .outputMode("append").start()
+      val streamed =
+        try {
+          docs.grouped(10).foreach { chunk =>
+            input.addData(chunk); q.processAllAvailable()
+          }
+          spark.sql(s"SELECT DISTINCT id1, id2 FROM neardup_prop_$seed")
+            .as[(Long, Long)].collect().toSet
+        } finally q.stop()
+      assert(streamed == expected,
+        s"seed=$seed: streamed ${streamed.size} pairs != batch-derived ${expected.size}; " +
+          s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+      // the VERDICT-stated containment: every exact-Jaccard-verified batch
+      // pair whose signature estimate clears the threshold is streamed
+      val verifiedEst = Dedup.verifiedNearDups(df, threshold = t)
+        .select("id1", "id2").as[(Long, Long)].collect()
+        .filter { case (i, j) => est(sigs(i), sigs(j)) >= t }.toSet
+      assert(verifiedEst.subsetOf(streamed))
+      sawPairs ||= expected.nonEmpty
+    }
+    assert(sawPairs, "property vacuous: no seed produced any near-dup pair")
+  }
+
   test("connectedComponents contracts chains, stars, and isolated pairs") {
     // chain 1-2-3 (+ 3-4), separate pair 7-8, self-loop ignored
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L)).toDF("a", "b")

@@ -67,6 +67,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf == bf)
   }
 
+  test("physically bucketed IVF index: identical results and partition-pruned scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val centroids = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").resolve("emb").toString
+    Similarity.writeIvfIndex(embeddings, centroids, idx)
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val mem = Similarity.ivfTopK(Similarity.assignBuckets(embeddings, centroids),
+      centroids, q, 5, nprobe = 1).select("vec_id").as[Long].collect().toSeq
+    val fromIdx = Similarity.ivfTopKIndexed(spark, idx, centroids, q, 5, nprobe = 1)
+    assert(fromIdx.select("vec_id").as[Long].collect().toSeq == mem)
+    // the probe's bucket predicate must reach the scan as a PARTITION filter
+    // (pruned at file listing), not a post-scan data filter — this is the
+    // whole point of the physical index at 100 TB
+    val scan = fromIdx.queryExecution.sparkPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      "bucket probe must be a partition filter on the index scan")
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length == 1,
+      s"nprobe=1 must list exactly 1 of 2 bucket directories, got ${pruned.length}")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)
