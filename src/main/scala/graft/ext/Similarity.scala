@@ -152,6 +152,32 @@ object Similarity {
       nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfTopK(spark.read.parquet(indexPath), centroids, queryVec, k, nprobe, idCol, vecCol)
 
+  /** Per-vector symmetric int8 quantization: scale = max|v_i| / 127,
+    * q_i = trunc(v_i / scale) ∈ [-127, 127]. At 100 TB of float32
+    * embeddings this is the standard 4× storage/IO lever (the IVF index
+    * can store int8 vectors and rescore the short candidate list at full
+    * precision). Truncation toward zero — not round-to-nearest — is chosen
+    * deliberately: it is bit-identical across engines (SQL TRUNC / ANSI
+    * cast), so the oracle replays quantization exactly, at the cost of
+    * ≤1 ULP extra error versus rounding.
+    * Returns struct(scale double, q array<int>); everything stays in
+    * whole-stage codegen (HOFs over the array, no UDF).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = maxabs / lit(127.0)
+    struct(
+      scale.as("scale"),
+      when(maxabs === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x => (x.cast("double") / scale).cast("int")))
+        .as("q"))
+  }
+
+  /** Dequantized (lossy) reconstruction of a `quantizeInt8` struct. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"),
+      q => (q.cast("double") * quant.getField("scale")).cast("float"))
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH:
     * `planes` sign bits split into `bands`; a pair becomes a candidate if
     * ANY band's bits match exactly (same S-curve recall/precision trade as

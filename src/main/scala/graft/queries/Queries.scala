@@ -696,6 +696,50 @@ object Queries {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
 
+  /** End-to-end training-corpus curation — the composite pipeline a real
+    * data-curation job runs, as ONE declarative plan Catalyst optimizes
+    * whole: language-ID gate → quality-score gate → exact dedup (min-id per
+    * fingerprint) → near-dup drop (MinHash/LSH keep-first) → per-doc token
+    * stats. Each stage is an already-oracle-checked primitive (q23, q24,
+    * q20, q42); this query pins their COMPOSITION: gates run before the
+    * (expensive) shingle/minhash work so dedup only pays for surviving
+    * docs, and the whole prefix is scan → codegen'd projections with the
+    * first shuffle deferred to the fingerprint groupBy.
+    */
+  def q62CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val gated = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") =!= "und" && col("quality") >= 0.5)
+    val exact = Dedup.dropExactDups(gated)
+    Dedup.dropNearDups(exact, threshold = 0.5)
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  /** Symmetric int8 embedding quantization + reconstruction audit: scale,
+    * exact integer norm of the quantized vector (order-independent, so the
+    * oracle compare is exact), and the max absolute reconstruction error.
+    * The 4× storage story for 100 TB of float32 embeddings; truncation
+    * quantization keeps the oracle replay bit-exact (see
+    * `Similarity.quantizeInt8`).
+    */
+  def q63QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    emb
+      .select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        round(col("qz.scale"), 6).as("scale"),
+        aggregate(col("qz.q"), lit(0L),
+          (acc, q) => acc + (q * q).cast("long")).as("qnorm2"),
+        round(array_max(zip_with(col("embedding"), col("qz.q"),
+          (v, q) => abs(v.cast("double") - q.cast("double") * col("qz.scale")))), 6)
+          .as("max_err"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,7 +803,9 @@ object Queries {
     "q57_sliding_window" -> (q57SlidingWindow _),
     "q58_minmax_by" -> (q58MinMaxBy _),
     "q59_window_counts_country" -> (q59WindowCountsCountry _),
-    "q60_cc_dedup" -> (q60CcDedup _))
+    "q60_cc_dedup" -> (q60CcDedup _),
+    "q62_corpus_curation" -> (q62CorpusCuration _),
+    "q63_quantize_int8" -> (q63QuantizeInt8 _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1178,6 +1224,34 @@ object Queries {
                   FROM reach GROUP BY u)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
+    // curation prefix CTEs + the near-dup chain retargeted from `documents`
+    // to the gated-and-exact-deduped `exact` subset + keep-first drop
+    "q62_corpus_curation" -> ("WITH " + CurationCtes + ",\n       " +
+      MinHashOracleCtes.replaceFirst("WITH ", "")
+        .replace("FROM documents),", "FROM exact),").stripTrailing() +
+      """,
+         losers AS (SELECT DISTINCT id2 FROM pairs WHERE jaccard >= 0.5)
+         SELECT e.doc_id, e.lang_pred, e.quality,
+           CAST(len(list_filter(string_split(e.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM exact e WHERE e.doc_id NOT IN (SELECT id2 FROM losers)"""),
+    "q63_quantize_int8" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, embedding, maxabs,
+             CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                         CAST(trunc(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INTEGER))
+             END AS qv
+           FROM m)
+         SELECT vec_id,
+           ROUND(maxabs / 127.0, 6) AS scale,
+           CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT))) AS BIGINT) AS qnorm2,
+           ROUND(list_max(list_transform(range(1, len(embedding) + 1), k ->
+             abs(CAST(embedding[k] AS DOUBLE) - qv[k] * (maxabs / 127.0)))), 6) AS max_err
+         FROM q""",
     "q35_rolling_hash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          h AS (SELECT doc_id, list_transform(toks, tk -> ('0x' || substr(md5(tk),1,15))::BIGINT % 2147483647) AS hs FROM t)
@@ -1188,6 +1262,59 @@ object Queries {
     * Jaccard). The q34 media-feature oracle relies on the documents corpus
     * being ASCII (byte == codepoint), which holds for the driver testdata.
     */
+  /** DuckDB CTE chain replaying q62's curation prefix: lang-ID (q23's rule)
+    * + quality score (q24's formula) → gates → exact dedup (q20's
+    * fingerprint, min-id keeps). Ends with `exact`, the deduped gated
+    * corpus the near-dup chain (MinHashOracleCtes, retargeted) then runs
+    * over.
+    */
+  private def CurationCtes: String =
+    """ct AS (
+         SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+           list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ltoks
+         FROM documents),
+       ch AS (
+         SELECT doc_id,
+           len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+           len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+           len(list_filter(ltoks, x -> list_contains(['le','la','et','les','est'], x))) AS h_fr,
+           len(list_filter(ltoks, x -> list_contains(['el','los','las','una','es'], x))) AS h_es,
+           len(list_filter(ltoks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS h_zh
+         FROM ct),
+       cs AS (
+         SELECT doc_id,
+           LEAST(len(toks) / 20.0, 1.0) AS len_score,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
+           END AS punct_ratio,
+           CASE WHEN len(ltoks) = 0 THEN 0.0
+                ELSE len(list_filter(ltoks, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it',
+                        'for','on','with','as','at','by','from','that','this'], x))) / len(ltoks)
+           END AS sw_ratio
+         FROM ct),
+       feats AS (
+         SELECT h.doc_id,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                ELSE 'zh' END AS lang_pred,
+           ROUND(s.len_score * 0.5 + (1.0 - LEAST(s.punct_ratio * 4.0, 1.0)) * 0.25
+                 + LEAST(s.sw_ratio * 5.0, 1.0) * 0.25, 6) AS quality
+         FROM ch h JOIN cs s USING (doc_id)),
+       gated AS (
+         SELECT d.doc_id, d.text, f.lang_pred, f.quality
+         FROM documents d JOIN feats f USING (doc_id)
+         WHERE f.lang_pred <> 'und' AND f.quality >= 0.5),
+       keep1 AS (
+         SELECT MIN(doc_id) AS doc_id
+         FROM (SELECT doc_id, md5(LOWER(TRIM(text))) AS fingerprint FROM gated)
+         GROUP BY fingerprint),
+       exact AS (SELECT g.* FROM gated g JOIN keep1 USING (doc_id))"""
+
   /** DuckDB replay of the IVF probe pipeline (deterministic seed centroids →
     * argmax bucket assignment → nprobe=3 probe → exact cosine over probed
     * buckets, ties broken by vec_id). Shared by q33 (in-memory bucketing)

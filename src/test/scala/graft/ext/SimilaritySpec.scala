@@ -89,6 +89,30 @@ class SimilaritySpec extends SparkSpecBase {
       s"nprobe=1 must list exactly 1 of 2 bucket directories, got ${pruned.length}")
   }
 
+  test("int8 quantization: values bounded, error within one quantum, dequant preserves direction") {
+    val qz = embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+    val rows = qz.select("embedding", "qz.scale", "qz.q", "deq")
+      .as[(Seq[Float], Double, Seq[Int], Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, scale, q, deq) =>
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // truncation error is below one quantum, plus the half-ULP the final
+      // double→float cast in dequantizeInt8 can add
+      v.zip(deq).foreach { case (orig, rec) =>
+        assert(math.abs(orig - rec) <= scale + 1e-6,
+          s"err ${math.abs(orig - rec)} > quantum $scale")
+      }
+      // direction essentially preserved (4-dim unit-ish vectors)
+      val dot = v.zip(deq).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(deq.map(x => x.toDouble * x.toDouble).sum)
+      if (na > 0 && nb > 0) assert(dot / (na * nb) > 0.995)
+    }
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)
