@@ -66,14 +66,22 @@ object TextAnalysis {
           len.cast("double"))
   }
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
-    val toks = tokens(lower(text))
+  /** Stopword ratio from a pre-tokenized LOWERCASED token array — the
+    * tokenize-once formulation for feature pipelines that compute several
+    * token statistics in one pass (q62): tokenizing per-feature makes the
+    * scan stage re-split the text up to ~7× per row.
+    */
+  def stopwordRatioFromTokens(ltoks: Column,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
-    when(size(toks) === 0, lit(0.0))
+    when(size(ltoks) === 0, lit(0.0))
       .otherwise(
-        size(filter(toks, t => array_contains(sw, t))).cast("double") /
-          size(toks).cast("double"))
+        size(filter(ltoks, t => array_contains(sw, t))).cast("double") /
+          size(ltoks).cast("double"))
   }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    stopwordRatioFromTokens(tokens(lower(text)), stopwords)
 
   def meanTokenLength(text: Column): Column = {
     val toks = tokens(text)
@@ -85,13 +93,18 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1]: long-enough docs with moderate
     * punctuation and a natural-language stopword ratio score high.
+    * `qualityScoreFromTokens` is the tokenize-once variant taking the raw
+    * and lowercased token arrays as columns (see `stopwordRatioFromTokens`).
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(20.0), lit(1.0))
+  def qualityScoreFromTokens(text: Column, toks: Column, ltoks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / lit(20.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
-    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val swScore = least(stopwordRatioFromTokens(ltoks) * lit(5.0), lit(1.0))
     round((lenScore * lit(0.5) + punctScore * lit(0.25) + swScore * lit(0.25)), 6)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text), tokens(lower(text)))
 
   /** Language-ID by marker-token voting: count hits of per-language marker
     * words, pick the argmax (deterministic tie-break by language order).
@@ -105,15 +118,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "una", "es"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  def markerHits(text: Column, markers: Seq[String]): Column = {
-    val toks = tokens(lower(text))
+  def markerHitsFromTokens(ltoks: Column, markers: Seq[String]): Column = {
     val mk = array(markers.map(lit): _*)
-    size(filter(toks, t => array_contains(mk, t)))
+    size(filter(ltoks, t => array_contains(mk, t)))
   }
 
-  def langId(text: Column): Column = {
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    markerHitsFromTokens(tokens(lower(text)), markers)
+
+  def langIdFromTokens(ltoks: Column): Column = {
     val scored = LangMarkers.map { case (lang, markers) =>
-      (lang, markerHits(text, markers))
+      (lang, markerHitsFromTokens(ltoks, markers))
     }
     // argmax with first-wins tie-break, as a fold over (bestLang, bestHits)
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
@@ -123,6 +138,8 @@ object TextAnalysis {
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
