@@ -150,6 +150,41 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Train/eval decontamination: (corpus doc, probe doc) pairs sharing at
+    * least `minShared` distinct word n-gram shingles — the standard overlap
+    * check run before training so eval/benchmark text is dropped from the
+    * corpus. Exact shingle equality (not LSH): decontamination wants
+    * recall on verbatim leakage, and the shingle string itself is the join
+    * bucket, so candidate generation is an equality join like every other
+    * pair generator here — never all-pairs.
+    *
+    * Scale guards: shingles whose CORPUS document frequency exceeds
+    * `dfCap` are dropped before the join (high-df shingles are
+    * non-discriminative boilerplate and are exactly what makes a shingle
+    * join quadratic); the probe/eval side is orders of magnitude smaller
+    * than the corpus, so Spark broadcasts it and the corpus never
+    * shuffles.
+    */
+  def contaminationPairs(corpus: DataFrame, probe: DataFrame,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def shingled(df: DataFrame, out: String): DataFrame = df.select(
+      col(idCol).as(out),
+      explode(wordShingles(lower(col(textCol)), shingleN)).as("shingle"))
+    val c = shingled(corpus, "corpus_id")
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val p = shingled(probe, "probe_id")
+    c.join(p, Seq("shingle"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components of an undirected edge list via alternating

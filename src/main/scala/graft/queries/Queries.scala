@@ -744,6 +744,19 @@ object Queries {
       .select("doc_id", "lang_pred", "quality", "n_tokens")
   }
 
+  /** Train/eval decontamination report: every corpus doc sharing ≥3
+    * distinct 3-gram shingles with a doc of the probe (pseudo-eval) set —
+    * here the probe is every 50th document, standing in for a benchmark
+    * suite. Exact shingle-equality join with a corpus-side document-
+    * frequency cap (see `Dedup.contaminationPairs` for the scale
+    * rationale).
+    */
+  def q64Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.contaminationPairs(docs, docs.filter(col("doc_id") % 50 === 0),
+      shingleN = 3, minShared = 3)
+  }
+
   /** Symmetric int8 embedding quantization + reconstruction audit: scale,
     * exact integer norm of the quantized vector (order-independent, so the
     * oracle compare is exact), and the max absolute reconstruction error.
@@ -830,7 +843,8 @@ object Queries {
     "q59_window_counts_country" -> (q59WindowCountsCountry _),
     "q60_cc_dedup" -> (q60CcDedup _),
     "q62_corpus_curation" -> (q62CorpusCuration _),
-    "q63_quantize_int8" -> (q63QuantizeInt8 _))
+    "q63_quantize_int8" -> (q63QuantizeInt8 _),
+    "q64_contamination" -> (q64Contamination _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1259,6 +1273,26 @@ object Queries {
          SELECT e.doc_id, e.lang_pred, e.quality,
            CAST(len(list_filter(string_split(e.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
          FROM exact e WHERE e.doc_id NOT IN (SELECT id2 FROM losers)"""),
+    "q64_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
+                         array_to_string(list_slice(toks, i, i + 2), ' ')))
+             END AS sh
+           FROM tok),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         cf AS (
+           SELECT doc_id AS corpus_id, shingle FROM ex
+           QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100),
+         pf AS (SELECT doc_id AS probe_id, shingle FROM ex WHERE doc_id % 50 = 0)
+         SELECT c.corpus_id, p.probe_id, COUNT(*) AS shared
+         FROM cf c JOIN pf p USING (shingle)
+         WHERE c.corpus_id <> p.probe_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
     "q63_quantize_int8" ->
       """WITH m AS (
            SELECT vec_id, embedding,

@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpecBase {
     assert(sawPairs, "property vacuous: no seed produced any near-dup pair")
   }
 
+  test("contamination pairs: verbatim leakage found, boilerplate df-capped, self-pairs excluded") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // contains probe text
+      (1L, "alpha beta gamma delta unrelated tail words"),  // shares 2 shingles with probe
+      (2L, "totally different content with no overlap at all"),
+      (3L, "alpha beta gamma delta epsilon zeta")           // exact copy of 0
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, probe, shingleN = 3, minShared = 3)
+      .select("corpus_id", "probe_id", "shared").as[(Long, Long, Long)].collect().toSet
+    // docs 0 and 3 share all 4 shingles with the probe; doc 1 only 2 (< min)
+    assert(pairs == Set((0L, 100L, 4L), (3L, 100L, 4L)))
+    // df cap: a shingle present in every corpus doc is dropped before the join
+    val boiler = (0L until 10L).map(i => (i, s"common boiler plate suffix $i")).toDF("doc_id", "text")
+    val bp = Seq((100L, "common boiler plate")).toDF("doc_id", "text")
+    assert(Dedup.contaminationPairs(boiler, bp, shingleN = 3, minShared = 1, dfCap = 5).count() == 0)
+    // self-pair exclusion when probe ⊆ corpus
+    val self = Dedup.contaminationPairs(corpus, corpus.filter(col("doc_id") === 0), minShared = 1)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(!self.contains(0L) && self.contains(3L))
+  }
+
   test("connectedComponents contracts chains, stars, and isolated pairs") {
     // chain 1-2-3 (+ 3-4), separate pair 7-8, self-loop ignored
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L)).toDF("a", "b")
