@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, MultiModal, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -757,6 +757,21 @@ object Queries {
       shingleN = 3, minShared = 3)
   }
 
+  /** Deterministic per-language stratified sample — corpus rebalancing with
+    * an md5-keyed keep decision that is stable across runs, engines, and
+    * repartitionings (see `Sampling`). English is downsampled to 0.5,
+    * French to 0.25, everything else kept at 0.8.
+    */
+  def q65StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Sampling.stratifiedSample(
+      docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      col("lang_pred"),
+      rates = Map("en" -> 0.5, "fr" -> 0.25),
+      defaultRate = 0.8)
+  }
+
   /** Symmetric int8 embedding quantization + reconstruction audit: scale,
     * exact integer norm of the quantized vector (order-independent, so the
     * oracle compare is exact), and the max absolute reconstruction error.
@@ -844,7 +859,8 @@ object Queries {
     "q60_cc_dedup" -> (q60CcDedup _),
     "q62_corpus_curation" -> (q62CorpusCuration _),
     "q63_quantize_int8" -> (q63QuantizeInt8 _),
-    "q64_contamination" -> (q64Contamination _))
+    "q64_contamination" -> (q64Contamination _),
+    "q65_stratified_sample" -> (q65StratifiedSample _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1293,6 +1309,32 @@ object Queries {
          FROM cf c JOIN pf p USING (shingle)
          WHERE c.corpus_id <> p.probe_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+    "q65_stratified_sample" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['el','los','las','una','es'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS h_zh
+           FROM t),
+         lg AS (
+           SELECT doc_id,
+             CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                  WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+                  WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+                  WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+                  WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+                  ELSE 'zh' END AS lang_pred
+           FROM h)
+         SELECT doc_id, lang_pred FROM lg
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':strat'), 1, 15))::BIGINT
+               / 1152921504606846976.0 <
+           CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.8 END""",
     "q63_quantize_int8" ->
       """WITH m AS (
            SELECT vec_id, embedding,

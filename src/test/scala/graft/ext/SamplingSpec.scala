@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+  private val df = rows.toDF("doc_id", "stratum")
+
+  test("stratified sample is deterministic and repartition-invariant") {
+    val a = Sampling.stratifiedSample(df, col("stratum"),
+      Map("en" -> 0.5), defaultRate = 0.1).select("doc_id").as[Long].collect().sorted
+    val b = Sampling.stratifiedSample(df.repartition(13), col("stratum"),
+      Map("en" -> 0.5), defaultRate = 0.1).select("doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("per-stratum keep rates land near their targets") {
+    val kept = Sampling.stratifiedSample(df, col("stratum"),
+      Map("en" -> 0.5, "de" -> 0.2), defaultRate = 1.0)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // 2000 ids per stratum; md5 hashes are uniform, so ±0.05 is generous
+    assert(math.abs(kept("en") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(kept("de") / 2000.0 - 0.2) < 0.05)
+  }
+
+  test("rate 0 keeps nothing, rate 1 keeps everything") {
+    assert(Sampling.stratifiedSample(df, col("stratum"),
+      Map("en" -> 0.0, "de" -> 0.0), defaultRate = 0.0).count() == 0)
+    assert(Sampling.stratifiedSample(df, col("stratum"),
+      Map(), defaultRate = 1.0).count() == 4000)
+  }
+}
