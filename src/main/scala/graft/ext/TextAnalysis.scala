@@ -141,6 +141,39 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
+  /** Top-k characteristic terms per document by TF-IDF, with a RATIONAL
+    * idf — score = tf · (N+1)/(df+1) — instead of the usual log form:
+    * the ranking stays a pure integer-ratio computation that any engine
+    * reproduces bit-exactly (ln() implementations differ by ULPs across
+    * runtimes, which would break oracle hash comparison), and within a
+    * fixed df the ordering is identical to log-idf. Drop-in log variant:
+    * replace the score expression with tf · ln((N+1)/(df+1) + 1).
+    *
+    * Physical shape at scale: one shuffle to (doc, term) counts, the
+    * document-frequency aggregate derives FROM those counts (map-side
+    * combine both times), the corpus size joins in as a broadcast scalar,
+    * and the per-doc top-k is a rank window — no step holds more than one
+    * term-row per (doc, term).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * (col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double"), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -772,6 +772,13 @@ object Queries {
       defaultRate = 0.8)
   }
 
+  /** Top-3 characteristic terms per document by rational TF-IDF (the
+    * log-free, oracle-exact formulation — see
+    * `TextAnalysis.tfIdfTopTerms`).
+    */
+  def q66TfIdfTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(Tables.load(spark, dir, "documents"), k = 3)
+
   /** Symmetric int8 embedding quantization + reconstruction audit: scale,
     * exact integer norm of the quantized vector (order-independent, so the
     * oracle compare is exact), and the max absolute reconstruction error.
@@ -860,7 +867,8 @@ object Queries {
     "q62_corpus_curation" -> (q62CorpusCuration _),
     "q63_quantize_int8" -> (q63QuantizeInt8 _),
     "q64_contamination" -> (q64Contamination _),
-    "q65_stratified_sample" -> (q65StratifiedSample _))
+    "q65_stratified_sample" -> (q65StratifiedSample _),
+    "q66_tfidf_terms" -> (q66TfIdfTerms _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1335,6 +1343,20 @@ object Queries {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':strat'), 1, 15))::BIGINT
                / 1152921504606846976.0 <
            CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.8 END""",
+    "q66_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT doc_id, term, tf, df,
+           ROUND(CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE)
+                 / CAST(df + 1 AS DOUBLE), 6) AS score
+         FROM tf JOIN dfq USING (term), n
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term ASC) <= 3""",
     "q63_quantize_int8" ->
       """WITH m AS (
            SELECT vec_id, embedding,

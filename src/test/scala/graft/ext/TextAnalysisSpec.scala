@@ -49,4 +49,20 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(String, String)].collect()
     out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
   }
+
+  test("tf-idf top terms: rational scores, rank order, term tie-break") {
+    val docs = Seq(
+      (0L, "apple apple banana"),
+      (1L, "apple cherry"),
+      (2L, "banana banana cherry cherry date")).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 2, cherry 2, date 1; score = tf*4/(df+1)
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .select("doc_id", "term", "score").as[(Long, String, Double)]
+      .collect().groupBy(_._1).map { case (d, rs) =>
+        (d, rs.map(r => (r._2, r._3)).toSeq.sortBy(t => (-t._2, t._1))) }
+    assert(out(0L) == Seq(("apple", 2.666667), ("banana", 1.333333)))
+    assert(out(1L).map(_._1).toSet == Set("apple", "cherry")) // equal scores 1.333333
+    // doc 2: banana and cherry tie at 2.666667 -> term-asc wins; date (2.0) cut by k=2
+    assert(out(2L) == Seq(("banana", 2.666667), ("cherry", 2.666667)))
+  }
 }
