@@ -153,7 +153,11 @@ object TextAnalysis {
     * document-frequency aggregate derives FROM those counts (map-side
     * combine both times), the corpus size joins in as a broadcast scalar,
     * and the per-doc top-k is a rank window — no step holds more than one
-    * term-row per (doc, term).
+    * term-row per (doc, term). Column pruning gives the tf subtree
+    * different shapes in the join's two branches, so Spark re-derives it
+    * rather than reusing one exchange; at real scale materialize the tf
+    * table first (one write) and run both the df aggregate and the join
+    * from it.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

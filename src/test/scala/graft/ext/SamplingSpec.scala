@@ -26,6 +26,26 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(kept("de") / 2000.0 - 0.2) < 0.05)
   }
 
+  test("stratified sample runs unchanged on a stream and matches the batch decision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sampled = Sampling.stratifiedSample(
+      input.toDF().toDF("doc_id", "stratum"), col("stratum"),
+      Map("en" -> 0.5, "de" -> 0.2), defaultRate = 1.0)
+    val q = sampled.writeStream.format("memory").queryName("strat_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        rows.grouped(1000).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+        spark.sql("SELECT doc_id FROM strat_stream").as[Long].collect().toSet
+      } finally q.stop()
+    val batch = Sampling.stratifiedSample(df, col("stratum"),
+      Map("en" -> 0.5, "de" -> 0.2), defaultRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("rate 0 keeps nothing, rate 1 keeps everything") {
     assert(Sampling.stratifiedSample(df, col("stratum"),
       Map("en" -> 0.0, "de" -> 0.0), defaultRate = 0.0).count() == 0)
