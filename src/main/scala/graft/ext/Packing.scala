@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining: documents are conceptually
+  * concatenated in id order and sliced into fixed-`capacity` token chunks
+  * (the standard concat-and-chunk batching); each doc's global token
+  * OFFSET determines which chunks it lands in.
+  *
+  * The offset is a global prefix sum. A bare `Window.orderBy(id)` computes
+  * it on ONE task (Spark puts an un-partitioned ordered window in a single
+  * partition — the same parallelism-1 trap as the reference's windowAll),
+  * so this implements the classic two-phase distributed prefix sum
+  * instead: range-partition by id, per-partition running sums in parallel,
+  * then a tiny per-partition-total prefix (one row per partition) is
+  * broadcast back. Results are a pure function of (id order, token
+  * counts) — independent of the partitioning, so the sampled range
+  * boundaries don't affect output.
+  */
+object Packing {
+
+  /** Per-doc global token offset and the [first_chunk, last_chunk] range it
+    * spans at the given chunk capacity. Zero-token docs take no space
+    * (first = last = chunk at their offset).
+    */
+  def packOffsets(docs: DataFrame, capacity: Long,
+      tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val local = Window.partitionBy("_pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = docs
+      .repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_local_cum", sum(col(tokenCol)).over(local))
+    // one row per partition; the unpartitioned window here is over ~#cores
+    // rows, not the corpus
+    val prefix = withLocal
+      .groupBy(col("_pid")).agg(max(col("_local_cum")).as("_ptotal"))
+      .withColumn("_prefix",
+        coalesce(sum(col("_ptotal")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_prefix"))
+    withLocal
+      .join(broadcast(prefix), "_pid")
+      .withColumn("offset", col("_prefix") + col("_local_cum") - col(tokenCol))
+      .withColumn("first_chunk",
+        floor(col("offset") / lit(capacity)).cast("long"))
+      .withColumn("last_chunk",
+        floor((col("offset") + greatest(col(tokenCol), lit(1L)) - 1) /
+          lit(capacity)).cast("long"))
+      .select(col(idCol), col(tokenCol), col("offset"),
+        col("first_chunk"), col("last_chunk"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Dedup, MultiModal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -779,6 +779,17 @@ object Queries {
   def q66TfIdfTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(Tables.load(spark, dir, "documents"), k = 3)
 
+  /** Concat-and-chunk sequence packing: each document's global token
+    * offset and the 2048-token chunks it spans, via the distributed
+    * two-phase prefix sum in `Packing` (no parallelism-1 window).
+    */
+  def q67PackChunks(spark: SparkSession, dir: String): DataFrame =
+    Packing.packOffsets(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      capacity = 2048L)
+
   /** Symmetric int8 embedding quantization + reconstruction audit: scale,
     * exact integer norm of the quantized vector (order-independent, so the
     * oracle compare is exact), and the max absolute reconstruction error.
@@ -868,7 +879,8 @@ object Queries {
     "q63_quantize_int8" -> (q63QuantizeInt8 _),
     "q64_contamination" -> (q64Contamination _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
-    "q66_tfidf_terms" -> (q66TfIdfTerms _))
+    "q66_tfidf_terms" -> (q66TfIdfTerms _),
+    "q67_pack_chunks" -> (q67PackChunks _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1357,6 +1369,20 @@ object Queries {
          FROM tf JOIN dfq USING (term), n
          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
            ORDER BY score DESC, term ASC) <= 3""",
+    "q67_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+           FROM t)
+         SELECT doc_id, n_tokens, "offset",
+           "offset" // 2048 AS first_chunk,
+           ("offset" + GREATEST(n_tokens, 1) - 1) // 2048 AS last_chunk
+         FROM c""",
     "q63_quantize_int8" ->
       """WITH m AS (
            SELECT vec_id, embedding,

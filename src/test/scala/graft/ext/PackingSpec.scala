@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pack offsets: hand-computed chunks, straddle, zero-token docs") {
+    // capacity 10; cumulative offsets: 0, 7, 7, 15, 24
+    val docs = Seq(
+      (0L, 7L),   // [0,6]   -> chunk 0
+      (1L, 0L),   // offset 7, no space -> chunk 0
+      (2L, 8L),   // [7,14]  -> straddles chunks 0-1
+      (3L, 9L),   // [15,23] -> straddles chunks 1-2
+      (4L, 3L)    // [24,26] -> chunk 2
+    ).toDF("doc_id", "n_tokens")
+    val out = Packing.packOffsets(docs, capacity = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    assert(out(0L) == ((0L, 0L, 0L)))
+    assert(out(1L) == ((7L, 0L, 0L)))
+    assert(out(2L) == ((7L, 0L, 1L)))
+    assert(out(3L) == ((15L, 1L, 2L)))
+    assert(out(4L) == ((24L, 2L, 2L)))
+  }
+
+  test("offsets are a pure function of id order — partitioning-invariant") {
+    val docs = (0L until 500L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n_tokens")
+    val a = Packing.packOffsets(docs, 64L)
+      .select("doc_id", "offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Packing.packOffsets(docs.repartition(7), 64L)
+      .select("doc_id", "offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // spot-check the closed form: offset(n) = sum_{i<n} ((i%17)+1)
+    val expect = (0L until 500L).scanLeft(0L)((acc, i) => acc + (i % 17) + 1)
+    assert(a.forall { case (id, off) => off == expect(id.toInt) })
+  }
+}
