@@ -29,9 +29,18 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratum: Column,
       rates: Map[String, Double], defaultRate: Double,
       keyCol: String = "doc_id", salt: String = "strat"): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
-      when(stratum === k, lit(r)).otherwise(acc)
-    }
+    // single map lookup, NOT a when()-chain: a chain references `stratum`
+    // once per rate entry, and when the stratum is a computed column
+    // (e.g. langId) predicate pushdown inlines that computation into the
+    // Filter, whose codegen does no subexpression elimination — each extra
+    // reference re-evaluates it per row
+    val rate =
+      if (rates.isEmpty) lit(defaultRate)
+      else coalesce(
+        element_at(
+          map(rates.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
+          stratum),
+        lit(defaultRate))
     df.filter(uniformHash(col(keyCol), salt) < rate)
   }
 }

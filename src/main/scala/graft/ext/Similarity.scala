@@ -142,6 +142,26 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Streaming half of the IVF index build: bucket assignment is stateless
+    * (broadcast centroids + argmax), so arriving vectors append straight
+    * into the same `partitionBy(bucket)` parquet layout `writeIvfIndex`
+    * produces — newly ingested vectors become searchable the moment their
+    * micro-batch commits, with no state store and no index rebuild.
+    * Centroids stay fixed for the stream's lifetime (the standard IVF
+    * contract: retrain/re-bucket is an offline compaction).
+    */
+  def streamingIvfIngest(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      path: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    assignBuckets(embeddings, centroids, idCol, vecCol)
+      .writeStream
+      .format("parquet")
+      .partitionBy("bucket")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Query-time half: `ivfTopK` over the partitioned index. Identical
     * results to the in-memory `assignBuckets` + `ivfTopK` pipeline; the
     * bucket filter is pruned at the source (assert via `PartitionFilters`

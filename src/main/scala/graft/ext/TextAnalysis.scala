@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens, empty tokens dropped (split-on-space keeps the
-    * semantics portable to the DuckDB oracle).
+    * semantics portable to the DuckDB oracle). Native codegen'd kernel —
+    * the HOF formulation `filter(split(text, " "), _ =!= "")` pays
+    * interpreted-lambda dispatch per token and dominated the langid /
+    * quality profile at scale.
     */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    graft.functions.native.whitespaceTokens(text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -72,13 +75,11 @@ object TextAnalysis {
     * scan stage re-split the text up to ~7× per row.
     */
   def stopwordRatioFromTokens(ltoks: Column,
-      stopwords: Seq[String] = DefaultStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
+      stopwords: Seq[String] = DefaultStopwords): Column =
     when(size(ltoks) === 0, lit(0.0))
       .otherwise(
-        size(filter(ltoks, t => array_contains(sw, t))).cast("double") /
+        graft.functions.native.arrayCountIn(ltoks, stopwords).cast("double") /
           size(ltoks).cast("double"))
-  }
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     stopwordRatioFromTokens(tokens(lower(text)), stopwords)
@@ -118,25 +119,34 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "una", "es"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  def markerHitsFromTokens(ltoks: Column, markers: Seq[String]): Column = {
-    val mk = array(markers.map(lit): _*)
-    size(filter(ltoks, t => array_contains(mk, t)))
-  }
+  def markerHitsFromTokens(ltoks: Column, markers: Seq[String]): Column =
+    graft.functions.native.arrayCountIn(ltoks, markers)
 
   def markerHits(text: Column, markers: Seq[String]): Column =
     markerHitsFromTokens(tokens(lower(text)), markers)
 
   def langIdFromTokens(ltoks: Column): Column = {
-    val scored = LangMarkers.map { case (lang, markers) =>
-      (lang, markerHitsFromTokens(ltoks, markers))
+    // argmax as ONE array_max over (hits, -order, lang) structs: highest
+    // hit count wins, ties break to the earliest language (max of -index).
+    // Each marker count appears exactly once in the expression tree — the
+    // naive when()-fold duplicates every earlier count into both branches
+    // (2^langs copies), which is free under a Project (whole-stage CSE
+    // collapses them) but catastrophic when predicate pushdown inlines the
+    // expression into a Filter, whose codegen does NO subexpression
+    // elimination (measured 55 s vs 0.4 s on the q65 sampling gate at 30×).
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        markerHitsFromTokens(ltoks, markers).as("h"),
+        lit(-i).as("o"),
+        lit(lang).as("lang"))
     }
-    // argmax with first-wins tie-break, as a fold over (bestLang, bestHits)
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bh), (lang, hits)) =>
-        (when(hits > bh, lit(lang)).otherwise(bl),
-         when(hits > bh, hits).otherwise(bh))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    // 'und' sentinel at h=1 with the lowest order: it wins only when every
+    // real language scores 0 (a real h>=1 beats it on the order tie-break),
+    // which lets the result be ONE getField instead of a when() that would
+    // evaluate the array_max twice
+    val sentinel = struct(lit(1).as("h"), lit(-LangMarkers.size).as("o"),
+      lit("und").as("lang"))
+    array_max(array(scored :+ sentinel: _*)).getField("lang")
   }
 
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))

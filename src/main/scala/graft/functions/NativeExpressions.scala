@@ -299,6 +299,40 @@ object HashKernels {
     bits
   }
 
+  /** Whitespace tokens: split on single spaces, empty segments dropped —
+    * byte-identical to `filter(split(text, " "), t => t =!= "")` and to
+    * DuckDB's `list_filter(string_split(text, ' '), x -> x <> '')`, but
+    * without the per-token interpreted-lambda dispatch of the HOF path.
+    * Splitting at the ASCII space byte is UTF-8 safe (0x20 never occurs
+    * inside a multi-byte sequence).
+    */
+  def whitespaceTokens(in: UTF8String): ArrayData = {
+    val parts = in.split(UTF8String.fromString(" "), -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).numBytes() > 0) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes() > 0) { out(j) = parts(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of array elements present in `set` (nulls don't count). */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Distinct sliding word n-gram shingles (see WordShingles scaladoc). */
   def wordShingles(in: UTF8String, n: Int): ArrayData = {
     val toks = in.toString.split(' ').iterator.filter(_.nonEmpty).toArray
@@ -450,6 +484,64 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Whitespace tokens (split on single spaces, empties dropped) as a native
+  * expression — semantics of `filter(split(text, " "), _ =!= "")` without
+  * the interpreted per-token lambda (the HOF path dominated the langid /
+  * quality profile: ~13 ms/doc on long documents).
+  */
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "whitespace_tokens"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.whitespaceTokens(in.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.whitespaceTokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokens =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a fixed keyword set (marker-token
+  * voting, stopword counting). One tight hash-set loop per row instead of
+  * `size(filter(arr, t => array_contains(lit-array, t)))`, whose lambda is
+  * interpreted per element AND scans the keyword array linearly.
+  */
+case class ArrayCountIn(child: Expression, keywords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_in"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](keywords.size * 2)
+    keywords.foreach(k => s.add(UTF8String.fromString(k)))
+    s
+  }
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.countIn(in.asInstanceOf[ArrayData], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("kwSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.countIn($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCountIn =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object native {
   import org.apache.spark.sql.GraftBridge
@@ -470,6 +562,10 @@ object native {
     col(HyperplaneSignBits(ex(vec), planes))
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ex(text), n))
+  def whitespaceTokens(text: Column): Column =
+    col(WhitespaceTokens(ex(text)))
+  def arrayCountIn(arr: Column, keywords: Seq[String]): Column =
+    col(ArrayCountIn(ex(arr), keywords))
 
   /** SQL-surface builders (integer literals become the Int parameters). */
   private[functions] def intArg(e: Expression, what: String): Int = e match {

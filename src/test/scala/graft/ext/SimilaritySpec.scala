@@ -89,6 +89,29 @@ class SimilaritySpec extends SparkSpecBase {
       s"nprobe=1 must list exactly 1 of 2 bucket directories, got ${pruned.length}")
   }
 
+  test("streaming IVF ingest: vectors searchable after their micro-batch, same results as batch index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.streamingIvfIngest(
+      input.toDF().toDF("vec_id", "embedding"), centroids, idx, ckpt)
+    try {
+      val rows = embeddings.as[(Long, Seq[Float])].collect().toSeq
+      input.addData(rows.take(6)); q.processAllAvailable()
+      input.addData(rows.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    val qv = Seq(0.9f, 0.1f, 0f, 0f)
+    val streamedIdx = Similarity.ivfTopKIndexed(spark, idx, centroids, qv, 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val mem = Similarity.ivfTopK(Similarity.assignBuckets(embeddings, centroids),
+      centroids, qv, 5, nprobe = 2).select("vec_id").as[Long].collect().toSeq
+    assert(streamedIdx == mem)
+  }
+
   test("int8 quantization: values bounded, error within one quantum, dequant preserves direction") {
     val qz = embeddings
       .select(col("vec_id"), col("embedding"),

@@ -111,6 +111,23 @@ class NativeExpressionsSpec extends SparkSpecBase {
       gSh60 == iSh60 && gBits == iBits && gShin == iShin)
   }
 
+  test("whitespaceTokens and arrayCountIn match their HOF formulations") {
+    val df = Seq(
+      "the quick  brown fox", "  ", "", "single",
+      "the the the and of", "a\tb c").toDF("text")
+    val rows = df.select(
+      native.whitespaceTokens(col("text")),
+      filter(split(col("text"), " "), t => t =!= lit("")),
+      native.arrayCountIn(native.whitespaceTokens(col("text")), Seq("the", "and")),
+      size(filter(filter(split(col("text"), " "), t => t =!= lit("")),
+        t => array_contains(array(lit("the"), lit("and")), t))))
+      .as[(Seq[String], Seq[String], Int, Int)].collect()
+    rows.foreach { case (nt, ht, nc, hc) =>
+      assert(nt == ht, s"tokens mismatch: $nt vs $ht")
+      assert(nc == hc, s"count mismatch: $nc vs $hc")
+    }
+  }
+
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
