@@ -171,14 +171,23 @@ object Dedup {
     def shingled(df: DataFrame, out: String): DataFrame = df.select(
       col(idCol).as(out),
       explode(wordShingles(lower(col(textCol)), shingleN)).as("shingle"))
-    val c = shingled(corpus, "corpus_id")
+    val p = shingled(probe, "probe_id")
+    // restrict the corpus side to probe-relevant shingles FIRST (broadcast
+    // semi-join — the probe set is tiny): the df cap only matters for
+    // shingles that can join, and for those every corpus occurrence
+    // survives the semi-join, so the df computed on `relevant` equals the
+    // corpus-wide df. Result is identical to capping globally, but the
+    // corpus is never shuffled — the operator is scan → broadcast joins →
+    // a window over the (small) relevant set → pair aggregate.
+    val relevant = shingled(corpus, "corpus_id")
+      .join(broadcast(p.select(col("shingle")).distinct()), Seq("shingle"))
+    val capped = relevant
       .withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("shingle")))
       .filter(col("df") <= dfCap)
       .drop("df")
-    val p = shingled(probe, "probe_id")
-    c.join(p, Seq("shingle"))
+    capped.join(broadcast(p), Seq("shingle"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .groupBy(col("corpus_id"), col("probe_id"))
       .agg(count(lit(1)).as("shared"))
