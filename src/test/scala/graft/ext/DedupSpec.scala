@@ -202,6 +202,27 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(50)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var a = x; while (parent(a) != a) a = parent(a); a }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minByRoot = nodes.groupBy(x => find(x.toInt)).map { case (root, ns) => root -> ns.min }
+      val expected = nodes.map(x => x -> minByRoot(find(x.toInt))).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed: CC disagrees with union-find")
+    }
+  }
+
   test("CC dedup keeps exactly one doc per transitive chain (a-b-c, a not~c)") {
     val corpus = Seq(
       (10L, "a"), (11L, "b"), (12L, "c"), (13L, "d"), (14L, "e"), (15L, "f"))

@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Every extension operator must degrade to an empty result — not throw —
+  * on an empty input table (partition-edge behavior a 100 TB job hits
+  * whenever a filter eliminates a whole input).
+  */
+class EmptyInputSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup family on empty corpus") {
+    assert(Dedup.dropExactDups(emptyDocs).count() == 0)
+    assert(Dedup.candidatePairs(emptyDocs).count() == 0)
+    assert(Dedup.verifiedNearDups(emptyDocs).count() == 0)
+    assert(Dedup.dropNearDups(emptyDocs).count() == 0)
+    assert(Dedup.dropNearDupsCC(emptyDocs).count() == 0)
+    assert(Dedup.simHashPairs(emptyDocs).count() == 0)
+    assert(Dedup.contaminationPairs(emptyDocs, emptyDocs).count() == 0)
+  }
+
+  test("text/sampling/packing on empty inputs") {
+    assert(TextAnalysis.documentFeatures(emptyDocs).count() == 0)
+    assert(TextAnalysis.tfIdfTopTerms(emptyDocs).count() == 0)
+    assert(Sampling.stratifiedSample(emptyDocs, col("text"),
+      Map("en" -> 0.5), defaultRate = 1.0).count() == 0)
+    assert(Packing.packOffsets(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), 10L).count() == 0)
+  }
+
+  test("similarity family on empty embeddings") {
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val centroids = Seq(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    assert(Similarity.bruteForceTopK(emptyEmb, Seq(1f, 0f), 5).count() == 0)
+    assert(Similarity.ivfTopK(Similarity.assignBuckets(emptyEmb, centroids),
+      centroids, Seq(1f, 0f), 5).count() == 0)
+    assert(Similarity.cosineNearDupPairs(emptyEmb, threshold = 0.5,
+      planes = 8, bands = 4, dim = 2).count() == 0)
+  }
+}
