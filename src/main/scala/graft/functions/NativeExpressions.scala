@@ -581,7 +581,26 @@ object native {
     "simhash64" -> { args => SimHash64(args(0)) },
     "simhash60_p" -> { args => SimHash60P(args(0)) },
     "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
-    "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) })
+    "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
+    "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
+    "array_count_in" -> { args => ArrayCountIn(args(0), stringArrayArg(args(1), "keywords")) })
+
+  /** SQL-surface builder: a string-array literal (array('a','b') or a
+    * foldable literal) becomes the Seq[String] parameter.
+    */
+  private[functions] def stringArrayArg(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+      elems.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be string literals, got $other")
+      }
+    case org.apache.spark.sql.catalyst.expressions.Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string-array literal, got $other")
+  }
 
   /** Make the native expressions callable from spark.sql on a live session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -56,11 +56,16 @@ class NativeExpressionsSpec extends SparkSpecBase {
                 dot_product_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
                               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
                 size(word_shingles('a b c d', 3)) AS nsh,
-                size(minhash_sig(array('x'), 4)) AS k
+                size(minhash_sig(array('x'), 4)) AS k,
+                size(whitespace_tokens('a  b c')) AS nt,
+                array_count_in(whitespace_tokens('the cat and the dog'),
+                               array('the', 'and')) AS cnt
       """).collect().head
     assert(row.getDouble(1) == 11.0)
     assert(row.getInt(2) == 2) // "a b c", "b c d"
     assert(row.getInt(3) == 4)
+    assert(row.getInt(4) == 3) // double space collapses
+    assert(row.getInt(5) == 3) // the, and, the
     // simhash deterministic across invocations
     val again = spark.sql("SELECT simhash64(array('spark', 'engine'))").collect().head.getLong(0)
     assert(row.getLong(0) == again)
@@ -131,7 +136,8 @@ class NativeExpressionsSpec extends SparkSpecBase {
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
-      Seq("dot_product_f", "hyperplane_sign_bits", "minhash_sig",
-        "minhash_sig_p", "simhash60_p", "simhash64", "word_shingles"))
+      Seq("array_count_in", "dot_product_f", "hyperplane_sign_bits",
+        "minhash_sig", "minhash_sig_p", "simhash60_p", "simhash64",
+        "whitespace_tokens", "word_shingles"))
   }
 }
