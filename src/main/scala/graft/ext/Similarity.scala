@@ -99,6 +99,24 @@ object Similarity {
     centroids
   }
 
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.iterator.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.iterator.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+  }
+
+  /** The `nprobe` centroid ids nearest to the query (driver-side — the
+    * centroid table is tiny by construction).
+    */
+  private def probeIds(centroids: Seq[(Int, Seq[Float])], queryVec: Seq[Float],
+      nprobe: Int): Seq[Int] =
+    centroids
+      .map { case (cid, cvec) => (cid, cosLocal(cvec, queryVec)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe)
+      .map(_._1)
+
   /** IVF probe: search only the `nprobe` buckets nearest to the query.
     * Equivalent recall knob to FAISS IVF nprobe; candidates are filtered by
     * bucket membership (partition-prunable), then exact-scored.
@@ -106,17 +124,7 @@ object Similarity {
   def ivfTopK(bucketed: DataFrame, centroids: Seq[(Int, Seq[Float])],
       queryVec: Seq[Float], k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.iterator.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.iterator.map(x => x.toDouble * x.toDouble).sum)
-      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
-    }
-    val probeBuckets = centroids
-      .map { case (cid, cvec) => (cid, cosLocal(cvec, queryVec)) }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nprobe)
-      .map(_._1)
+    val probeBuckets = probeIds(centroids, queryVec, nprobe)
     val q = array(queryVec.map(v => lit(v)): _*)
     bucketed
       .filter(col("bucket").isin(probeBuckets: _*))
@@ -141,6 +149,39 @@ object Similarity {
       // proportional to nprobe, not nprobe × shuffle-partitions
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** SQ8 variant of the physical IVF index: stores the int8-quantized
+    * vectors instead of float32 — 4× less index storage and scan IO, the
+    * standard IVF-SQ8 trade. Bucket assignment still uses the full-
+    * precision vectors (build-time only); the per-vector scale column is
+    * NOT stored because cosine is scale-invariant — the quantized ints
+    * score directly against the query, so the hot loop does no
+    * dequantization at all.
+    */
+  def writeIvfIndexSQ8(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assignBuckets(embeddings, centroids, idCol, vecCol)
+      .select(col(idCol),
+        quantizeInt8(col(vecCol)).getField("q").as("qvec"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Query the SQ8 index: partition-pruned probe, then cosine between the
+    * int8 vectors (exact in float) and the query — approximate only by the
+    * quantization itself, deterministic given the index.
+    */
+  def ivfTopKSQ8(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: Seq[(Int, Seq[Float])], queryVec: Seq[Float], k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val probeBuckets = probeIds(centroids, queryVec, nprobe)
+    val q = array(queryVec.map(v => lit(v)): _*)
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .select(col(idCol),
+        cosine(transform(col("qvec"), x => x.cast("float")), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Streaming half of the IVF index build: bucket assignment is stateless
     * (broadcast centroids + argmax), so arriving vectors append straight

@@ -658,6 +658,23 @@ object Queries {
       .select(col("vec_id"))
   }
 
+  /** SQ8 scale path of the physical IVF index (q61): the index stores
+    * int8-quantized vectors (4× less IO) and scores them directly —
+    * cosine is scale-invariant, so no per-row dequantization (see
+    * `Similarity.writeIvfIndexSQ8`). Approximate only by the quantization,
+    * deterministic given the corpus, and replayed exactly by the oracle.
+    */
+  def q68IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq8_${dir.hashCode.toHexString}"
+    Similarity.writeIvfIndexSQ8(emb, centroids, idx)
+    Similarity.ivfTopKSQ8(spark, idx, centroids, qv, k = 10, nprobe = 3)
+      .select(col("vec_id"))
+  }
+
   /** Multimodal: payload metadata + stubbed feature extraction. The fake
     * decode is a deterministic byte histogram, so the oracle replays it
     * over the (ASCII) document text: bin b = fraction of bytes with
@@ -880,7 +897,8 @@ object Queries {
     "q64_contamination" -> (q64Contamination _),
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q66_tfidf_terms" -> (q66TfIdfTerms _),
-    "q67_pack_chunks" -> (q67PackChunks _))
+    "q67_pack_chunks" -> (q67PackChunks _),
+    "q68_ivf_sq8" -> (q68IvfSq8 _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1279,6 +1297,7 @@ object Queries {
     // algorithm — identical probe, scoring, and tie-break, so it replays
     // against the identical oracle.
     "q61_ivf_indexed" -> IvfTopKOracle,
+    "q68_ivf_sq8" -> IvfSq8Oracle,
     "q34_media_features" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1462,6 +1481,65 @@ object Queries {
          SELECT d.doc_id, d.text, f.lang_pred, f.quality
          FROM documents d JOIN keep1 USING (doc_id) JOIN feats f USING (doc_id)
          WHERE f.lang_pred <> 'und' AND f.quality >= 0.5)"""
+
+  /** DuckDB replay of the SQ8 IVF index (q68): same centroid/bucket/probe
+    * chain as `IvfTopKOracle`, but scoring runs over the int8-truncation-
+    * quantized vectors (q63's exact-replayable quantization) — cosine is
+    * scale-invariant, so the quantized ints score directly.
+    */
+  private def IvfSq8Oracle: String =
+    """WITH cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         qv AS (SELECT embedding AS qe,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE vec_id = 0),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
+         en AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM embeddings),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         probe AS (
+           SELECT c.cid FROM cn c, qv
+           ORDER BY CASE WHEN c.nrm * qv.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
+                           CAST(c.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (c.nrm * qv.nrm) END DESC,
+                    c.cid ASC
+           LIMIT 3),
+         mq AS (
+           SELECT vec_id, bucket, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           FROM asg WHERE bucket IN (SELECT cid FROM probe)),
+         qq AS (
+           SELECT vec_id,
+             CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                         CAST(trunc(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INTEGER))
+             END AS qvec
+           FROM mq),
+         qn AS (
+           SELECT vec_id, qvec,
+             sqrt(list_sum(list_transform(range(1, len(qvec)+1), k ->
+               CAST(qvec[k] AS DOUBLE) * CAST(qvec[k] AS DOUBLE)))) AS nrm
+           FROM qq)
+         SELECT vec_id FROM (
+           SELECT q2.vec_id,
+             CASE WHEN q2.nrm * qv.nrm = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(q2.qvec)+1), k ->
+                         CAST(q2.qvec[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (q2.nrm * qv.nrm) END AS sim
+           FROM qn q2, qv)
+         ORDER BY sim DESC, vec_id ASC LIMIT 10"""
 
   /** DuckDB replay of the IVF probe pipeline (deterministic seed centroids →
     * argmax bucket assignment → nprobe=3 probe → exact cosine over probed

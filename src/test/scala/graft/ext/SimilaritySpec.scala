@@ -89,6 +89,22 @@ class SimilaritySpec extends SparkSpecBase {
       s"nprobe=1 must list exactly 1 of 2 bucket directories, got ${pruned.length}")
   }
 
+  test("SQ8 index: quantized scoring recovers the query's cluster; no scale column stored") {
+    val centroids = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sq8").resolve("emb").toString
+    Similarity.writeIvfIndexSQ8(embeddings, centroids, idx)
+    val stored = spark.read.parquet(idx)
+    // int8 payload only: no float embedding, no scale column in the index
+    assert(stored.columns.sorted.toSeq == Seq("bucket", "qvec", "vec_id"))
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val sq8 = Similarity.ivfTopKSQ8(spark, idx, centroids, q, 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(embeddings, q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    // quantization is lossy but cluster-level recall holds on this fixture
+    assert(sq8 == exact)
+  }
+
   test("streaming IVF ingest: vectors searchable after their micro-batch, same results as batch index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
