@@ -84,6 +84,32 @@ class WindowCountsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding windows emit every overlapping pane in streaming append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val slid = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .count()
+      .select(col("w.start").as("start"), col("count"))
+    val q = slid.writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // an event at 10:07 belongs to panes [10:00,10:10) and [10:05,10:15)
+      input.addData((t("2026-01-01 10:07:00"), "u1"))
+      q.processAllAvailable()
+      // advance the watermark past both pane ends → both emit exactly once
+      input.addData((t("2026-01-01 10:30:00"), "u2"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT start, count FROM sliding_stream")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00.0", 1L), ("2026-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("empty snapshots contribute nothing; country counts keyed separately") {
     val t = "2026-01-01 10:00:10"
     val snaps = Seq(
