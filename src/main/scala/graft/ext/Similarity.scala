@@ -221,18 +221,11 @@ object Similarity {
     * deliberately: it is bit-identical across engines (SQL TRUNC / ANSI
     * cast), so the oracle replays quantization exactly, at the cost of
     * ≤1 ULP extra error versus rounding.
-    * Returns struct(scale double, q array<int>); everything stays in
-    * whole-stage codegen (HOFs over the array, no UDF).
+    * Returns struct(scale double, q array<int>); native codegen'd kernel
+    * (graft.functions.QuantizeInt8) — the HOF formulation was interpreted
+    * per element and dominated the SQ8 index build.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = maxabs / lit(127.0)
-    struct(
-      scale.as("scale"),
-      when(maxabs === 0.0, transform(vec, _ => lit(0)))
-        .otherwise(transform(vec, x => (x.cast("double") / scale).cast("int")))
-        .as("q"))
-  }
+  def quantizeInt8(vec: Column): Column = graft.functions.native.quantizeInt8(vec)
 
   /** Dequantized (lossy) reconstruction of a `quantizeInt8` struct. */
   def dequantizeInt8(quant: Column): Column =

@@ -333,6 +333,33 @@ object HashKernels {
     c
   }
 
+  /** Symmetric int8 truncation quantization: (scale = max|v|/127,
+    * q_i = trunc(v_i/scale)) in two tight passes. Null elements contribute
+    * nothing to the scale and quantize to 0.
+    */
+  def quantizeInt8(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = math.abs(arr.getFloat(i).toDouble)
+        if (v > maxabs) maxabs = v
+      }
+      i += 1
+    }
+    val scale = maxabs / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (maxabs == 0.0 || arr.isNullAt(i)) 0
+        else (arr.getFloat(i).toDouble / scale).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, new GenericArrayData(out))
+  }
+
   /** Distinct sliding word n-gram shingles (see WordShingles scaladoc). */
   def wordShingles(in: UTF8String, n: Int): ArrayData = {
     val toks = in.toString.split(' ').iterator.filter(_.nonEmpty).toArray
@@ -542,6 +569,35 @@ case class ArrayCountIn(child: Expression, keywords: Seq[String])
     copy(child = newChild)
 }
 
+/** Per-vector symmetric int8 quantization → struct(scale double,
+  * q array<int>). The HOF formulation (array_max + two transforms) is
+  * interpreted per element and dominated the SQ8 index build; this is the
+  * same math as two tight loops. Truncation toward zero matches ANSI cast
+  * and SQL TRUNC, so the DuckDB oracle replays it bit-exactly.
+  */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.quantizeInt8(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.quantizeInt8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object native {
   import org.apache.spark.sql.GraftBridge
@@ -566,6 +622,8 @@ object native {
     col(WhitespaceTokens(ex(text)))
   def arrayCountIn(arr: Column, keywords: Seq[String]): Column =
     col(ArrayCountIn(ex(arr), keywords))
+  def quantizeInt8(vec: Column): Column =
+    col(QuantizeInt8(ex(vec)))
 
   /** SQL-surface builders (integer literals become the Int parameters). */
   private[functions] def intArg(e: Expression, what: String): Int = e match {
@@ -583,6 +641,7 @@ object native {
     "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
+    "quantize_int8" -> { args => QuantizeInt8(args(0)) },
     "array_count_in" -> { args => ArrayCountIn(args(0), stringArrayArg(args(1), "keywords")) })
 
   /** SQL-surface builder: a string-array literal (array('a','b') or a

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev timer: time named queries at a given sf dir. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf3")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("q68_ivf_sq8", "q61_ivf_indexed")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- names; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.queries.Queries.all(q)(spark, dir).count()
+      println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

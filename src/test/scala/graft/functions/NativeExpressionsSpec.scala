@@ -137,7 +137,7 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
       Seq("array_count_in", "dot_product_f", "hyperplane_sign_bits",
-        "minhash_sig", "minhash_sig_p", "simhash60_p", "simhash64",
-        "whitespace_tokens", "word_shingles"))
+        "minhash_sig", "minhash_sig_p", "quantize_int8", "simhash60_p",
+        "simhash64", "whitespace_tokens", "word_shingles"))
   }
 }
