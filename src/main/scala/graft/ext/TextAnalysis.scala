@@ -188,6 +188,59 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of tokens
+    * taken by the single most frequent token, the fraction of bigrams taken
+    * by the most frequent bigram, and the distinct/total token ratio —
+    * the standard "repetitive document" quality filters for pretraining
+    * corpora (high top-fractions / low distinct ratio ⇒ boilerplate or
+    * degenerate text).
+    *
+    * Physical shape: explode → per-(doc, term) counts → per-doc aggregate.
+    * Both aggregations are hash aggregates with map-side combine, so the
+    * shuffle carries one row per distinct (doc, term) — bounded by corpus
+    * vocabulary × docs, never raw token volume. Unigram and bigram branches
+    * shuffle independently and join on the (already-shuffled) doc key.
+    * Documents with zero tokens produce no row (there is nothing to
+    * measure); callers wanting them keep a left join on the corpus.
+    */
+  def repetitionSignals(docs: DataFrame, topWordMax: Double = 0.12,
+      topBigramMax: Double = 0.08, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      tokens(lower(col(textCol))).as("toks"))
+    val uni = toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol)).agg(
+        sum(col("tf")).as("n_tokens"),
+        max(col("tf")).as("top_tf"),
+        count(lit(1)).as("n_distinct"))
+    // adjacent-pair bigrams keep duplicates (unlike WordShingles, which
+    // dedups for MinHash): the signal IS the duplicate mass
+    val bi = toks
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
+      .groupBy(col(idCol)).agg(
+        sum(col("bf")).as("n_bigrams"),
+        max(col("bf")).as("top_bf"))
+    uni.join(bi, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("top_tf").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_word_frac"),
+        round(coalesce(col("top_bf").cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("distinct_ratio"))
+      .withColumn("repetitive",
+        col("top_word_frac") > topWordMax || col("top_bigram_frac") > topBigramMax)
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -828,6 +828,21 @@ object Queries {
           .as("max_err"))
   }
 
+  /** Gopher-style repetition quality signals: top-word / top-bigram
+    * fraction and distinct-token ratio per document, with the `repetitive`
+    * flag at the corpus-splitting thresholds (see
+    * `TextAnalysis.repetitionSignals`).
+    */
+  def q69RepetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.load(spark, dir, "documents"))
+
+  /** Sliding-window RAG chunking: 32-token windows advancing by 24 (8-token
+    * overlap); shuffle-free per-row generator (see `Chunking.chunkTokens`).
+    */
+  def q70DocChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkTokens(Tables.load(spark, dir, "documents"),
+      chunkSize = 32, stride = 24)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -898,7 +913,9 @@ object Queries {
     "q65_stratified_sample" -> (q65StratifiedSample _),
     "q66_tfidf_terms" -> (q66TfIdfTerms _),
     "q67_pack_chunks" -> (q67PackChunks _),
-    "q68_ivf_sq8" -> (q68IvfSq8 _))
+    "q68_ivf_sq8" -> (q68IvfSq8 _),
+    "q69_repetition_signals" -> (q69RepetitionSignals _),
+    "q70_doc_chunks" -> (q70DocChunks _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1298,6 +1315,51 @@ object Queries {
     // against the identical oracle.
     "q61_ivf_indexed" -> IvfTopKOracle,
     "q68_ivf_sq8" -> IvfSq8Oracle,
+    "q69_repetition_signals" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         tf AS (
+           SELECT doc_id, unnest(toks) AS term FROM t),
+         uni AS (
+           SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                  MAX(tf) AS top_tf, COUNT(*) AS n_distinct
+           FROM (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2)
+           GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS b
+           FROM t),
+         bi AS (
+           SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams, MAX(bf) AS top_bf
+           FROM (SELECT doc_id, b, COUNT(*) AS bf FROM bg GROUP BY 1, 2)
+           GROUP BY doc_id),
+         s AS (
+           SELECT uni.doc_id, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+             ROUND(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+             ROUND(COALESCE(CAST(top_bf AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac,
+             ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio
+           FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id)
+         SELECT *,
+           (top_word_frac > 0.12 OR top_bigram_frac > 0.08) AS repetitive
+         FROM s""",
+    "q70_doc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0, GREATEST(len(toks) - 8, 1) - 1, 24)) AS start
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+         FROM w""",
     "q34_media_features" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -65,4 +65,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     // doc 2: banana and cherry tie at 2.666667 -> term-asc wins; date (2.0) cut by k=2
     assert(out(2L) == Seq(("banana", 2.666667), ("cherry", 2.666667)))
   }
+
+  test("repetition signals: fractions, distinct ratio, and thresholds") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // top word 4/4, top bigram 3/3
+      (2L, "a b c d"),                      // all distinct: top word 1/4, bigram 1/3
+      (3L, "x y x y x y"),                  // top word 3/6; bigram "x y" 3/5
+      (4L, "solo")                          // one token, no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df,
+        topWordMax = 0.5, topBigramMax = 0.5)
+      .as[(Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1L, 1.0, 1.0, 0.25, true)))
+    assert(out(2L) == ((2L, 4L, 4L, 0.25, 0.333333, 1.0, false)))
+    assert(out(3L) == ((3L, 6L, 2L, 0.5, 0.6, 0.333333, true)))
+    // single-token doc: no bigrams -> bigram fraction 0, not repetitive
+    assert(out(4L) == ((4L, 1L, 1L, 1.0, 0.0, 1.0, true)))
+  }
+
+  test("repetition signals: zero-token docs produce no row") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val ids = TextAnalysis.repetitionSignals(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
 }
