@@ -43,4 +43,46 @@ object Sampling {
         lit(defaultRate))
     df.filter(uniformHash(col(keyCol), salt) < rate)
   }
+
+  /** Temperature-scaled mixture resampling (the multilingual-corpus
+    * rebalancing rule from the mBERT/XLM-R line of work): stratum s with
+    * count c_s gets mixture weight w_s ∝ c_s^alpha, and each row of s is
+    * kept with rate
+    *
+    *   r_s = min(1, targetFrac · N · w_s / (Σw · c_s))
+    *
+    * so the expected kept volume is targetFrac·N distributed by the
+    * tempered weights — alpha = 1 reproduces the corpus as-is, alpha = 0
+    * equalizes strata, alpha = 0.5 is the usual compromise that up-weights
+    * low-resource strata without flattening the head.
+    *
+    * Physical shape: one tiny aggregate over the stratum column (map-side
+    * combined to #strata rows), a scalar cross of its totals, and a
+    * broadcast join of the per-stratum rate back onto the scan — the corpus
+    * itself is never shuffled, so the operator scales with the scan. The
+    * keep decision reuses [[uniformHash]], so the sample is reproducible
+    * across runs, engines, and repartitionings; rates are rounded to 6
+    * decimals so an external replayer (the DuckDB oracle) computes the
+    * identical boundary even when its pow/sum ULPs differ.
+    */
+  def temperatureResample(df: DataFrame, stratum: Column, alpha: Double,
+      targetFrac: Double, keyCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    val counts = df.groupBy(stratum.as("_stratum"))
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+    val totals = counts.agg(
+      sum(col("_cnt")).as("_n_total"),
+      sum(pow(col("_cnt"), lit(alpha))).as("_w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("_stratum"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("_n_total") * pow(col("_cnt"), lit(alpha)) /
+            (col("_w_total") * col("_cnt"))), 6).as("rate"))
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(uniformHash(col(keyCol), salt) < col("rate"))
+      .drop("_stratum")
+  }
 }

@@ -46,6 +46,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 random-projection sign matrix: entry (j, k) is +1
+    * iff the first hex nibble of md5("seed|j|k") is < 8 — an unbiased coin
+    * any engine can replay from the same md5, so a reduced-space index
+    * built here can be probed (or audited) by an external system without
+    * shipping the matrix. Sign matrices are the classic
+    * Achlioptas-style database-friendly random projection: the JL lemma
+    * holds with ±1 entries, and the projection is pure adds/subtracts.
+    */
+  def rprojSigns(dimIn: Int, dimOut: Int, seed: String = "rp"): Array[Array[Float]] = {
+    require(dimIn > 0 && dimOut > 0, s"bad dims $dimIn x $dimOut")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dimOut) { j =>
+      Array.tabulate(dimIn) { k =>
+        val d = md.digest(s"$seed|$j|$k".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Project a float-vector column through the sign matrix: dimOut
+    * codegen'd dot products against literal plane vectors (the planes ride
+    * in the plan as literals — nothing is broadcast or shuffled), yielding
+    * `array<double>`. 4×-plus dimensionality reduction is the standard
+    * first move when full-dimension ANN scans dominate: scan cost drops by
+    * dimIn/dimOut while JL keeps relative distances within epsilon.
+    */
+  def randomProject(vec: Column, signs: Array[Array[Float]]): Column =
+    array(signs.toSeq.map(row => dot(vec, array(row.toSeq.map(lit(_)): _*))): _*)
+
+  /** Top-k by cosine in the REDUCED space against one query vector: the
+    * query is projected on the driver, each corpus vector is projected in
+    * the scan, and ranking uses dot(proj, qproj)/|proj| (the |qproj| factor
+    * is constant across rows, so dropping it preserves the ordering).
+    * Same physical shape as [[bruteForceTopK]] — scan → project →
+    * TakeOrderedAndProject, no shuffle — but each row costs dimOut·dimIn
+    * adds for the projection instead of a full-precision scoring pass over
+    * pre-materialized full vectors; at scale the projection is written once
+    * (see `writeIvfIndex`) and probes pay only dimOut-element scoring.
+    */
+  def rprojTopK(embeddings: DataFrame, queryVec: Seq[Float], k: Int,
+      dimOut: Int = 16, seed: String = "rp",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = rprojSigns(queryVec.length, dimOut, seed)
+    val qp = signs.map(row =>
+      row.iterator.zip(queryVec.iterator).map { case (s, v) =>
+        s.toDouble * v.toDouble }.sum)
+    val proj = randomProject(col(vecCol), signs)
+    // element_at(array(...), literal) is simplified by Catalyst to the
+    // j-th plane's dot product; repeated references collapse in codegen CSE
+    val num = (0 until dimOut)
+      .map(j => lit(qp(j)) * element_at(proj, j + 1)).reduce(_ + _)
+    val nrm = sqrt((0 until dimOut)
+      .map(j => element_at(proj, j + 1) * element_at(proj, j + 1)).reduce(_ + _))
+    embeddings
+      .select(col(idCol),
+        when(nrm === 0.0, lit(0.0)).otherwise(num / nrm).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest coarse centroid (IVF list).
     * Centroids come from a deterministic sample at build time; assignment
     * is a broadcast of the (tiny) centroid table + argmax — one narrow

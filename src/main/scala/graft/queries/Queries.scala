@@ -843,6 +843,28 @@ object Queries {
     Chunking.chunkTokens(Tables.load(spark, dir, "documents"),
       chunkSize = 32, stride = 24)
 
+  /** Temperature-scaled language-mixture resampling (alpha = 0.5,
+    * target volume 50%): low-resource languages keep a higher fraction
+    * than the head language, with the per-stratum rate derived from the
+    * corpus counts themselves (see `Sampling.temperatureResample`).
+    */
+  def q71MixtureResample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(
+      Tables.load(spark, dir, "documents"),
+      col("lang"), alpha = 0.5, targetFrac = 0.5)
+      .select(col("doc_id"), col("lang"), col("rate"))
+
+  /** Reduced-space ANN: 64-d float embeddings projected to 16-d through
+    * the md5-derived ±1 sign matrix, top-10 by reduced-space cosine
+    * (see `Similarity.rprojTopK` — the JL-style cheap pre-ranking pass).
+    */
+  def q72RprojTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Similarity.rprojTopK(emb, qv, k = 10, dimOut = 16).select(col("vec_id"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -915,7 +937,9 @@ object Queries {
     "q67_pack_chunks" -> (q67PackChunks _),
     "q68_ivf_sq8" -> (q68IvfSq8 _),
     "q69_repetition_signals" -> (q69RepetitionSignals _),
-    "q70_doc_chunks" -> (q70DocChunks _))
+    "q70_doc_chunks" -> (q70DocChunks _),
+    "q71_mixture_resample" -> (q71MixtureResample _),
+    "q72_rproj_topk" -> (q72RprojTopK _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1345,6 +1369,41 @@ object Queries {
          SELECT *,
            (top_word_frac > 0.12 OR top_bigram_frac > 0.08) AS repetitive
          FROM s""",
+    "q72_rproj_topk" ->
+      """WITH m AS (
+           SELECT gj.j, gk.k,
+             CASE WHEN substr(md5('rp|' || gj.j || '|' || gk.k), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+           FROM generate_series(0, 15) gj(j), generate_series(0, 63) gk(k)),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qp AS (
+           SELECT m.j, SUM(CAST(q.qe[m.k + 1] AS DOUBLE) * m.s) AS v
+           FROM m, q GROUP BY m.j),
+         p AS (
+           SELECT e.vec_id, m.j,
+             SUM(CAST(e.embedding[m.k + 1] AS DOUBLE) * m.s) AS v
+           FROM embeddings e, m GROUP BY 1, 2),
+         sc AS (
+           SELECT p.vec_id,
+             SUM(p.v * qp.v) / NULLIF(sqrt(SUM(p.v * p.v)), 0) AS sim
+           FROM p JOIN qp USING (j) GROUP BY p.vec_id)
+         SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q71_mixture_resample" ->
+      """WITH c AS (
+           SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+           FROM documents GROUP BY 1),
+         t AS (
+           SELECT SUM(cnt) AS n_total, SUM(pow(cnt, 0.5)) AS w_total FROM c),
+         r AS (
+           SELECT lang,
+             ROUND(LEAST(1.0,
+               0.5 * n_total * pow(cnt, 0.5) / (w_total * cnt)), 6) AS rate
+           FROM c, t)
+         SELECT d.doc_id, d.lang, r.rate
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT
+               / 1152921504606846976.0 < r.rate""",
     "q70_doc_chunks" ->
       """WITH t AS (
            SELECT doc_id,

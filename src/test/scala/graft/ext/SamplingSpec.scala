@@ -52,4 +52,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.stratifiedSample(df, col("stratum"),
       Map(), defaultRate = 1.0).count() == 4000)
   }
+
+  test("temperature resample: alpha=0 equalizes strata, alpha=1 preserves mix") {
+    // skewed corpus: 3000 en, 1000 de
+    val skew = ((0L until 3000L).map((_, "en")) ++ (3000L until 4000L).map((_, "de")))
+      .toDF("doc_id", "stratum")
+    // alpha=1: w ∝ cnt so rate = targetFrac for every stratum
+    val asIs = Sampling.temperatureResample(skew, col("stratum"),
+      alpha = 1.0, targetFrac = 0.5)
+    assert(asIs.select("rate").distinct().as[Double].collect().toSeq == Seq(0.5))
+    // alpha=0: w uniform so expected kept volume is equal per stratum
+    // (rate_en = 0.5*4000/(2*3000) = 1/3, rate_de = 1.0 capped)
+    val eq = Sampling.temperatureResample(skew, col("stratum"),
+      alpha = 0.0, targetFrac = 0.5)
+    val rates = eq.select("stratum", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("en") == 0.333333 && rates("de") == 1.0)
+    val kept = eq.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("de") == 1000L) // rate 1.0 keeps everything
+    assert(math.abs(kept("en") - 1000L) < 100L) // ~rate 1/3 of 3000
+  }
+
+  test("temperature resample is deterministic and repartition-invariant") {
+    val skew = ((0L until 300L).map((_, "en")) ++ (300L until 400L).map((_, "de")))
+      .toDF("doc_id", "stratum")
+    val a = Sampling.temperatureResample(skew, col("stratum"), 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureResample(skew.repartition(7), col("stratum"), 0.5, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }

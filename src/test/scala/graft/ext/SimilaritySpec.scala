@@ -160,4 +160,40 @@ class SimilaritySpec extends SparkSpecBase {
     // every reported pair is within one cluster (cos>=0.9 can't cross clusters)
     assert(pairs.forall { case (i, j) => (i < 5 && j < 5) || (i >= 5 && i < 10 && j >= 5 && j < 10) })
   }
+
+  test("rproj sign matrix is deterministic, ±1, seed-sensitive") {
+    val a = Similarity.rprojSigns(8, 4)
+    val b = Similarity.rprojSigns(8, 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(s => s == 1.0f || s == -1.0f))
+    assert(a.flatten.toSeq != Similarity.rprojSigns(8, 4, seed = "other").flatten.toSeq)
+    // unbiased-ish: both signs occur
+    assert(a.flatten.distinct.length == 2)
+  }
+
+  test("random projection is linear: proj(2v) = 2*proj(v)") {
+    val signs = Similarity.rprojSigns(6, 3)
+    val v = Seq(0.5f, -1.0f, 2.0f, 0.0f, 1.5f, -0.5f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2.0f))).toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), signs).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(proj(1L).map(_ * 2.0) == proj(2L))
+  }
+
+  test("reduced-space top-k ranks same-direction vectors first") {
+    val r = new scala.util.Random(7)
+    val base = Array.fill(16)(r.nextFloat() * 2 - 1)
+    val rows = Seq(
+      0L -> base.toSeq,                       // the query itself
+      1L -> base.map(_ * 2.0f).toSeq,         // same direction, cosine 1
+      2L -> base.map(_ * 0.5f).toSeq          // same direction, cosine 1
+    ) ++ (3L until 30L).map(i =>
+      i -> Seq.fill(16)(r.nextFloat() * 2 - 1))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Similarity.rprojTopK(df, base.toSeq, k = 3, dimOut = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // projection is linear, so scaled copies tie with the query at sim 1
+    assert(top == Set(0L, 1L, 2L))
+  }
 }
