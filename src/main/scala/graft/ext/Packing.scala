@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for pretraining: documents are conceptually
@@ -23,28 +22,15 @@ object Packing {
 
   /** Per-doc global token offset and the [first_chunk, last_chunk] range it
     * spans at the given chunk capacity. Zero-token docs take no space
-    * (first = last = chunk at their offset).
+    * (first = last = chunk at their offset). The global cumulative sum is
+    * [[graft.operators.PrefixSum]] (shared with `vocabCoverage`).
     */
   def packOffsets(docs: DataFrame, capacity: Long,
       tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val local = Window.partitionBy("_pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = docs
-      .repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_local_cum", sum(col(tokenCol)).over(local))
-    // one row per partition; the unpartitioned window here is over ~#cores
-    // rows, not the corpus
-    val prefix = withLocal
-      .groupBy(col("_pid")).agg(max(col("_local_cum")).as("_ptotal"))
-      .withColumn("_prefix",
-        coalesce(sum(col("_ptotal")).over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_prefix"))
-    withLocal
-      .join(broadcast(prefix), "_pid")
-      .withColumn("offset", col("_prefix") + col("_local_cum") - col(tokenCol))
+    graft.operators.PrefixSum
+      .withGlobalCumSum(docs, Seq(col(idCol)), col(tokenCol), "_cum")
+      .withColumn("offset", col("_cum") - col(tokenCol))
       .withColumn("first_chunk",
         floor(col("offset") / lit(capacity)).cast("long"))
       .withColumn("last_chunk",

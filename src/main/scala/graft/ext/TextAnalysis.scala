@@ -216,13 +216,12 @@ object TextAnalysis {
         max(col("tf")).as("top_tf"),
         count(lit(1)).as("n_distinct"))
     // adjacent-pair bigrams keep duplicates (unlike WordShingles, which
-    // dedups for MinHash): the signal IS the duplicate mass
+    // dedups for MinHash): the signal IS the duplicate mass. Native
+    // codegen'd kernel — the zip_with(slice, slice, concat) formulation
+    // pays an interpreted lambda per token in the scan's hot path.
     val bi = toks
       .select(col(idCol),
-        explode(zip_with(
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        explode(graft.functions.native.adjacentBigrams(col("toks"))).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
       .groupBy(col(idCol)).agg(
         sum(col("bf")).as("n_bigrams"),
@@ -239,6 +238,32 @@ object TextAnalysis {
           .as("distinct_ratio"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax || col("top_bigram_frac") > topBigramMax)
+  }
+
+  /** Vocabulary coverage report — the tokenizer-sizing artifact: terms
+    * ranked by corpus frequency with each term's cumulative share of all
+    * tokens ("a 32k vocab covers X% of the corpus" reads straight off
+    * this). Token counts shuffle once to per-term aggregates (map-side
+    * combined); the global rank + running sum go through
+    * [[graft.operators.PrefixSum]] — range partition by (cnt desc, term),
+    * parallel per-partition windows, broadcast prefix — so a web-scale
+    * vocabulary (10^8 terms) never lands on one task. Coverage stays an
+    * exact integer ratio until the final division, so external replay is
+    * bit-stable.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    graft.operators.PrefixSum
+      .withGlobalCumSum(counts,
+        order = Seq(col("cnt").desc, col("term").asc),
+        value = col("cnt"), cumCol = "cum_cnt", rankCol = Some("rank"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"), col("rank").cast("long").as("rank"),
+        round(col("cum_cnt").cast("double") / col("_total").cast("double"), 6)
+          .as("coverage"))
   }
 
   /** Per-document feature frame over a corpus. */

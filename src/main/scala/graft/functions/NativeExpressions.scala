@@ -361,6 +361,27 @@ object HashKernels {
   }
 
   /** Distinct sliding word n-gram shingles (see WordShingles scaladoc). */
+  /** Adjacent token pairs WITH duplicates (repetition-signal bigrams —
+    * unlike `wordShingles`, whose dedup is MinHash semantics). Null
+    * elements participate as empty strings to keep behavior independent
+    * of the array's physical representation.
+    */
+  def adjacentBigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val empty = UTF8String.EMPTY_UTF8
+    val space = UTF8String.fromString(" ")
+    def at(i: Int): UTF8String =
+      if (arr.isNullAt(i)) empty else arr.getUTF8String(i)
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(at(i), space, at(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(in: UTF8String, n: Int): ArrayData = {
     val toks = in.toString.split(' ').iterator.filter(_.nonEmpty).toArray
     val seen = new java.util.LinkedHashSet[String]()
@@ -511,6 +532,31 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Adjacent token-pair bigrams, duplicates kept (see
+  * `HashKernels.adjacentBigrams`): the per-pair `zip_with(slice, slice,
+  * concat)` HOF formulation pays an interpreted lambda per token.
+  */
+case class AdjacentBigrams(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "adjacent_bigrams"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.adjacentBigrams(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.adjacentBigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentBigrams =
+    copy(child = newChild)
+}
+
 /** Whitespace tokens (split on single spaces, empties dropped) as a native
   * expression — semantics of `filter(split(text, " "), _ =!= "")` without
   * the interpreted per-token lambda (the HOF path dominated the langid /
@@ -620,6 +666,8 @@ object native {
     col(WordShingles(ex(text), n))
   def whitespaceTokens(text: Column): Column =
     col(WhitespaceTokens(ex(text)))
+  def adjacentBigrams(arr: Column): Column =
+    col(AdjacentBigrams(ex(arr)))
   def arrayCountIn(arr: Column, keywords: Seq[String]): Column =
     col(ArrayCountIn(ex(arr), keywords))
   def quantizeInt8(vec: Column): Column =
@@ -641,6 +689,7 @@ object native {
     "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
+    "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },
     "quantize_int8" -> { args => QuantizeInt8(args(0)) },
     "array_count_in" -> { args => ArrayCountIn(args(0), stringArrayArg(args(1), "keywords")) })
 

@@ -865,6 +865,13 @@ object Queries {
     Similarity.rprojTopK(emb, qv, k = 10, dimOut = 16).select(col("vec_id"))
   }
 
+  /** Vocabulary coverage: terms ranked by corpus frequency with
+    * cumulative token share, via the distributed two-phase prefix sum
+    * (see `TextAnalysis.vocabCoverage` — no single-task global window).
+    */
+  def q73VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -939,7 +946,8 @@ object Queries {
     "q69_repetition_signals" -> (q69RepetitionSignals _),
     "q70_doc_chunks" -> (q70DocChunks _),
     "q71_mixture_resample" -> (q71MixtureResample _),
-    "q72_rproj_topk" -> (q72RprojTopK _))
+    "q72_rproj_topk" -> (q72RprojTopK _),
+    "q73_vocab_coverage" -> (q73VocabCoverage _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1369,6 +1377,19 @@ object Queries {
          SELECT *,
            (top_word_frac > 0.12 OR top_bigram_frac > 0.08) AS repetitive
          FROM s""",
+    "q73_vocab_coverage" ->
+      """WITH tf AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS term
+           FROM documents),
+         c AS (SELECT term, COUNT(*) AS cnt FROM tf GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+         SELECT term, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS coverage
+         FROM c, t""",
     "q72_rproj_topk" ->
       """WITH m AS (
            SELECT gj.j, gk.k,

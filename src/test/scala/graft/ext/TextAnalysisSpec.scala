@@ -84,6 +84,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4L) == ((4L, 1L, 1L, 1.0, 0.0, 1.0, true)))
   }
 
+  test("vocab coverage: ranks by frequency, cumulative share reaches 1") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b d")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=4, c=1, d=1 (total 9); rank by cnt desc, term asc
+    val out = TextAnalysis.vocabCoverage(df)
+      .select("term", "cnt", "rank", "coverage")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    assert(out == Seq(
+      ("b", 4L, 1L, 0.444444),
+      ("a", 3L, 2L, 0.777778),
+      ("c", 1L, 3L, 0.888889),
+      ("d", 1L, 4L, 1.0)))
+  }
+
   test("repetition signals: zero-token docs produce no row") {
     val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
     val ids = TextAnalysis.repetitionSignals(df)

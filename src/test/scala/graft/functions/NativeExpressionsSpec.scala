@@ -133,11 +133,27 @@ class NativeExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("adjacentBigrams matches the zip_with HOF formulation, keeps duplicates") {
+    val df = Seq("x y x y x", "a b", "solo", "").toDF("text")
+    val toks = native.whitespaceTokens(col("text"))
+    val rows = df.select(
+      native.adjacentBigrams(toks),
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (nb, hb) => assert(nb == hb, s"$nb vs $hb") }
+    // duplicates preserved (WordShingles would dedup)
+    assert(rows(0)._1 == Seq("x y", "y x", "x y", "y x"))
+  }
+
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
-      Seq("array_count_in", "dot_product_f", "hyperplane_sign_bits",
-        "minhash_sig", "minhash_sig_p", "quantize_int8", "simhash60_p",
-        "simhash64", "whitespace_tokens", "word_shingles"))
+      Seq("adjacent_bigrams", "array_count_in", "dot_product_f",
+        "hyperplane_sign_bits", "minhash_sig", "minhash_sig_p",
+        "quantize_int8", "simhash60_p", "simhash64", "whitespace_tokens",
+        "word_shingles"))
   }
 }
