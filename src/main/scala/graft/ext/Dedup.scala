@@ -266,6 +266,50 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST-scoring document per connected component (ties break to
+    * the minimum id) — the curation policy real corpus pipelines usually
+    * want over min-id keeps: within a near-dup cluster, retain the highest
+    * quality copy. `score` is evaluated over `docs`' columns (e.g.
+    * `TextAnalysis.qualityScore(col("text"))`); round it if an external
+    * replayer must reproduce the ordering. The per-component argmax is a
+    * window partitioned by component — clusters, not the corpus, bound the
+    * window size.
+    */
+  def keepBestByComponents(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = connectedComponents(pairs)
+      .join(docs.select(col(idCol).as("node"), score.as("_score")), "node")
+    val losers = scored
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")
+          .orderBy(col("_score").desc, col("node").asc)))
+      .filter(col("_rn") > 1)
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Per-eval-document contamination report over [[contaminationPairs]]:
+    * how many corpus documents share ≥ `minShared` discriminative shingles
+    * with each probe doc, the worst overlap, and the boolean gate — the
+    * artifact an eval-decontamination run actually publishes. Probe docs
+    * with no hits are kept (n_hits = 0), so the report is a total function
+    * of the eval set.
+    */
+  def contaminationReport(corpus: DataFrame, probe: DataFrame,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val agg = contaminationPairs(corpus, probe, shingleN, minShared, dfCap,
+        textCol, idCol)
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("shared")).as("max_shared"))
+    probe.select(col(idCol).as("probe_id"))
+      .join(agg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Opt-in TRANSITIVE near-dup removal: cluster the verified-pair graph
     * into connected components and keep only each component's minimum-id
     * doc — an a↔b↔c chain keeps exactly one document even when a↮c,

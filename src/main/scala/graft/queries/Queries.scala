@@ -872,6 +872,30 @@ object Queries {
   def q73VocabCoverage(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"))
 
+  /** Quality-representative near-dup removal: connected components over
+    * the verified-pair graph, keep each cluster's HIGHEST-quality doc
+    * (ties → min id) instead of q60's min-id policy (see
+    * `Dedup.keepBestByComponents`).
+    */
+  def q74CcBestKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.keepBestByComponents(docs,
+      Dedup.verifiedNearDups(docs, threshold = 0.5).select(col("id1"), col("id2")),
+      TextAnalysis.qualityScore(col("text")))
+      .select(col("doc_id"))
+  }
+
+  /** Eval-set contamination report: per probe doc, the number of corpus
+    * docs sharing ≥3 discriminative 3-gram shingles, the worst overlap,
+    * and the contaminated flag — zero-hit probes included (see
+    * `Dedup.contaminationReport`).
+    */
+  def q75ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.contaminationReport(docs, docs.filter(col("doc_id") % 50 === 0),
+      shingleN = 3, minShared = 3)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -947,7 +971,9 @@ object Queries {
     "q70_doc_chunks" -> (q70DocChunks _),
     "q71_mixture_resample" -> (q71MixtureResample _),
     "q72_rproj_topk" -> (q72RprojTopK _),
-    "q73_vocab_coverage" -> (q73VocabCoverage _))
+    "q73_vocab_coverage" -> (q73VocabCoverage _),
+    "q74_cc_best_keep" -> (q74CcBestKeep _),
+    "q75_contamination_report" -> (q75ContaminationReport _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1460,6 +1486,38 @@ object Queries {
                   FROM reach GROUP BY u)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
+    // q60's recursive-CC chain + per-doc quality (q24's formula) + argmax
+    // keep per component (quality desc, id asc)
+    "q74_cc_best_keep" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+      """,
+         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
+               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u),
+         qs AS (
+           SELECT t.doc_id,
+             ROUND(LEAST(len(t.toks) / 20.0, 1.0) * 0.5 +
+               (1.0 - LEAST((CASE WHEN length(d.text) = 0 THEN 0.0
+                 ELSE (length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g'))) / length(d.text)
+                 END) * 4.0, 1.0)) * 0.25 +
+               LEAST((CASE WHEN len(t.toks) = 0 THEN 0.0
+                 ELSE len(list_filter(t.toks, x -> list_contains(
+                        ['the','a','an','and','or','of','to','in','is','it',
+                         'for','on','with','as','at','by','from','that','this'], x))) / len(t.toks)
+                 END) * 5.0, 1.0) * 0.25, 6) AS quality
+           FROM tok t JOIN documents d USING (doc_id)),
+         losers AS (
+           SELECT node FROM (
+             SELECT c.node, ROW_NUMBER() OVER (PARTITION BY c.component
+               ORDER BY q.quality DESC, c.node ASC) AS rn
+             FROM comp c JOIN qs q ON c.node = q.doc_id)
+           WHERE rn > 1)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers)"""),
     // curation prefix CTEs + the near-dup chain retargeted from `documents`
     // to the gated-and-exact-deduped `exact` subset + keep-first drop
     "q62_corpus_curation" -> ("WITH " + CurationCtes + ",\n       " +
@@ -1470,26 +1528,29 @@ object Queries {
          SELECT e.doc_id, e.lang_pred, e.quality,
            CAST(len(list_filter(string_split(e.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
          FROM exact e WHERE e.doc_id NOT IN (SELECT id2 FROM losers)"""),
-    "q64_contamination" ->
-      """WITH tok AS (
-           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
-                         array_to_string(list_slice(toks, i, i + 2), ' ')))
-             END AS sh
-           FROM tok),
-         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-         cf AS (
-           SELECT doc_id AS corpus_id, shingle FROM ex
-           QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100),
-         pf AS (SELECT doc_id AS probe_id, shingle FROM ex WHERE doc_id % 50 = 0)
+    "q64_contamination" -> (ContaminationCtes +
+      """
          SELECT c.corpus_id, p.probe_id, COUNT(*) AS shared
          FROM cf c JOIN pf p USING (shingle)
          WHERE c.corpus_id <> p.probe_id
-         GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3"""),
+    "q75_contamination_report" -> (ContaminationCtes +
+      """,
+         cpairs AS (
+           SELECT c.corpus_id, p.probe_id, COUNT(*) AS shared
+           FROM cf c JOIN pf p USING (shingle)
+           WHERE c.corpus_id <> p.probe_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         agg AS (
+           SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                  MAX(shared) AS max_shared
+           FROM cpairs GROUP BY 1)
+         SELECT d.doc_id AS probe_id,
+           COALESCE(a.n_hits, 0) AS n_hits,
+           CAST(COALESCE(a.max_shared, 0) AS BIGINT) AS max_shared,
+           COALESCE(a.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.probe_id
+         WHERE d.doc_id % 50 = 0"""),
     "q65_stratified_sample" ->
       """WITH t AS (
            SELECT doc_id,
@@ -1726,6 +1787,28 @@ object Queries {
                          CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (e.nrm * qv.nrm) END AS sim
            FROM asg e, qv WHERE e.bucket IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+
+  /** Shared CTE chain replaying the decontamination shingle pipeline
+    * (q64/q75): lowercase 3-gram shingles, corpus side df-capped at 100,
+    * probe side = doc_id % 50 == 0. Ends with `cf` (corpus) and `pf`
+    * (probe) shingle streams.
+    */
+  private def ContaminationCtes: String =
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
+                       array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS sh
+         FROM tok),
+       ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       cf AS (
+         SELECT doc_id AS corpus_id, shingle FROM ex
+         QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100),
+       pf AS (SELECT doc_id AS probe_id, shingle FROM ex WHERE doc_id % 50 = 0)"""
 
   private def MinHashOracleCtes: String =
     """WITH tok AS (

@@ -248,6 +248,36 @@ class DedupSpec extends SparkSpecBase {
     assert(cc == Seq(0L, 3L))
   }
 
+  test("keepBestByComponents keeps the best-scoring doc per cluster, min-id on ties") {
+    val corpus = Seq(
+      (10L, 1.0), (11L, 3.0), (12L, 2.0),  // chain: 11 has the best score
+      (13L, 5.0), (14L, 5.0),              // tie: min id 13 wins
+      (15L, 0.0))                          // isolated: untouched
+      .toDF("doc_id", "score")
+    val pairs = Seq((10L, 11L), (11L, 12L), (13L, 14L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestByComponents(corpus, pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L, 15L))
+    // contrast: min-id policy keeps 10, not the best-scoring 11
+    assert(Dedup.dropByComponents(corpus, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 13L, 15L))
+  }
+
+  test("contamination report includes zero-hit probes and flags leaked ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here entirely now"),
+      (3L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // leaked: overlaps 1 and 3
+      (200L, "nothing matches this probe at all ok")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, probe, shingleN = 3, minShared = 2)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rep(100L)._4 && rep(100L)._2 == 2L) // hits docs 1 and 3
+    assert(rep(100L)._3 == 4L)                 // 4 shared shingles with doc 1
+    assert(rep(200L) == ((200L, 0L, 0L, false)))
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
