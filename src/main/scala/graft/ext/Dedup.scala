@@ -135,6 +135,37 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Estimator-calibration audit: for every LSH candidate pair, the
+    * signature-estimated Jaccard (fraction of equal MinHash components —
+    * the standard unbiased estimate the STREAMING path decides on) next to
+    * the exact shingle Jaccard the batch path verifies with. Publishing
+    * |est − exact| per pair is how a pipeline picks k and the streaming
+    * threshold margin: the estimate's stderr is √(J(1−J)/k), so k=16 needs
+    * a generous margin and this report shows the realized spread on the
+    * actual corpus. Same physical shape as `verifiedNearDups` (bucket
+    * join → broadcast of the small candidate set).
+    */
+  def estimatorCalibration(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val cands = candidatePairs(docs, textCol, idCol, k, bands, shingleN)
+    val sigs = docs
+      .select(col(idCol), wordShingles(lower(col(textCol)), shingleN).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    cands
+      .join(sigs.select(col(idCol).as("id1"), col("sh").as("sh1"),
+        col("sig").as("sig1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col("sh").as("sh2"),
+        col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+          (a, b) => a === b), x => x)).cast("double") / lit(k.toDouble), 6)
+          .as("est_jaccard"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Near-dup removal: drop every document that is the larger-id member of
     * a verified near-dup pair (keep-first policy). This is the standard
     * single-pass dedup used on training corpora: it does not chase

@@ -106,6 +106,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialized random-projection index: the reduced vectors written
+    * once (with the sign-matrix parameters in the path's metadata being
+    * just (dimIn, dimOut, seed) — reconstructible anywhere from md5).
+    * Probes then scan dimOut doubles per row instead of dimIn floats —
+    * the "pay the projection once" half of the JL trade; combine with
+    * `writeIvfIndex`-style bucketing when even the reduced scan is too
+    * large.
+    */
+  def writeRprojIndex(embeddings: DataFrame, dimIn: Int, dimOut: Int,
+      path: String, seed: String = "rp",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    embeddings
+      .select(col(idCol),
+        randomProject(col(vecCol), rprojSigns(dimIn, dimOut, seed)).as("proj"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Top-k over a materialized rproj index: scores read pre-projected
+    * vectors (array<double>, length dimOut), so no per-row projection —
+    * the query is projected driver-side with the same (dimIn, dimOut,
+    * seed) matrix. Plan: scan → project(sim) → TakeOrderedAndProject.
+    */
+  def rprojTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queryVec: Seq[Float], k: Int, dimOut: Int = 16,
+      seed: String = "rp", idCol: String = "vec_id"): DataFrame = {
+    val signs = rprojSigns(queryVec.length, dimOut, seed)
+    val qp = signs.map(row =>
+      row.iterator.zip(queryVec.iterator).map { case (s, v) =>
+        s.toDouble * v.toDouble }.sum)
+    val num = (0 until dimOut)
+      .map(j => lit(qp(j)) * element_at(col("proj"), j + 1)).reduce(_ + _)
+    val nrm = sqrt((0 until dimOut)
+      .map(j => element_at(col("proj"), j + 1) * element_at(col("proj"), j + 1))
+      .reduce(_ + _))
+    spark.read.parquet(indexPath)
+      .select(col(idCol),
+        when(nrm === 0.0, lit(0.0)).otherwise(num / nrm).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest coarse centroid (IVF list).
     * Centroids come from a deterministic sample at build time; assignment
     * is a broadcast of the (tiny) centroid table + argmax — one narrow

@@ -896,6 +896,29 @@ object Queries {
       shingleN = 3, minShared = 3)
   }
 
+  /** Materialized rproj-index scale path of q72: reduced vectors written
+    * once, probes scan 16 doubles per row instead of 64 floats — same
+    * ranking, same oracle as q72 (the projection is deterministic, so
+    * pre-materializing it cannot change scores).
+    */
+  def q76RprojIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_rproj_${dir.hashCode.toHexString}"
+    Similarity.writeRprojIndex(emb, dimIn = qv.length, dimOut = 16, path = idx)
+    Similarity.rprojTopKIndexed(spark, idx, qv, k = 10, dimOut = 16)
+      .select(col("vec_id"))
+  }
+
+  /** MinHash estimator calibration: per candidate pair, the
+    * signature-estimated Jaccard (what the streaming dedup path decides
+    * on) against the exact shingle Jaccard (what the batch path verifies
+    * with) — the k-sizing audit (see `Dedup.estimatorCalibration`).
+    */
+  def q77EstCalibration(spark: SparkSession, dir: String): DataFrame =
+    Dedup.estimatorCalibration(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -973,7 +996,9 @@ object Queries {
     "q72_rproj_topk" -> (q72RprojTopK _),
     "q73_vocab_coverage" -> (q73VocabCoverage _),
     "q74_cc_best_keep" -> (q74CcBestKeep _),
-    "q75_contamination_report" -> (q75ContaminationReport _))
+    "q75_contamination_report" -> (q75ContaminationReport _),
+    "q76_rproj_indexed" -> (q76RprojIndexed _),
+    "q77_est_calibration" -> (q77EstCalibration _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1416,26 +1441,8 @@ object Queries {
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                  / CAST(t.total AS DOUBLE), 6) AS coverage
          FROM c, t""",
-    "q72_rproj_topk" ->
-      """WITH m AS (
-           SELECT gj.j, gk.k,
-             CASE WHEN substr(md5('rp|' || gj.j || '|' || gk.k), 1, 1)
-                       BETWEEN '0' AND '7'
-                  THEN 1.0 ELSE -1.0 END AS s
-           FROM generate_series(0, 15) gj(j), generate_series(0, 63) gk(k)),
-         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         qp AS (
-           SELECT m.j, SUM(CAST(q.qe[m.k + 1] AS DOUBLE) * m.s) AS v
-           FROM m, q GROUP BY m.j),
-         p AS (
-           SELECT e.vec_id, m.j,
-             SUM(CAST(e.embedding[m.k + 1] AS DOUBLE) * m.s) AS v
-           FROM embeddings e, m GROUP BY 1, 2),
-         sc AS (
-           SELECT p.vec_id,
-             SUM(p.v * qp.v) / NULLIF(sqrt(SUM(p.v * p.v)), 0) AS sim
-           FROM p JOIN qp USING (j) GROUP BY p.vec_id)
-         SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10""",
+    "q72_rproj_topk" -> RprojOracle,
+    "q76_rproj_indexed" -> RprojOracle,
     "q71_mixture_resample" ->
       """WITH c AS (
            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
@@ -1486,6 +1493,14 @@ object Queries {
                   FROM reach GROUP BY u)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
+    "q77_est_calibration" -> (MinHashOracleCtes +
+      """
+         SELECT p.id1, p.id2,
+           ROUND(CAST(len(list_filter(range(1, 17), i -> g1.sig[i] = g2.sig[i])) AS DOUBLE) / 16.0, 6) AS est_jaccard,
+           ROUND(p.jaccard, 6) AS jaccard
+         FROM pairs p
+         JOIN sig g1 ON p.id1 = g1.doc_id
+         JOIN sig g2 ON p.id2 = g2.doc_id"""),
     // q60's recursive-CC chain + per-doc quality (q24's formula) + argmax
     // keep per component (quality desc, id asc)
     "q74_cc_best_keep" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
@@ -1787,6 +1802,32 @@ object Queries {
                          CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (e.nrm * qv.nrm) END AS sim
            FROM asg e, qv WHERE e.bucket IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+
+  /** DuckDB replay of the md5-parity ±1 random projection (q72/q76): the
+    * 16×64 sign matrix from md5('rp|j|k'), both sides projected, reduced-
+    * space cosine top-10. The indexed variant (q76) pre-materializes the
+    * projection, which cannot change scores — same oracle.
+    */
+  private def RprojOracle: String =
+    """WITH m AS (
+         SELECT gj.j, gk.k,
+           CASE WHEN substr(md5('rp|' || gj.j || '|' || gk.k), 1, 1)
+                     BETWEEN '0' AND '7'
+                THEN 1.0 ELSE -1.0 END AS s
+         FROM generate_series(0, 15) gj(j), generate_series(0, 63) gk(k)),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       qp AS (
+         SELECT m.j, SUM(CAST(q.qe[m.k + 1] AS DOUBLE) * m.s) AS v
+         FROM m, q GROUP BY m.j),
+       p AS (
+         SELECT e.vec_id, m.j,
+           SUM(CAST(e.embedding[m.k + 1] AS DOUBLE) * m.s) AS v
+         FROM embeddings e, m GROUP BY 1, 2),
+       sc AS (
+         SELECT p.vec_id,
+           SUM(p.v * qp.v) / NULLIF(sqrt(SUM(p.v * p.v)), 0) AS sim
+         FROM p JOIN qp USING (j) GROUP BY p.vec_id)
+       SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10"""
 
   /** Shared CTE chain replaying the decontamination shingle pipeline
     * (q64/q75): lowercase 3-gram shingles, corpus side df-capped at 100,

@@ -50,6 +50,30 @@ class ChunkingSpec extends SparkSpecBase {
     }
   }
 
+  test("chunking is stateless, so it streams: per-batch output equals batch output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val chunked = Chunking.chunkTokens(input.toDF().toDF("doc_id", "text"), 4, 3)
+    val q = chunked.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, (1 to 10).map("t" + _).mkString(" ")))
+      q.processAllAvailable()
+      input.addData((2L, "a b c"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT doc_id, chunk_idx, chunk_text FROM chunk_stream")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = Chunking.chunkTokens(
+          Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b c"))
+            .toDF("doc_id", "text"), 4, 3)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("non-overlapping chunking (stride == chunkSize) partitions the tokens") {
     val text = (1 to 10).map("t" + _).mkString(" ")
     val out = chunksOf(text, 4, 4)

@@ -278,6 +278,24 @@ class DedupSpec extends SparkSpecBase {
     assert(rep(200L) == ((200L, 0L, 0L, false)))
   }
 
+  test("estimator calibration: identical docs estimate 1.0; est within stderr band") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")   // near-dup of 1
+    ).toDF("doc_id", "text")
+    val cal = Dedup.estimatorCalibration(corpus)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical shingle sets: both estimate and exact are 1.0
+    assert(cal((1L, 2L)) == ((1.0, 1.0)))
+    // near-dups: exact J = 5/7; estimate is m/16 with stderr sqrt(J(1-J)/16)≈0.11
+    val (est, exact) = cal((1L, 3L))
+    assert(exact == math.floor(5.0 / 7.0 * 1e6) / 1e6 ||
+      math.abs(exact - 5.0 / 7.0) < 1e-6)
+    assert(est >= 0.0 && est <= 1.0 && math.abs(est - exact) < 0.45)
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")

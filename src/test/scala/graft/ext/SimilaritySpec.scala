@@ -181,6 +181,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(proj(1L).map(_ * 2.0) == proj(2L))
   }
 
+  test("materialized rproj index reproduces the on-the-fly reduced-space ranking") {
+    val r = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i => i -> Seq.fill(12)(r.nextFloat() * 2 - 1))
+    val df = rows.toDF("vec_id", "embedding")
+    val qv = rows.head._2
+    val idx = java.nio.file.Files.createTempDirectory("rproj_idx").toString
+    Similarity.writeRprojIndex(df, dimIn = 12, dimOut = 6, path = idx)
+    val direct = Similarity.rprojTopK(df, qv, k = 5, dimOut = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    val indexed = Similarity.rprojTopKIndexed(spark, idx, qv, k = 5, dimOut = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(direct == indexed)
+  }
+
   test("reduced-space top-k ranks same-direction vectors first") {
     val r = new scala.util.Random(7)
     val base = Array.fill(16)(r.nextFloat() * 2 - 1)
