@@ -81,7 +81,9 @@ object Sampling {
         round(least(lit(1.0),
           lit(targetFrac) * col("_n_total") * pow(col("_cnt"), lit(alpha)) /
             (col("_w_total") * col("_cnt"))), 6).as("rate"))
-    df.join(broadcast(rates), stratum === col("_stratum"))
+    // null-safe equality: a null stratum is a legitimate group (it got a
+    // rate from the aggregate above) and must not be dropped by the join
+    df.join(broadcast(rates), stratum <=> col("_stratum"))
       .filter(uniformHash(col(keyCol), salt) < col("rate"))
       .drop("_stratum")
   }

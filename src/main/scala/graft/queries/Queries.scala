@@ -919,6 +919,22 @@ object Queries {
   def q77EstCalibration(spark: SparkSession, dir: String): DataFrame =
     Dedup.estimatorCalibration(Tables.load(spark, dir, "documents"))
 
+  /** Recall@10 audit of the reduced-space ANN (q72) against the exact
+    * full-dimension top-10 (q25) — the acceptance metric an ANN rollout
+    * publishes before swapping the serving path. One row: overlap count
+    * and recall fraction.
+    */
+  def q78RprojRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, qv, 10).select(col("vec_id"))
+    val approx = Similarity.rprojTopK(emb, qv, 10, dimOut = 16).select(col("vec_id"))
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        round(count(lit(1)).cast("double") / lit(10.0), 6).as("recall"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -998,7 +1014,8 @@ object Queries {
     "q74_cc_best_keep" -> (q74CcBestKeep _),
     "q75_contamination_report" -> (q75ContaminationReport _),
     "q76_rproj_indexed" -> (q76RprojIndexed _),
-    "q77_est_calibration" -> (q77EstCalibration _))
+    "q77_est_calibration" -> (q77EstCalibration _),
+    "q78_rproj_recall" -> (q78RprojRecall _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1443,6 +1460,22 @@ object Queries {
          FROM c, t""",
     "q72_rproj_topk" -> RprojOracle,
     "q76_rproj_indexed" -> RprojOracle,
+    "q78_rproj_recall" -> (RprojCtes +
+      """,
+         approx AS (SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         fx AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               k -> CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE))) /
+             (NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                 k -> CAST(q.qe[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))), 0)) AS sim
+           FROM embeddings e, q),
+         exact AS (SELECT vec_id FROM fx ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+         FROM exact JOIN approx USING (vec_id)"""),
     "q71_mixture_resample" ->
       """WITH c AS (
            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
@@ -1808,7 +1841,7 @@ object Queries {
     * space cosine top-10. The indexed variant (q76) pre-materializes the
     * projection, which cannot change scores — same oracle.
     */
-  private def RprojOracle: String =
+  private def RprojCtes: String =
     """WITH m AS (
          SELECT gj.j, gk.k,
            CASE WHEN substr(md5('rp|' || gj.j || '|' || gk.k), 1, 1)
@@ -1826,7 +1859,10 @@ object Queries {
        sc AS (
          SELECT p.vec_id,
            SUM(p.v * qp.v) / NULLIF(sqrt(SUM(p.v * p.v)), 0) AS sim
-         FROM p JOIN qp USING (j) GROUP BY p.vec_id)
+         FROM p JOIN qp USING (j) GROUP BY p.vec_id)"""
+
+  private def RprojOracle: String = RprojCtes +
+    """
        SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10"""
 
   /** Shared CTE chain replaying the decontamination shingle pipeline

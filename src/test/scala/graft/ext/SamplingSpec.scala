@@ -73,6 +73,17 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(kept("en") - 1000L) < 100L) // ~rate 1/3 of 3000
   }
 
+  test("temperature resample keeps null strata as their own group") {
+    val df = ((0L until 100L).map(i => (i, "en")) ++
+      (100L until 200L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "stratum")
+    val out = Sampling.temperatureResample(df, col("stratum"),
+      alpha = 1.0, targetFrac = 1.0)
+    // rate 1.0 everywhere: nothing is dropped, including the null stratum
+    assert(out.count() == 200L)
+    assert(out.filter(col("stratum").isNull).count() == 100L)
+  }
+
   test("temperature resample is deterministic and repartition-invariant") {
     val skew = ((0L until 300L).map((_, "en")) ++ (300L until 400L).map((_, "de")))
       .toDF("doc_id", "stratum")
