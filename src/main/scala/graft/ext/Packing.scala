@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Chunk manifest — the loader-side inverse of [[packOffsets]]: for each
+    * `capacity`-token chunk, how many documents land in it and how many of
+    * its token slots they fill. contrib(doc, chunk) =
+    * min(offset+n, (chunk+1)·cap) − max(offset, chunk·cap), all integer
+    * math, so every engine replays it exactly; every chunk except possibly
+    * the last fills to exactly `capacity` (spec-pinned invariant). Shape:
+    * the offsets' explode is bounded by ⌈n_tokens/cap⌉ rows per doc, and
+    * the per-chunk aggregate map-side combines — nothing holds more than
+    * one (doc, chunk) row.
+    */
+  def chunkManifest(docs: DataFrame, capacity: Long,
+      tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame =
+    packOffsets(docs, capacity, tokenCol, idCol)
+      .filter(col(tokenCol) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(col("first_chunk"), col("last_chunk"))))
+      .withColumn("contrib",
+        least(col("offset") + col(tokenCol), (col("chunk_id") + 1) * capacity) -
+          greatest(col("offset"), col("chunk_id") * capacity))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("n_tokens"))
+
   /** Per-doc global token offset and the [first_chunk, last_chunk] range it
     * spans at the given chunk capacity. Zero-token docs take no space
     * (first = last = chunk at their offset). The global cumulative sum is

@@ -935,6 +935,17 @@ object Queries {
         round(count(lit(1)).cast("double") / lit(10.0), 6).as("recall"))
   }
 
+  /** Packed-chunk manifest (the loader-side inverse of q67): per
+    * 2048-token chunk, how many documents land in it and how many token
+    * slots they fill (see `Packing.chunkManifest`).
+    */
+  def q79ChunkManifest(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunkManifest(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      capacity = 2048L)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1015,7 +1026,8 @@ object Queries {
     "q75_contamination_report" -> (q75ContaminationReport _),
     "q76_rproj_indexed" -> (q76RprojIndexed _),
     "q77_est_calibration" -> (q77EstCalibration _),
-    "q78_rproj_recall" -> (q78RprojRecall _))
+    "q78_rproj_recall" -> (q78RprojRecall _),
+    "q79_chunk_manifest" -> (q79ChunkManifest _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1646,13 +1658,32 @@ object Queries {
            FROM documents),
          c AS (
            SELECT doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
            FROM t)
          SELECT doc_id, n_tokens, "offset",
            "offset" // 2048 AS first_chunk,
            ("offset" + GREATEST(n_tokens, 1) - 1) // 2048 AS last_chunk
          FROM c""",
+    "q79_chunk_manifest" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+           FROM t),
+         spans AS (
+           SELECT doc_id, n_tokens, "offset",
+             unnest(generate_series("offset" // 2048,
+               ("offset" + GREATEST(n_tokens, 1) - 1) // 2048)) AS chunk_id
+           FROM c WHERE n_tokens > 0)
+         SELECT chunk_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST("offset" + n_tokens, (chunk_id + 1) * 2048) -
+                    GREATEST("offset", chunk_id * 2048)) AS BIGINT) AS n_tokens
+         FROM spans GROUP BY chunk_id""",
     "q63_quantize_int8" ->
       """WITH m AS (
            SELECT vec_id, embedding,

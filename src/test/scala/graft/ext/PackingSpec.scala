@@ -35,4 +35,29 @@ class PackingSpec extends SparkSpecBase {
     val expect = (0L until 500L).scanLeft(0L)((acc, i) => acc + (i % 17) + 1)
     assert(a.forall { case (id, off) => off == expect(id.toInt) })
   }
+
+  test("chunk manifest: interior chunks fill to capacity, totals conserve tokens") {
+    val docs = (0L until 100L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "n_tokens")
+    val totalTokens = (0L until 100L).map(i => (i % 7) + 1).sum
+    val m = Packing.chunkManifest(docs, capacity = 16L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // chunk ids are contiguous from 0
+    assert(m.map(_._1) == (0L until m.size.toLong))
+    // every chunk but the last holds exactly `capacity` tokens
+    assert(m.dropRight(1).forall(_._3 == 16L))
+    assert(m.last._3 == totalTokens - 16L * (m.size - 1))
+    // token conservation across the manifest
+    assert(m.map(_._3).sum == totalTokens)
+    // a doc spanning a boundary is counted in both chunks' n_docs
+    val spanDocs = Packing.packOffsets(docs, 16L)
+      .filter($"first_chunk" =!= $"last_chunk").count()
+    assert(m.map(_._2).sum == 100L + spanDocs)
+  }
+
+  test("chunk manifest: zero-token docs never appear") {
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val m = Packing.chunkManifest(docs, capacity = 16L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m == Seq((0L, 2L, 8L)))
+  }
 }
