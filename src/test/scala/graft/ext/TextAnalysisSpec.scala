@@ -100,6 +100,34 @@ class TextAnalysisSpec extends SparkSpecBase {
       ("d", 1L, 4L, 1.0)))
   }
 
+  test("documentFeatures is stateless, so it streams: per-batch equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val feats = TextAnalysis.documentFeatures(
+      input.toDF().toDF("doc_id", "text"))
+    val q = feats.writeStream.format("memory").queryName("feat_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((2L, "der die und das ist hier"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT doc_id, n_tokens, quality, lang_pred FROM feat_stream")
+        .as[(Long, Long, Double, String)].collect().toSet
+      val batch = TextAnalysis.documentFeatures(
+          Seq((1L, "the quick brown fox jumps over the lazy dog"),
+            (2L, "der die und das ist hier")).toDF("doc_id", "text"))
+        .select("doc_id", "n_tokens", "quality", "lang_pred")
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // and the features are sane: doc 1 is english, doc 2 german
+      assert(batch.find(_._1 == 1L).get._4 == "en")
+      assert(batch.find(_._1 == 2L).get._4 == "de")
+    } finally q.stop()
+  }
+
   test("repetition signals: zero-token docs produce no row") {
     val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
     val ids = TextAnalysis.repetitionSignals(df)
