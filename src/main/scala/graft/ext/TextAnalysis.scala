@@ -195,47 +195,39 @@ object TextAnalysis {
     * corpora (high top-fractions / low distinct ratio ⇒ boilerplate or
     * degenerate text).
     *
-    * Physical shape: explode → per-(doc, term) counts → per-doc aggregate.
-    * Both aggregations are hash aggregates with map-side combine, so the
-    * shuffle carries one row per distinct (doc, term) — bounded by corpus
-    * vocabulary × docs, never raw token volume. Unigram and bigram branches
-    * shuffle independently and join on the (already-shuffled) doc key.
-    * Documents with zero tokens produce no row (there is nothing to
-    * measure); callers wanting them keep a left join on the corpus.
+    * Physical shape: ZERO shuffles. A document's tokens are already
+    * co-located in its row, so per-doc frequency stats are a per-row
+    * hashmap pass (native `TokenFreqStats` kernel, one for unigrams and
+    * one over native `AdjacentBigrams` — bigrams keep duplicates, unlike
+    * WordShingles' MinHash dedup: the signal IS the duplicate mass), and
+    * the whole operator is scan → project — it rides the input
+    * partitioning at any corpus size. (The first formulation was two
+    * explode → groupBy(doc, term) → groupBy(doc) shuffle chains; the
+    * kernel replaces ~4 corpus-wide exchanges and the token-volume
+    * explode.) Documents with zero tokens produce no row (there is
+    * nothing to measure); callers wanting them keep a left join on the
+    * corpus.
     */
   def repetitionSignals(docs: DataFrame, topWordMax: Double = 0.12,
       topBigramMax: Double = 0.08, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      tokens(lower(col(textCol))).as("toks"))
-    val uni = toks
-      .select(col(idCol), explode(col("toks")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .groupBy(col(idCol)).agg(
-        sum(col("tf")).as("n_tokens"),
-        max(col("tf")).as("top_tf"),
-        count(lit(1)).as("n_distinct"))
-    // adjacent-pair bigrams keep duplicates (unlike WordShingles, which
-    // dedups for MinHash): the signal IS the duplicate mass. Native
-    // codegen'd kernel — the zip_with(slice, slice, concat) formulation
-    // pays an interpreted lambda per token in the scan's hot path.
-    val bi = toks
+    val toks = tokens(lower(col(textCol)))
+    docs
       .select(col(idCol),
-        explode(graft.functions.native.adjacentBigrams(col("toks"))).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
-      .groupBy(col(idCol)).agg(
-        sum(col("bf")).as("n_bigrams"),
-        max(col("bf")).as("top_bf"))
-    uni.join(bi, Seq(idCol), "left")
+        graft.functions.native.tokenFreqStats(toks).as("u"),
+        graft.functions.native.tokenFreqStats(
+          graft.functions.native.adjacentBigrams(toks)).as("b"))
+      .filter(col("u.n_total") > 0)
       .select(col(idCol),
-        col("n_tokens"),
-        col("n_distinct"),
-        round(col("top_tf").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("top_word_frac"),
-        round(coalesce(col("top_bf").cast("double") /
-          col("n_bigrams").cast("double"), lit(0.0)), 6).as("top_bigram_frac"),
-        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("distinct_ratio"))
+        col("u.n_total").as("n_tokens"),
+        col("u.n_distinct").as("n_distinct"),
+        round(col("u.top_freq").cast("double") /
+          col("u.n_total").cast("double"), 6).as("top_word_frac"),
+        round(when(col("b.n_total") === 0, lit(0.0))
+          .otherwise(col("b.top_freq").cast("double") /
+            col("b.n_total").cast("double")), 6).as("top_bigram_frac"),
+        round(col("u.n_distinct").cast("double") /
+          col("u.n_total").cast("double"), 6).as("distinct_ratio"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax || col("top_bigram_frac") > topBigramMax)
   }

@@ -382,6 +382,29 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass token frequency stats over a string array: total count,
+    * distinct count, and the top single-element frequency — the per-doc
+    * repetition signals WITHOUT an explode/groupBy (each document's tokens
+    * are already co-located in its row, so a per-row hashmap replaces two
+    * corpus-wide shuffles). Null elements count as empty strings.
+    */
+  def tokenFreqStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      var c = counts.get(t)
+      if (c == null) { c = new Array[Int](1); counts.put(t, c) }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, counts.size.toLong, top.toLong)
+  }
+
   def wordShingles(in: UTF8String, n: Int): ArrayData = {
     val toks = in.toString.split(' ').iterator.filter(_.nonEmpty).toArray
     val seen = new java.util.LinkedHashSet[String]()
@@ -557,6 +580,35 @@ case class AdjacentBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass per-row token frequency stats (see
+  * `HashKernels.tokenFreqStats`): struct(n_total, n_distinct, top_freq).
+  * Turns the repetition-signal aggregation from two explode→groupBy
+  * shuffle chains into a shuffle-free scan projection.
+  */
+case class TokenFreqStats(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_freq", LongType, nullable = false)))
+  override def prettyName: String = "token_freq_stats"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.tokenFreqStats(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.tokenFreqStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFreqStats =
+    copy(child = newChild)
+}
+
 /** Whitespace tokens (split on single spaces, empties dropped) as a native
   * expression — semantics of `filter(split(text, " "), _ =!= "")` without
   * the interpreted per-token lambda (the HOF path dominated the langid /
@@ -668,6 +720,8 @@ object native {
     col(WhitespaceTokens(ex(text)))
   def adjacentBigrams(arr: Column): Column =
     col(AdjacentBigrams(ex(arr)))
+  def tokenFreqStats(arr: Column): Column =
+    col(TokenFreqStats(ex(arr)))
   def arrayCountIn(arr: Column, keywords: Seq[String]): Column =
     col(ArrayCountIn(ex(arr), keywords))
   def quantizeInt8(vec: Column): Column =
@@ -690,6 +744,7 @@ object native {
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
     "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },
+    "token_freq_stats" -> { args => TokenFreqStats(args(0)) },
     "quantize_int8" -> { args => QuantizeInt8(args(0)) },
     "array_count_in" -> { args => ArrayCountIn(args(0), stringArrayArg(args(1), "keywords")) })
 

@@ -148,12 +148,27 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(rows(0)._1 == Seq("x y", "y x", "x y", "y x"))
   }
 
+  test("tokenFreqStats matches the explode/groupBy formulation") {
+    val df = Seq("x y x y x", "a b c", "solo", "q q q q").toDF("text")
+    val toks = native.whitespaceTokens(col("text"))
+    val rows = df.select(native.tokenFreqStats(toks).as("s"))
+      .select("s.n_total", "s.n_distinct", "s.top_freq")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((5L, 2L, 3L), (3L, 3L, 1L), (1L, 1L, 1L), (4L, 1L, 4L)))
+    // empty array: all zeros
+    val empty = Seq("").toDF("text")
+      .select(native.tokenFreqStats(native.whitespaceTokens(col("text"))).as("s"))
+      .select("s.n_total", "s.n_distinct", "s.top_freq")
+      .as[(Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L)))
+  }
+
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
       Seq("adjacent_bigrams", "array_count_in", "dot_product_f",
         "hyperplane_sign_bits", "minhash_sig", "minhash_sig_p",
-        "quantize_int8", "simhash60_p", "simhash64", "whitespace_tokens",
-        "word_shingles"))
+        "quantize_int8", "simhash60_p", "simhash64", "token_freq_stats",
+        "whitespace_tokens", "word_shingles"))
   }
 }
