@@ -258,6 +258,30 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Rare-token ratio — the OOV-ish quality signal (CCNet-family): per
+    * document, the fraction of tokens whose corpus DOCUMENT frequency is
+    * below `dfThreshold`. High ratios flag gibberish/noise; near-zero
+    * ratios flag boilerplate. The honest scale shape: token explode →
+    * per-term doc-frequency aggregate → term-keyed join back → per-doc
+    * aggregate. The rare vocabulary is NOT broadcast: under Zipf most of
+    * a web-scale vocabulary IS rare, so the rare set grows with the
+    * corpus and only the shuffle join scales.
+    */
+  def rareTokenRatio(docs: DataFrame, dfThreshold: Long = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val dfreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "term")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("df") < dfThreshold, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

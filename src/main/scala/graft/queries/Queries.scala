@@ -946,6 +946,30 @@ object Queries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
       capacity = 2048L)
 
+  /** Rare-token (OOV-ish) ratio per document: fraction of tokens whose
+    * corpus document-frequency is < 3 (see `TextAnalysis.rareTokenRatio`).
+    */
+  def q80RareTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rareTokenRatio(Tables.load(spark, dir, "documents"))
+
+  /** One-row corpus report card: document/token/vocabulary volumes,
+    * exact-duplicate count, language spread — the summary a curation run
+    * prints before and after each stage.
+    */
+  def q81CorpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("n_toks")).as("max_doc_tokens"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1027,7 +1051,9 @@ object Queries {
     "q76_rproj_indexed" -> (q76RprojIndexed _),
     "q77_est_calibration" -> (q77EstCalibration _),
     "q78_rproj_recall" -> (q78RprojRecall _),
-    "q79_chunk_manifest" -> (q79ChunkManifest _))
+    "q79_chunk_manifest" -> (q79ChunkManifest _),
+    "q80_rare_token_ratio" -> (q80RareTokenRatio _),
+    "q81_corpus_summary" -> (q81CorpusSummary _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1665,6 +1691,26 @@ object Queries {
            "offset" // 2048 AS first_chunk,
            ("offset" + GREATEST(n_tokens, 1) - 1) // 2048 AS last_chunk
          FROM c""",
+    "q80_rare_token_ratio" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+           FROM documents),
+         dfq AS (
+           SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio
+         FROM tok JOIN dfq USING (term)
+         GROUP BY doc_id""",
+    "q81_corpus_summary" ->
+      """SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT md5(LOWER(TRIM(text)))) AS n_unique_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(MAX(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS max_doc_tokens
+         FROM documents""",
     "q79_chunk_manifest" ->
       """WITH t AS (
            SELECT doc_id,

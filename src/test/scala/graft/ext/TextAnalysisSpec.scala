@@ -128,6 +128,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("rare-token ratio: df threshold separates common from rare terms") {
+    // "shared" appears in all 3 docs (df=3, not rare at threshold 3);
+    // each docN also has a unique token (df=1, rare)
+    val df = Seq(
+      (1L, "shared one1"),
+      (2L, "shared two2"),
+      (3L, "shared three3 three3")).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenRatio(df, dfThreshold = 3)
+      .select("doc_id", "n_tokens", "n_rare", "rare_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    // doc 3: 3 tokens, "three3" twice (df=1 -> both occurrences rare)
+    assert(out(3L) == ((3L, 3L, 2L, 0.666667)))
+  }
+
   test("repetition signals: zero-token docs produce no row") {
     val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
     val ids = TextAnalysis.repetitionSignals(df)
