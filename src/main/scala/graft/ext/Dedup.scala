@@ -135,6 +135,22 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicate-cluster size histogram — the dedup health metric: how many
+    * exact-duplicate families exist at each multiplicity (cluster_size 1 =
+    * unique docs). Two cheap aggregations (fingerprint → family size →
+    * histogram), both map-side combined; the first shuffle carries one row
+    * per distinct fingerprint, the second one row per distinct size.
+    * Reading: mass at high multiplicities = crawler traps / boilerplate;
+    * the `n_docs - n_families` gap is exactly what exact dedup removes.
+    */
+  def dupClusterHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Estimator-calibration audit: for every LSH candidate pair, the
     * signature-estimated Jaccard (fraction of equal MinHash components —
     * the standard unbiased estimate the STREAMING path decides on) next to

@@ -970,6 +970,12 @@ object Queries {
         max(col("n_toks")).as("max_doc_tokens"))
   }
 
+  /** Duplicate-cluster size histogram: families per exact-dup
+    * multiplicity (see `Dedup.dupClusterHistogram`).
+    */
+  def q82DupHistogram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusterHistogram(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1053,7 +1059,8 @@ object Queries {
     "q78_rproj_recall" -> (q78RprojRecall _),
     "q79_chunk_manifest" -> (q79ChunkManifest _),
     "q80_rare_token_ratio" -> (q80RareTokenRatio _),
-    "q81_corpus_summary" -> (q81CorpusSummary _))
+    "q81_corpus_summary" -> (q81CorpusSummary _),
+    "q82_dup_histogram" -> (q82DupHistogram _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1691,6 +1698,13 @@ object Queries {
            "offset" // 2048 AS first_chunk,
            ("offset" + GREATEST(n_tokens, 1) - 1) // 2048 AS last_chunk
          FROM c""",
+    "q82_dup_histogram" ->
+      """WITH fam AS (
+           SELECT md5(LOWER(TRIM(text))) AS fp, COUNT(*) AS cluster_size
+           FROM documents GROUP BY 1)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         FROM fam GROUP BY cluster_size""",
     "q80_rare_token_ratio" ->
       """WITH tok AS (
            SELECT doc_id,

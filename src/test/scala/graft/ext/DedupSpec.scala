@@ -296,6 +296,17 @@ class DedupSpec extends SparkSpecBase {
     assert(est >= 0.0 && est <= 1.0 && math.abs(est - exact) < 0.45)
   }
 
+  test("dup-cluster histogram counts families by multiplicity") {
+    val corpus = Seq(
+      (1L, "aa"), (2L, "AA "), (3L, "aa"),   // one family of 3 (normalized)
+      (4L, "bb"), (5L, "bb"),                // one family of 2
+      (6L, "cc"), (7L, "dd")                 // two unique docs
+    ).toDF("doc_id", "text")
+    val h = Dedup.dupClusterHistogram(corpus)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))))
+  }
+
   test("LSH bucket-size guard drops degenerate buckets") {
     // 50 identical docs: one bucket of 50 → guard at 10 suppresses the blowup
     val many = (0L until 50L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
