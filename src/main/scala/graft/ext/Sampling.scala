@@ -65,9 +65,15 @@ object Sampling {
     * decimals so an external replayer (the DuckDB oracle) computes the
     * identical boundary even when its pow/sum ULPs differ.
     */
-  def temperatureResample(df: DataFrame, stratum: Column, alpha: Double,
-      targetFrac: Double, keyCol: String = "doc_id",
-      salt: String = "mix"): DataFrame = {
+  /** The per-stratum rate table (_stratum, rate) behind
+    * [[temperatureResample]], exposed separately so the rates computed on
+    * a reference corpus can be applied elsewhere — most usefully to a
+    * STREAM via [[applyRates]] (rate derivation needs a global aggregate,
+    * which a stream can't do; compute-on-batch / apply-on-stream is the
+    * production split).
+    */
+  def temperatureRates(df: DataFrame, stratum: Column, alpha: Double,
+      targetFrac: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(targetFrac > 0.0 && targetFrac <= 1.0,
       s"targetFrac must be in (0,1], got $targetFrac")
@@ -76,15 +82,31 @@ object Sampling {
     val totals = counts.agg(
       sum(col("_cnt")).as("_n_total"),
       sum(pow(col("_cnt"), lit(alpha))).as("_w_total"))
-    val rates = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("_stratum"),
         round(least(lit(1.0),
           lit(targetFrac) * col("_n_total") * pow(col("_cnt"), lit(alpha)) /
             (col("_w_total") * col("_cnt"))), 6).as("rate"))
-    // null-safe equality: a null stratum is a legitimate group (it got a
-    // rate from the aggregate above) and must not be dropped by the join
+  }
+
+  /** Apply a (_stratum, rate) table to a batch OR streaming frame: a
+    * broadcast (stream-static) join plus the stateless md5 keep decision —
+    * rows whose stratum has no rate are dropped (no rate = not in the
+    * reference mix). Null-safe on the stratum: a null stratum is a
+    * legitimate group and must not be dropped by the join.
+    */
+  def applyRates(df: DataFrame, stratum: Column, rates: DataFrame,
+      keyCol: String = "doc_id", salt: String = "mix"): DataFrame =
     df.join(broadcast(rates), stratum <=> col("_stratum"))
       .filter(uniformHash(col(keyCol), salt) < col("rate"))
       .drop("_stratum")
-  }
+
+  /** Temperature resampling in one step: rates from [[temperatureRates]]
+    * applied back to the same frame via [[applyRates]].
+    */
+  def temperatureResample(df: DataFrame, stratum: Column, alpha: Double,
+      targetFrac: Double, keyCol: String = "doc_id",
+      salt: String = "mix"): DataFrame =
+    applyRates(df, stratum,
+      temperatureRates(df, stratum, alpha, targetFrac), keyCol, salt)
 }

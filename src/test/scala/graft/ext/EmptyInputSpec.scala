@@ -39,5 +39,26 @@ class EmptyInputSpec extends SparkSpecBase {
       centroids, Seq(1f, 0f), 5).count() == 0)
     assert(Similarity.cosineNearDupPairs(emptyEmb, threshold = 0.5,
       planes = 8, bands = 4, dim = 2).count() == 0)
+    assert(Similarity.rprojTopK(emptyEmb, Seq(1f, 0f), 5, dimOut = 2)
+      .count() == 0)
+  }
+
+  test("round-4 second-half operators on empty inputs") {
+    assert(TextAnalysis.repetitionSignals(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabCoverage(emptyDocs).count() == 0)
+    assert(TextAnalysis.rareTokenRatio(emptyDocs).count() == 0)
+    assert(Chunking.chunkTokens(emptyDocs, 32, 24).count() == 0)
+    assert(Sampling.temperatureResample(emptyDocs, col("text"),
+      alpha = 0.5, targetFrac = 0.5).count() == 0)
+    assert(Dedup.keepBestByComponents(emptyDocs,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), lit(1.0)).count() == 0)
+    assert(Dedup.contaminationReport(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.estimatorCalibration(emptyDocs).count() == 0)
+    assert(Dedup.dupClusterHistogram(emptyDocs).count() == 0)
+    assert(Packing.chunkManifest(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), 10L).count() == 0)
+    assert(graft.operators.PrefixSum.withGlobalCumSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"),
+      Seq(col("id")), col("v"), "cum").count() == 0)
   }
 }

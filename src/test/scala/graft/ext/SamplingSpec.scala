@@ -84,6 +84,36 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.filter(col("stratum").isNull).count() == 100L)
   }
 
+  test("batch-computed rates apply to a stream (stream-static join) identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = ((0L until 300L).map(i => (i, "en")) ++
+      (300L until 400L).map(i => (i, "de"))).toDF("doc_id", "stratum")
+    val rates = Sampling.temperatureRates(ref, col("stratum"),
+      alpha = 0.5, targetFrac = 0.5)
+    val input = MemoryStream[(Long, String)]
+    val sampled = Sampling.applyRates(
+      input.toDF().toDF("doc_id", "stratum"), col("stratum"), rates)
+    val q = sampled.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 200L).map(i => (i, if (i < 150) "en" else "de")): _*)
+      q.processAllAvailable()
+      input.addData((200L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM mix_stream")
+        .as[Long].collect().sorted.toSeq
+      // identical rows to applying the same rates in batch: the keep
+      // decision is a pure function of (doc_id, stratum, rates)
+      val batchDocs = ((0L until 200L).map(i => (i, if (i < 150) "en" else "de")) ++
+        (200L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de")))
+        .toDF("doc_id", "stratum")
+      val batch = Sampling.applyRates(batchDocs, col("stratum"), rates)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("temperature resample is deterministic and repartition-invariant") {
     val skew = ((0L until 300L).map((_, "en")) ++ (300L until 400L).map((_, "de")))
       .toDF("doc_id", "stratum")

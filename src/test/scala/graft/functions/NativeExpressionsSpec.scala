@@ -69,6 +69,13 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // simhash deterministic across invocations
     val again = spark.sql("SELECT simhash64(array('spark', 'engine'))").collect().head.getLong(0)
     assert(row.getLong(0) == again)
+    // round-4 additions are on the SQL surface too
+    val r4 = spark.sql(
+      """SELECT size(adjacent_bigrams(whitespace_tokens('x y x y'))) AS nb,
+                token_freq_stats(whitespace_tokens('x y x y x')).top_freq AS tf
+      """).collect().head
+    assert(r4.getInt(0) == 3)  // "x y", "y x", "x y"
+    assert(r4.getLong(1) == 3L)
   }
 
   test("hash family: generated-code path agrees with interpreted eval") {
