@@ -976,6 +976,31 @@ object Queries {
   def q82DupHistogram(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusterHistogram(Tables.load(spark, dir, "documents"))
 
+  /** Per-source scorecard: volume, mean quality, mean length, and
+    * unidentified-language count by source — the triage table a curation
+    * team reads to decide which sources to keep, cap, or drop. Mean
+    * quality goes through a DECIMAL(18,6) sum (quality is 6dp-rounded, so
+    * the decimal is exact) to keep the cross-engine average bit-stable —
+    * a raw double sum's order-dependent ULPs could flip the rounding.
+    */
+  def q83SourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs
+      .select(col("source"),
+        TextAnalysis.qualityScore(col("text"))
+          .cast("decimal(18,6)").as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+        (TextAnalysis.langId(col("text")) === "und").cast("long").as("und"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_quality"),
+        round(sum(col("nt")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_tokens"),
+        sum(col("und")).as("n_und"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1060,7 +1085,8 @@ object Queries {
     "q79_chunk_manifest" -> (q79ChunkManifest _),
     "q80_rare_token_ratio" -> (q80RareTokenRatio _),
     "q81_corpus_summary" -> (q81CorpusSummary _),
-    "q82_dup_histogram" -> (q82DupHistogram _))
+    "q82_dup_histogram" -> (q82DupHistogram _),
+    "q83_source_scorecard" -> (q83SourceScorecard _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1698,6 +1724,20 @@ object Queries {
            "offset" // 2048 AS first_chunk,
            ("offset" + GREATEST(n_tokens, 1) - 1) // 2048 AS last_chunk
          FROM c""",
+    // curation feature CTEs (ct/feats) + per-source rollup with the
+    // DECIMAL-exact quality average
+    "q83_source_scorecard" -> ("WITH " + CurationCtes + """,
+         scrd AS (
+           SELECT d.source, f.lang_pred, f.quality, len(c.toks) AS nt
+           FROM documents d
+           JOIN feats f USING (doc_id)
+           JOIN ct c USING (doc_id))
+         SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           CAST(SUM(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+         FROM scrd GROUP BY source"""),
     "q82_dup_histogram" ->
       """WITH fam AS (
            SELECT md5(LOWER(TRIM(text))) AS fp, COUNT(*) AS cluster_size
