@@ -296,6 +296,36 @@ class DedupSpec extends SparkSpecBase {
     assert(est >= 0.0 && est <= 1.0 && math.abs(est - exact) < 0.45)
   }
 
+  test("ingest-time decontamination: the gate applies per micro-batch via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.Map[Long, Boolean]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // corpus side = the arriving batch, probe side = the static eval set
+        val leaked = Dedup.contaminationPairs(batch, evalSet,
+            shingleN = 3, minShared = 2)
+          .select("corpus_id").as[Long].collect().toSet
+        batch.select("doc_id").as[Long].collect()
+          .foreach(id => flagged.synchronized { flagged(id) = leaked(id) })
+        ()
+      }.start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta something else"), // leaked: 3-gram overlap
+        (2L, "completely unrelated tokens only here"))
+      q.processAllAvailable()
+      input.addData((3L, "beta gamma delta epsilon tail words"))
+      q.processAllAvailable()
+      assert(flagged.synchronized(flagged.toMap) ==
+        Map(1L -> true, 2L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
   test("dup-cluster histogram counts families by multiplicity") {
     val corpus = Seq(
       (1L, "aa"), (2L, "AA "), (3L, "aa"),   // one family of 3 (normalized)
