@@ -47,9 +47,16 @@ object Bench {
         Some((name, good.min, good.max - good.min))
       } else None
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the 83-query line compact, and the
+    // metric/value/unit summary goes LAST in the object: the driver stores
+    // only the final ~2000 chars of output, so with the summary at the
+    // front a long queries map pushed the headline total out of view
+    // (BENCH_r04 tail started mid-map). JSON objects are unordered, so any
+    // real parser sees the identical record.
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
@@ -57,7 +64,7 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"spread":$spreads,"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -241,6 +241,67 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
+    * the deterministic sibling of the MinHash path: no signature
+    * approximation anywhere, so recall is exact by construction for every
+    * pair sharing ≥ `minShared` discriminative shingles. Candidate
+    * generation is a posting-list self-join: explode distinct shingles,
+    * drop shingles whose document frequency exceeds `dfCap` (high-df
+    * shingles are non-discriminative boilerplate AND the thing that makes
+    * a shingle self-join quadratic — a shingle with df=d contributes
+    * d·(d−1)/2 candidates), then count shared shingles per doc pair and
+    * verify exact Jaccard on the full shingle sets.
+    *
+    * Scale shape vs MinHash/LSH (`candidatePairs`): work is bounded by
+    * Σ df² over KEPT shingles instead of Σ bucket² over LSH buckets — no
+    * hashing cost and no probabilistic misses, at the price of a wider
+    * candidate set on corpora with many mid-frequency shingles. The
+    * standard pick: n-gram Jaccard for high-precision small-n dedup and
+    * contamination-adjacent audits, MinHash banding when the corpus is so
+    * large even the capped posting join is too wide.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      wordShingles(lower(col(textCol)), shingleN).as("sh"))
+    val posts = sh
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val cands = posts.select(col("shingle"), col(idCol).as("id1"))
+      .join(posts.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Near-dup removal over the exact n-gram Jaccard pair graph (keep-first,
+    * mirroring `dropNearDups`' policy; compose with `dropByComponents` for
+    * the transitive variant).
+    */
+  def dropNgramJaccardDups(docs: DataFrame, threshold: Double = 0.8,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val losers = ngramJaccardPairs(docs, threshold, shingleN, minShared,
+        dfCap, textCol, idCol)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components of an undirected edge list via alternating

@@ -1001,6 +1001,41 @@ object Queries {
         sum(col("und")).as("n_und"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index —
+    * the deterministic, exact-recall sibling of q30's MinHash banding (see
+    * `Dedup.ngramJaccardPairs` for the Σ df² vs Σ bucket² scale trade).
+    */
+  def q84NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+      threshold = 0.5)
+
+  /** Sketch audit: HyperLogLog distinct counts and quantile-sketch medians
+    * next to their exact counterparts, gated by tolerance booleans — the
+    * acceptance check a 100 TB pipeline runs before swapping exact
+    * `COUNT(DISTINCT)` (a full shuffle of every key) for a mergeable
+    * constant-size sketch. Outputs only exact values and the pass/fail
+    * gates, so the oracle is exact SQL; the sketch estimates are
+    * deterministic for a fixed corpus (HLL++ and the Greenwald–Khanna
+    * percentile sketch are hash/order-stable under Spark's sort-free
+    * partial aggregation here), making the booleans replayable facts, not
+    * flaky assertions. rsd=1% HLL vs a 5% gate, accuracy-10k GK vs a
+    * ±1.0 gate on 1..50-valued quantities.
+    */
+  def q85SketchAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
+            countDistinct(col("l_orderkey"))).cast("double") <=
+          countDistinct(col("l_orderkey")).cast("double") * 0.05)
+          .as("hll_ok"),
+        (abs(percentile_approx(col("l_quantity").cast("double"), lit(0.5),
+            lit(10000)) -
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)")) <= 1.0)
+          .as("p50_ok"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1086,7 +1121,9 @@ object Queries {
     "q80_rare_token_ratio" -> (q80RareTokenRatio _),
     "q81_corpus_summary" -> (q81CorpusSummary _),
     "q82_dup_histogram" -> (q82DupHistogram _),
-    "q83_source_scorecard" -> (q83SourceScorecard _))
+    "q83_source_scorecard" -> (q83SourceScorecard _),
+    "q84_ngram_jaccard" -> (q84NgramJaccard _),
+    "q85_sketch_audit" -> (q85SketchAudit _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1726,6 +1763,40 @@ object Queries {
          FROM c""",
     // curation feature CTEs (ct/feats) + per-source rollup with the
     // DECIMAL-exact quality average
+    "q84_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
+                         array_to_string(list_slice(toks, i, i + 2), ' ')))
+             END AS sh
+           FROM tok),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         posts AS (
+           -- mirror Spark's dfCap=100 posting-list guard
+           SELECT doc_id, shingle FROM ex
+           QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100),
+         cand AS (
+           SELECT l.doc_id AS id1, r.doc_id AS id2, COUNT(*) AS shared
+           FROM posts l JOIN posts r ON l.shingle = r.shingle
+           WHERE l.doc_id < r.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         pairs AS (
+           SELECT c.id1, c.id2, c.shared,
+             CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(s1.sh, s2.sh))) AS DOUBLE) AS jaccard
+           FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id)
+         SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+           ROUND(jaccard, 6) AS jaccard
+         FROM pairs WHERE jaccard >= 0.5""",
+    "q85_sketch_audit" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_orderkey) AS n_orders,
+         TRUE AS hll_ok, TRUE AS p50_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "q83_source_scorecard" -> ("WITH " + CurationCtes + """,
          scrd AS (
            SELECT d.source, f.lang_pred, f.quality, len(c.toks) AS nt

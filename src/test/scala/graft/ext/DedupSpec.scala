@@ -46,6 +46,41 @@ class DedupSpec extends SparkSpecBase {
     assert(j.length == 1 && math.abs(j.head - 0.6) < 1e-9)
   }
 
+  test("ngram jaccard: exact recall via posting join, df cap prunes boilerplate") {
+    // doc0/doc1 share 3 of 5 distinct 3-shingles (J = 0.6); doc2 unrelated
+    val three = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e g"),
+      (2L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(three, threshold = 0.5)
+      .select("id1", "id2", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 3L, 0.6)))
+    // minShared=4 demands more shared shingles than the pair has → empty
+    assert(Dedup.ngramJaccardPairs(three, threshold = 0.5, minShared = 4).isEmpty)
+    // dfCap=1 drops every shingle the pair shares (df=2) → no candidates
+    assert(Dedup.ngramJaccardPairs(three, threshold = 0.5, dfCap = 1).isEmpty)
+    // keep-first drop removes the larger id of the verified pair
+    val kept = Dedup.dropNgramJaccardDups(three, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L))
+  }
+
+  test("ngram jaccard agrees with the LSH-verified path on the shared corpus") {
+    // both paths verify exact jaccard, so on pairs BOTH generate the values
+    // must agree; the exact path may only ever find MORE pairs (no
+    // probabilistic misses), never fewer with a permissive df cap
+    val lsh = Dedup.verifiedNearDups(docs, threshold = 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5, minShared = 1,
+        dfCap = 1000)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, j) => assert(math.abs(exact(k) - j) < 1e-9) }
+  }
+
   test("simhash: identical docs hamming 0; near-dups closer than unrelated") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
