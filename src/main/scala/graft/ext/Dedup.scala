@@ -265,6 +265,20 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol),
       wordShingles(lower(col(textCol)), shingleN).as("sh"))
+    // df gate as a count window over the shingle-partitioned posting
+    // stream: ONE exchange hash(shingle) feeds everything downstream —
+    // the window's sort is exactly the sort the pair self-join needs, so
+    // Spark reuses the exchange and elides re-sorting on both join sides.
+    // Two measured alternatives lose: a groupBy-df keep-list join pays a
+    // second full sort-merge of the postings per self-join side (2–3× at
+    // 30×), and a collect_list pair generator drops out of whole-stage
+    // codegen into ObjectHashAggregate (2× at every scale). A degenerate
+    // mega-shingle materializes its window partition before the cap
+    // filter drops it, but WindowExec spills — bounded memory either way.
+    // postings carry the raw shingle string: hashing them to portable
+    // 60-bit md5 longs before the shuffle was measured SLOWER at 30×
+    // (the md5+hex+conv chain costs more than the payload saving), and a
+    // string join key keeps `shared` exactly "shared shingles".
     val posts = sh
       .select(col(idCol), explode(col("sh")).as("shingle"))
       .withColumn("df",

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    Jaccard is 0 — without this, every doc would gain N-1 exact copies
   *    and the near-dup pair count would grow N²-ish, which is a different
   *    workload, not a bigger one;
-  *  - embeddings are circularly rotated by the replica index (an isometry:
-  *    intra-replica cosine structure exact, cross-replica ≈ random);
+  *  - embeddings are circularly rotated by the replica index, then
+  *    sign-flipped by a run-tag-keyed ± pattern (both isometries:
+  *    intra-replica cosine structure exact, cross-replica ≈ random, and
+  *    the tag keeps composed runs from re-colliding);
   *  - dimension tables (region, nation) are shared, as at real scale.
   */
 object ScaleGen {
@@ -95,13 +97,26 @@ object ScaleGen {
 
     val docs = rd("documents")
     val docSpan = maxOf(docs, "doc_id")
+    // The vocab suffix carries a per-RUN tag derived from the source dir,
+    // not just the replica index: with a bare `_r<i>` suffix, COMPOSING
+    // ScaleGen runs (e.g. building 30× as 3× of a 10× replica) collides —
+    // outer-replica-i of inner-replica-0 and inner-replica-i of
+    // outer-replica-0 both translate token t to `t_r<i>`, giving those
+    // cross-replica doc pairs Jaccard 1 and superlinear near-dup pair
+    // counts (caught by the q84 posting-join probe at 30×: 18.7k pairs
+    // where 30×256 = 7.7k was the linear expectation). Tagging by source
+    // makes every composition step injective: the inner run suffixes with
+    // its tag, the outer run with a different one.
+    val vocabTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
     wr(replicate(docs)
       .withColumn("doc_id", off("doc_id", docSpan))
       .withColumn("text",
         when(col("_i") === 0, col("text")).otherwise(
           array_join(
             transform(split(col("text"), " "),
-              t => when(t === "", t).otherwise(concat(t, lit("_r"), col("_i")))),
+              t => when(t === "", t).otherwise(
+                concat(t, lit(s"_r${vocabTag}x"), col("_i")))),
             " ")))
       .withColumn("n_chars", length(col("text")))
       .drop("_i"), "documents")
@@ -116,13 +131,26 @@ object ScaleGen {
     // ≈ random" invariant the scale probe relies on.
     val rot = when(col("_i") === 0, lit(0))
       .otherwise((col("_i") - 1) % (dim - 1) + 1)
+    // rotate, then flip signs by a (run-tag, replica, dimension)-keyed
+    // pattern. The flip is an isometry (intra-replica cosine structure is
+    // bit-exact), but unlike rotation it does NOT compose back into the
+    // same family: composed runs stack DIFFERENT tag-keyed flip patterns,
+    // so outer-i∘inner-0 and inner-i∘outer-0 — identical under pure
+    // rotation (both = rotation i), the embedding analog of the doc-vocab
+    // collision above — diverge in ~dim/2 signs and land ≈ orthogonal.
+    val rotated =
+      when(col("_i") === 0, col("embedding")).otherwise(
+        concat(
+          slice(col("embedding"), rot + 1, lit(dim) - rot),
+          slice(col("embedding"), lit(1), rot)))
+    val flipped =
+      when(col("_i") === 0, col("embedding")).otherwise(
+        transform(rotated, (v, k) =>
+          v * when(pmod(hash(lit(vocabTag), col("_i"), k), lit(2)) === 0,
+            lit(1.0f)).otherwise(lit(-1.0f))))
     wr(replicate(emb)
       .withColumn("vec_id", off("vec_id", vecSpan))
-      .withColumn("embedding",
-        when(col("_i") === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), rot + 1, lit(dim) - rot),
-            slice(col("embedding"), lit(1), rot))))
+      .withColumn("embedding", flipped.cast("array<float>"))
       .drop("_i"), "embeddings")
 
     println(s"[scalegen] wrote ${n}x of $src to $dst")

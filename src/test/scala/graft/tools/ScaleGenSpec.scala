@@ -52,4 +52,39 @@ class ScaleGenSpec extends SparkSpecBase {
       .withColumn("count", col("count") * 3)
     assert(normCounts.exceptAll(srcNormCounts).count() == 0)
   }
+
+  test("composed runs stay collision-free (tagged vocab + tag-keyed flips)") {
+    // Building N× in stages (e.g. 30× as 3× of a 10×) used to collide:
+    // outer-replica-i of inner-replica-0 and inner-replica-i of
+    // outer-replica-0 both applied the SAME translation (`_r<i>` suffix /
+    // rotation i), cloning whole blocks across replicas and inflating
+    // near-dup pair counts superlinearly (caught by the q84 probe at 30×).
+    // The run tag keys both the vocab suffix and the embedding sign flips,
+    // so every composition step is injective.
+    val inner = "/tmp/scalegen_comp_inner"
+    val outer = "/tmp/scalegen_comp_outer"
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", inner, 2)
+    ScaleGen.generate(spark, inner, outer, 2)
+
+    // block k = ids [k·span, (k+1)·span); the pre-fix clones were blocks
+    // 1 (inner replica 1, outer replica 0) and 2 (inner 0, outer 1)
+    val docs = spark.read.parquet(s"$outer/documents.parquet")
+    val dSpan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    def vocab(block: Long) = docs
+      .filter(col("doc_id") >= block * dSpan && col("doc_id") < (block + 1) * dSpan)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct()
+    assert(vocab(1L).intersect(vocab(2L)).count() == 0,
+      "composed replicas share vocabulary — near-dup probe corpus is invalid")
+
+    val emb = spark.read.parquet(s"$outer/embeddings.parquet")
+    val vSpan = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0) + 1
+    def vecs(block: Long) = emb
+      .filter(col("vec_id") >= block * vSpan && col("vec_id") < (block + 1) * vSpan)
+      .select(col("embedding"))
+    assert(vecs(1L).intersect(vecs(2L)).count() == 0,
+      "composed replicas contain identical vectors — ANN probe corpus is invalid")
+  }
 }
