@@ -414,6 +414,76 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[contaminationPairs]] with a Bloom-filter pre-filter on the corpus
+    * side — the variant for when the probe/eval shingle set is too large
+    * to broadcast exactly (a full eval-suite sweep can carry tens of
+    * millions of shingles; an exact broadcast hash set of those is GBs,
+    * a Bloom filter of them is MBs). Identical OUTPUT by construction:
+    * the Bloom stage only discards corpus shingles that definitely
+    * don't occur in the probe (no false negatives), and everything that
+    * survives still flows through the exact semi-join + df-cap + pair
+    * aggregation of the exact path, which removes the false positives.
+    *
+    * Spark-first mechanics: the filter is built DISTRIBUTED by Spark's
+    * own `BloomFilterAggregate` (the expression behind runtime join
+    * bloom pruning, here driven explicitly) over xxhash64(shingle), and
+    * probed scan-side via `BloomFilterMightContain` with the serialized
+    * filter inlined as a literal — so the corpus scan drops
+    * non-candidate postings before any join, shuffle, or broadcast of
+    * the probe set. Only the compact filter (not the shingle set)
+    * transits the driver. Sized by `expectedProbeShingles`/`fpp` with
+    * m = -n·ln(p)/ln²2 bits.
+    */
+  def bloomContaminationPairs(corpus: DataFrame, probe: DataFrame,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      expectedProbeShingles: Long = 1L << 20, fpp: Double = 0.03,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    def shingled(df: DataFrame, out: String): DataFrame = df.select(
+      col(idCol).as(out),
+      explode(wordShingles(lower(col(textCol)), shingleN)).as("shingle"))
+    val p = shingled(probe, "probe_id")
+
+    val numBits = math.max(64L,
+      math.ceil(-expectedProbeShingles * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("shingle"))),
+        Literal(expectedProbeShingles), Literal(numBits))
+        .toAggregateExpression())
+    val bloomBytes = p.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    val mightContain = GraftBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("shingle")))))
+
+    // bloom-surviving corpus postings are a sliver of the corpus, so the
+    // exact semi-join that kills false positives can shuffle both sides
+    // instead of broadcasting the (large) probe set; from there the
+    // pipeline is exactly contaminationPairs' — df computed after the
+    // semi-join equals the corpus-wide df of every joinable shingle.
+    val relevant = shingled(corpus, "corpus_id")
+      .filter(mightContain)
+      .join(p.select(col("shingle")).distinct(), Seq("shingle"))
+    val capped = relevant
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    capped.join(p, Seq("shingle"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Per-eval-document contamination report over [[contaminationPairs]]:
     * how many corpus documents share ≥ `minShared` discriminative shingles
     * with each probe doc, the worst overlap, and the boolean gate — the

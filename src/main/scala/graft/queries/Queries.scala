@@ -1036,6 +1036,21 @@ object Queries {
           expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)")) <= 1.0)
           .as("p50_ok"))
 
+  /** q64's decontamination through the Bloom-prefiltered path: Spark's own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` machinery driven
+    * explicitly, so the corpus scan drops non-candidate shingles against a
+    * few-MB filter instead of broadcasting the probe shingle set (see
+    * `Dedup.bloomContaminationPairs`). Output identical to q64 by
+    * construction (the exact semi-join removes bloom false positives) —
+    * and the oracle is the same exact SQL, which is precisely the point:
+    * the sketch accelerates, it never changes the answer.
+    */
+  def q86BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.bloomContaminationPairs(docs, docs.filter(col("doc_id") % 50 === 0),
+      shingleN = 3, minShared = 3)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1123,7 +1138,8 @@ object Queries {
     "q82_dup_histogram" -> (q82DupHistogram _),
     "q83_source_scorecard" -> (q83SourceScorecard _),
     "q84_ngram_jaccard" -> (q84NgramJaccard _),
-    "q85_sketch_audit" -> (q85SketchAudit _))
+    "q85_sketch_audit" -> (q85SketchAudit _),
+    "q86_bloom_contamination" -> (q86BloomContamination _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1685,6 +1701,14 @@ object Queries {
            CAST(len(list_filter(string_split(e.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
          FROM exact e WHERE e.doc_id NOT IN (SELECT id2 FROM losers)"""),
     "q64_contamination" -> (ContaminationCtes +
+      """
+         SELECT c.corpus_id, p.probe_id, COUNT(*) AS shared
+         FROM cf c JOIN pf p USING (shingle)
+         WHERE c.corpus_id <> p.probe_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3"""),
+    // bloom pre-filter changes the plan, never the answer: same oracle
+    // as q64, replayed exactly
+    "q86_bloom_contamination" -> (ContaminationCtes +
       """
          SELECT c.corpus_id, p.probe_id, COUNT(*) AS shared
          FROM cf c JOIN pf p USING (shingle)

@@ -227,6 +227,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!self.contains(0L) && self.contains(3L))
   }
 
+  test("bloom-prefiltered contamination returns exactly the exact-path result") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta unrelated tail words"),
+      (2L, "totally different content with no overlap at all"),
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val exact = Dedup.contaminationPairs(corpus, probe, shingleN = 3, minShared = 3)
+      .select("corpus_id", "probe_id", "shared").as[(Long, Long, Long)].collect().toSet
+    val bloom = Dedup.bloomContaminationPairs(corpus, probe, shingleN = 3, minShared = 3)
+      .select("corpus_id", "probe_id", "shared").as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact && exact.nonEmpty)
+    // a deliberately tiny/over-saturated filter still cannot lose results
+    // (false positives only): outputs stay identical
+    val saturated = Dedup.bloomContaminationPairs(corpus, probe, shingleN = 3,
+        minShared = 3, expectedProbeShingles = 4, fpp = 0.5)
+      .select("corpus_id", "probe_id", "shared").as[(Long, Long, Long)].collect().toSet
+    assert(saturated == exact)
+  }
+
   test("connectedComponents contracts chains, stars, and isolated pairs") {
     // chain 1-2-3 (+ 3-4), separate pair 7-8, self-loop ignored
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L)).toDF("a", "b")
