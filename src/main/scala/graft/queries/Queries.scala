@@ -1051,6 +1051,36 @@ object Queries {
       shingleN = 3, minShared = 3)
   }
 
+  /** Heavy-hitter audit, completing the sketch family (q85 = HLL +
+    * quantiles): the corpus's top-20 tokens by exact count, each gated by
+    * whether a Count-Min sketch of the whole token stream reproduces its
+    * count within the ε·N guarantee. CMS is the mergeable constant-size
+    * structure a 100 TB pipeline uses for per-partition heavy-hitter
+    * screening (counters sum, so partial sketches combine associatively —
+    * `df.stat.countMinSketch` builds it distributed via treeAggregate);
+    * the audit outputs only exact counts and the deterministic gate
+    * (fixed seed ⇒ fixed hash family ⇒ replayable boolean), so the
+    * oracle stays exact SQL. CMS never under-counts, so the gate is
+    * `exact ≤ est ≤ exact + ε·N` with ε = 1e-3.
+    */
+  def q87HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val eps = 1e-3
+    val cms = toks.stat.countMinSketch("term", eps, 0.99, seed = 42)
+    val slack = (eps * cms.totalCount()).ceil.toLong
+    val top = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+      .as[(String, Long)].collect()
+    top.toSeq.map { case (term, n) =>
+      val est = cms.estimateCount(term)
+      (term, n, est >= n && est <= n + slack)
+    }.toDF("term", "n", "cms_ok")
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1139,7 +1169,8 @@ object Queries {
     "q83_source_scorecard" -> (q83SourceScorecard _),
     "q84_ngram_jaccard" -> (q84NgramJaccard _),
     "q85_sketch_audit" -> (q85SketchAudit _),
-    "q86_bloom_contamination" -> (q86BloomContamination _))
+    "q86_bloom_contamination" -> (q86BloomContamination _),
+    "q87_heavy_hitters" -> (q87HeavyHitters _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1821,6 +1852,13 @@ object Queries {
          COUNT(DISTINCT l_orderkey) AS n_orders,
          TRUE AS hll_ok, TRUE AS p50_ok
          FROM lineitem GROUP BY l_returnflag""",
+    "q87_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+           FROM documents)
+         SELECT term, COUNT(*) AS n, TRUE AS cms_ok
+         FROM tok GROUP BY term
+         ORDER BY n DESC, term LIMIT 20""",
     "q83_source_scorecard" -> ("WITH " + CurationCtes + """,
          scrd AS (
            SELECT d.source, f.lang_pred, f.quality, len(c.toks) AS nt
