@@ -56,13 +56,8 @@ object Similarity {
     */
   def rprojSigns(dimIn: Int, dimOut: Int, seed: String = "rp"): Array[Array[Float]] = {
     require(dimIn > 0 && dimOut > 0, s"bad dims $dimIn x $dimOut")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(dimOut) { j =>
-      Array.tabulate(dimIn) { k =>
-        val d = md.digest(s"$seed|$j|$k".getBytes("UTF-8"))
-        if (((d(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
-      }
-    }
+    val flat = graft.functions.HashKernels.rprojSignsFlat(dimIn, dimOut, seed)
+    Array.tabulate(dimOut)(j => Array.tabulate(dimIn)(k => flat(j * dimIn + k)))
   }
 
   /** Project a float-vector column through the sign matrix: dimOut
@@ -75,15 +70,32 @@ object Similarity {
   def randomProject(vec: Column, signs: Array[Array[Float]]): Column =
     array(signs.toSeq.map(row => dot(vec, array(row.toSeq.map(lit(_)): _*))): _*)
 
+  /** Reduced-space cosine score from a materialized `array<double>`
+    * projection column against the driver-projected query: dot(proj, qp) /
+    * |proj| (the |qp| factor is constant across rows, so dropping it
+    * preserves the ordering). Two native dot products — the accumulation
+    * order matches the old per-plane `Σ qp_j · proj_j` formulation
+    * term-for-term, so scores (and the oracle ranking) are bit-identical.
+    */
+  private def projScore(proj: Column, qp: Array[Double]): Column = {
+    val num = graft.functions.native.dotD(array(qp.toSeq.map(lit(_)): _*), proj)
+    val nrm = sqrt(graft.functions.native.dotD(proj, proj))
+    when(nrm === 0.0, lit(0.0)).otherwise(num / nrm)
+  }
+
   /** Top-k by cosine in the REDUCED space against one query vector: the
     * query is projected on the driver, each corpus vector is projected in
     * the scan, and ranking uses dot(proj, qproj)/|proj| (the |qproj| factor
     * is constant across rows, so dropping it preserves the ordering).
     * Same physical shape as [[bruteForceTopK]] — scan → project →
-    * TakeOrderedAndProject, no shuffle — but each row costs dimOut·dimIn
-    * adds for the projection instead of a full-precision scoring pass over
-    * pre-materialized full vectors; at scale the projection is written once
-    * (see `writeIvfIndex`) and probes pay only dimOut-element scoring.
+    * TakeOrderedAndProject, no shuffle. The projection is ONE native
+    * `RandomProjectF` evaluated once per row into an intermediate `proj`
+    * column the scoring projection reads; the previous composed form
+    * (dimOut literal-plane dot products inlined into num and nrm) evaluated
+    * every plane up to 3× per row and its giant generated function
+    * dominated the rproj family's runtime. At scale the projection is
+    * written once (see `writeRprojIndex`) and probes pay only
+    * dimOut-element scoring.
     */
   def rprojTopK(embeddings: DataFrame, queryVec: Seq[Float], k: Int,
       dimOut: Int = 16, seed: String = "rp",
@@ -92,16 +104,11 @@ object Similarity {
     val qp = signs.map(row =>
       row.iterator.zip(queryVec.iterator).map { case (s, v) =>
         s.toDouble * v.toDouble }.sum)
-    val proj = randomProject(col(vecCol), signs)
-    // element_at(array(...), literal) is simplified by Catalyst to the
-    // j-th plane's dot product; repeated references collapse in codegen CSE
-    val num = (0 until dimOut)
-      .map(j => lit(qp(j)) * element_at(proj, j + 1)).reduce(_ + _)
-    val nrm = sqrt((0 until dimOut)
-      .map(j => element_at(proj, j + 1) * element_at(proj, j + 1)).reduce(_ + _))
     embeddings
       .select(col(idCol),
-        when(nrm === 0.0, lit(0.0)).otherwise(num / nrm).as("sim"))
+        graft.functions.native.randomProjectF(
+          col(vecCol), queryVec.length, dimOut, seed).as("proj"))
+      .select(col(idCol), projScore(col("proj"), qp).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -119,7 +126,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     embeddings
       .select(col(idCol),
-        randomProject(col(vecCol), rprojSigns(dimIn, dimOut, seed)).as("proj"))
+        graft.functions.native.randomProjectF(
+          col(vecCol), dimIn, dimOut, seed).as("proj"))
       .write.mode("overwrite").parquet(path)
 
   /** Top-k over a materialized rproj index: scores read pre-projected
@@ -134,14 +142,8 @@ object Similarity {
     val qp = signs.map(row =>
       row.iterator.zip(queryVec.iterator).map { case (s, v) =>
         s.toDouble * v.toDouble }.sum)
-    val num = (0 until dimOut)
-      .map(j => lit(qp(j)) * element_at(col("proj"), j + 1)).reduce(_ + _)
-    val nrm = sqrt((0 until dimOut)
-      .map(j => element_at(col("proj"), j + 1) * element_at(col("proj"), j + 1))
-      .reduce(_ + _))
     spark.read.parquet(indexPath)
-      .select(col(idCol),
-        when(nrm === 0.0, lit(0.0)).otherwise(num / nrm).as("sim"))
+      .select(col(idCol), projScore(col("proj"), qp).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

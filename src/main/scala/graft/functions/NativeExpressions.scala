@@ -66,6 +66,73 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product over `array<double>` inputs — the reduced-space scoring
+  * primitive (see [[DotProductF]] for the float-array variant; same
+  * min-length and null-element contracts).
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.dotD($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Deterministic md5-seeded ±1 random projection: `array<float>` →
+  * `array<double>` of length dimOut, all planes in one pass. The sign
+  * matrix is derived from (dimIn, dimOut, seed) via md5 (see
+  * `HashKernels.rprojSignsFlat`) — nothing is broadcast or shuffled, and
+  * any engine can rebuild the matrix to audit or probe a materialized
+  * reduced-space index. Replaces the composed form (dimOut separate
+  * literal-plane dot products), whose expression tree re-evaluated every
+  * plane per reference and dominated the rproj query family.
+  */
+case class RandomProjectF(child: Expression, dimIn: Int, dimOut: Int, seed: String)
+    extends UnaryExpression {
+  require(dimIn > 0 && dimOut > 0, s"bad dims $dimIn x $dimOut")
+
+  @transient private lazy val m: Array[Float] =
+    HashKernels.rprojSignsFlat(dimIn, dimOut, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project_f"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.randomProjectF(v.asInstanceOf[ArrayData], m, dimIn, dimOut)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("signsFlat", m, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashKernels.randomProjectF($v, $mRef, $dimIn, $dimOut);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectF =
+    copy(child = newChild)
+}
+
 /** MinHash signature: for permutation i in [0,k), sig[i] = min over
   * shingles s of xxhash64(s, seed=i). Input `array<string>`, output
   * `array<bigint>` of length k (empty input → MaxValue sentinels).
@@ -297,6 +364,63 @@ object HashKernels {
       p += 1
     }
     bits
+  }
+
+  /** Deterministic ±1 sign matrix, flattened row-major (dimOut × dimIn):
+    * entry (j, k) is +1 iff the first hex nibble of md5("seed|j|k") is
+    * < 8 — the same md5-replayable derivation as
+    * `Similarity.rprojSigns` (which delegates here), so an external
+    * engine can rebuild the matrix from (dimIn, dimOut, seed) alone.
+    */
+  def rprojSignsFlat(dimIn: Int, dimOut: Int, seed: String): Array[Float] = {
+    val m = new Array[Float](dimOut * dimIn)
+    var j = 0
+    while (j < dimOut) {
+      var k = 0
+      while (k < dimIn) {
+        val d = Md5Utils.digest128(
+          s"$seed|$j|$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        m(j * dimIn + k) = if (((d(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+        k += 1
+      }
+      j += 1
+    }
+    m
+  }
+
+  /** Project a float vector through the flattened sign matrix: all dimOut
+    * accumulations in one pass over the input. Rows shorter than dimIn
+    * project their available prefix (DotProductF's min-length contract);
+    * null elements contribute 0 regardless of physical representation.
+    */
+  def randomProjectF(v: ArrayData, m: Array[Float], dimIn: Int, dimOut: Int): ArrayData = {
+    val n = math.min(v.numElements(), dimIn)
+    val out = new Array[Double](dimOut)
+    var j = 0
+    while (j < dimOut) {
+      var s = 0.0
+      val base = j * dimIn
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += v.getFloat(i).toDouble * m(base + i).toDouble
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dot product over double arrays (min-length contract, like DotProductF). */
+  def dotD(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
   }
 
   /** Whitespace tokens: split on single spaces, empty segments dropped —
@@ -704,6 +828,10 @@ object native {
 
   def dotF(a: Column, b: Column): Column =
     col(DotProductF(ex(a), ex(b)))
+  def dotD(a: Column, b: Column): Column =
+    col(DotProductD(ex(a), ex(b)))
+  def randomProjectF(vec: Column, dimIn: Int, dimOut: Int, seed: String): Column =
+    col(RandomProjectF(ex(vec), dimIn, dimOut, seed))
   def minHashSig(shingles: Column, k: Int): Column =
     col(MinHashSig(ex(shingles), k))
   def minHashSigP(shingles: Column, k: Int): Column =
@@ -736,6 +864,9 @@ object native {
 
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product_f" -> { args => DotProductF(args(0), args(1)) },
+    "dot_product_d" -> { args => DotProductD(args(0), args(1)) },
+    "random_project_f" -> { args => RandomProjectF(args(0),
+      intArg(args(1), "dimIn"), intArg(args(2), "dimOut"), stringArg(args(3), "seed")) },
     "minhash_sig" -> { args => MinHashSig(args(0), intArg(args(1), "k")) },
     "minhash_sig_p" -> { args => MinHashSigP(args(0), intArg(args(1), "k")) },
     "simhash64" -> { args => SimHash64(args(0)) },
@@ -747,6 +878,14 @@ object native {
     "token_freq_stats" -> { args => TokenFreqStats(args(0)) },
     "quantize_int8" -> { args => QuantizeInt8(args(0)) },
     "array_count_in" -> { args => ArrayCountIn(args(0), stringArrayArg(args(1), "keywords")) })
+
+  /** SQL-surface builder: a string literal becomes the String parameter. */
+  private[functions] def stringArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   /** SQL-surface builder: a string-array literal (array('a','b') or a
     * foldable literal) becomes the Seq[String] parameter.

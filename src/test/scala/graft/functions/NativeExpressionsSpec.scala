@@ -173,9 +173,43 @@ class NativeExpressionsSpec extends SparkSpecBase {
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
-      Seq("adjacent_bigrams", "array_count_in", "dot_product_f",
-        "hyperplane_sign_bits", "minhash_sig", "minhash_sig_p",
-        "quantize_int8", "simhash60_p", "simhash64", "token_freq_stats",
+      Seq("adjacent_bigrams", "array_count_in", "dot_product_d",
+        "dot_product_f", "hyperplane_sign_bits", "minhash_sig",
+        "minhash_sig_p", "quantize_int8", "random_project_f",
+        "simhash60_p", "simhash64", "token_freq_stats",
         "whitespace_tokens", "word_shingles"))
+  }
+
+  test("randomProjectF matches the composed per-plane literal dot products") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(12)(i => math.sin(i.toDouble).toFloat)),
+      (1L, Seq.fill(12)(0f)),
+      (2L, Seq.tabulate(12)(i => (i - 5.5).toFloat)))
+    val df = vecs.toDF("id", "v").repartition(1)
+    val signs = graft.ext.Similarity.rprojSigns(12, 5, seed = "parity")
+    val composed = df.select(col("id"),
+      graft.ext.Similarity.randomProject(col("v"), signs).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val nativeP = df.select(col("id"),
+      native.randomProjectF(col("v"), 12, 5, "parity").as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, _) =>
+      assert(nativeP(id) == composed(id), s"vec $id")
+      assert(nativeP(id).length == 5)
+    }
+  }
+
+  test("dotD matches the plain-Scala double dot product, incl. via SQL") {
+    val df = Seq((Seq(1.5, -2.0, 3.25), Seq(2.0, 0.5, 4.0))).toDF("a", "b")
+    val d = df.select(native.dotD(col("a"), col("b"))).as[Double].head()
+    assert(d == (1.5 * 2.0 + -2.0 * 0.5 + 3.25 * 4.0))
+    native.registerAll(spark)
+    val viaSql = spark.sql(
+      """SELECT dot_product_d(array(1.5D, -2.0D, 3.25D),
+                              array(2.0D, 0.5D, 4.0D)) AS d,
+                size(random_project_f(array(CAST(1.0 AS FLOAT)), 1, 3, 'rp')) AS n
+      """).collect().head
+    assert(viaSql.getDouble(0) == d)
+    assert(viaSql.getInt(1) == 3)
   }
 }
