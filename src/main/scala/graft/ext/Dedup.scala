@@ -522,6 +522,62 @@ object Dedup {
         .select(col("id1"), col("id2")),
       idCol)
 
+  /** Incremental near-dup admission for a corpus-refresh batch: returns
+    * the subset of `batch` to ADMIT into an already-curated `history` —
+    * a batch doc is rejected when it is a verified near-dup (exact
+    * Jaccard ≥ `threshold`) of any history doc, or of a smaller-id doc
+    * in the same batch (the keep-first policy applied incrementally).
+    * This is the daily-refresh shape of [[dropNearDups]]: history×history
+    * pairs are NEVER generated — candidate generation joins only the
+    * batch's band keys against the band universe, so per-refresh work
+    * scales with |batch| · bucket-occupancy, not |corpus|². At scale the
+    * history side's bands and shingle sets are a materialized index
+    * (write `lshBands` output bucketed by (band, band_hash) and the
+    * admission join is exchange-free on the history side); here both
+    * sides are computed in-plan for gate self-containment.
+    *
+    * The bucket-size guard is applied over the COMBINED (history ∪
+    * batch) bucket population — identical to what a whole-corpus
+    * `candidatePairs` run applies, so an external replay over the full
+    * corpus (the DuckDB oracle) matches this incremental formulation
+    * decision-for-decision.
+    */
+  def incrementalDedupBatch(history: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val hb = lshBands(history, textCol, idCol, k, bands, shingleN)
+      .withColumn("is_new", lit(false))
+    val nb = lshBands(batch, textCol, idCol, k, bands, shingleN)
+      .withColumn("is_new", lit(true))
+    val sized = hb.unionByName(nb)
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("bucket_size") <= maxBucketSize)
+    val newSide = sized.filter(col("is_new"))
+      .select(col("band"), col("band_hash"), col(idCol).as("bid"))
+    val partners = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("pid"), col("is_new").as("p_new"))
+    val cands = newSide.join(partners, Seq("band", "band_hash"))
+      .filter(col("pid") =!= col("bid"))
+      .select("bid", "pid", "p_new").distinct()
+    val sh = history.select(col(idCol), wordShingles(lower(col(textCol)), shingleN).as("sh"))
+      .unionByName(batch.select(col(idCol),
+        wordShingles(lower(col(textCol)), shingleN).as("sh")))
+    val rejected = cands
+      .join(sh.select(col(idCol).as("bid"), col("sh").as("shb")), "bid")
+      .join(sh.select(col(idCol).as("pid"), col("sh").as("shp")), "pid")
+      .withColumn("jaccard",
+        size(array_intersect(col("shb"), col("shp"))).cast("double") /
+          size(array_union(col("shb"), col("shp"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      // reject on: any history partner, or an earlier (smaller-id) batch doc
+      .filter(!col("p_new") || col("pid") < col("bid"))
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** Streaming exact dedup with watermark-bounded state: the fingerprint is
     * the dedup key, and per-key state is EVICTED once the watermark passes
     * the key's event time. Plain `dropDuplicates("fingerprint")` would keep

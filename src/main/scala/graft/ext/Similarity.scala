@@ -394,4 +394,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs: vectors are coarsely
+    * clustered (the same broadcast-centroid argmax assignment IVF uses)
+    * and pairwise cosine runs only WITHIN a cluster — the quadratic work
+    * is bounded by the largest cluster, never the corpus. This is the
+    * embedding-space sibling of MinHash banding: where
+    * [[cosineNearDupPairs]] buckets by hyperplane sign bits (high
+    * precision near cos≈1), centroid bucketing recalls looser semantic
+    * duplicates (template rewrites, translations) that share a cluster
+    * but differ in too many sign bits. At 100 TB the centroid count is
+    * sized so clusters stay at ~10³–10⁴ vectors (SemDeDup's recipe), and
+    * `maxBucketSize` drops degenerate clusters rather than letting one
+    * mega-cluster go quadratic. Per-vector norms are computed once
+    * before the pair join — the pair table never carries recomputed
+    * norms.
+    */
+  def semanticDedupPairs(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      threshold: Double = 0.4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sized = assignBuckets(embeddings, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("bucket"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("bucket_size") <= maxBucketSize)
+    val l = sized.select(col("bucket"), col(idCol).as("id1"),
+      col(vecCol).as("v1"), col("nrm").as("n1"))
+    val r = sized.select(col("bucket"), col(idCol).as("id2"),
+      col(vecCol).as("v2"), col("nrm").as("n2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos",
+        when(col("n1") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("bucket"), col("id1"), col("id2"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
+    * vector that is the larger-id member of a within-cluster pair at or
+    * above `threshold` (compose with `Dedup.dropByComponents` for the
+    * transitive variant).
+    */
+  def dropSemanticDups(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      threshold: Double = 0.4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val losers = semanticDedupPairs(embeddings, centroids, threshold,
+        maxBucketSize, idCol, vecCol)
+      .select(col("id2").as(idCol)).distinct()
+    embeddings.join(losers, Seq(idCol), "left_anti")
+  }
 }

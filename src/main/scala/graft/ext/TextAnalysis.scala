@@ -282,6 +282,38 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /** PII patterns shared by the scrub and the oracle replay. Kept to the
+    * regex intersection of Java's engine and RE2 (character classes,
+    * bounded repetition, `\b`/`\d` in their ASCII meanings) so any
+    * engine applies the identical automaton; no backreferences or
+    * lookaround, which RE2 lacks.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction — the scrub pass every training-corpus
+    * pipeline runs before packing: per doc, the email/IPv4/phone match
+    * counts (over the original text) and the text with matches replaced
+    * by `[EMAIL]`/`[IP]`/`[PHONE]`, in that order (emails first: the
+    * email pattern spans dotted hosts that the IP pattern could
+    * otherwise split). All regex evaluation is codegen'd
+    * `RegExpReplace`/`RegExpCount` in one projection over the scan —
+    * no shuffle, no UDF; at 100 TB this is a map-only pass.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+        .as("scrubbed"))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

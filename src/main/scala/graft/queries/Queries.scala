@@ -1081,6 +1081,56 @@ object Queries {
     }.toDF("term", "n", "cms_ok")
   }
 
+  /** PII detection + redaction (emails / IPv4s / phone fragments). The
+    * synthetic corpus carries no real PII, so the query PLANTS
+    * deterministic PII derived from doc_id before scrubbing — both
+    * engines construct the identical text, and the scrub path (pattern
+    * counts + ordered redaction) is what's under oracle check. One
+    * map-only projection; see `TextAnalysis.scrubPii`.
+    */
+  def q88PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.scrubPii(planted)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: coarse centroid clustering
+    * (the IVF assignment of q33/q61) bounds the pairwise cosine to
+    * within-cluster — the embedding-space dedup that catches template
+    * rewrites exact/MinHash dedup misses (see
+    * `Similarity.semanticDedupPairs`). Threshold 0.4 sits above the
+    * corpus's 99.9th-percentile random-pair cosine (~0.38) but below its
+    * max (~0.51), so the result exercises real decisions.
+    */
+  def q89SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    Similarity.semanticDedupPairs(emb, centroids, threshold = 0.4)
+  }
+
+  /** Incremental corpus-refresh admission: docs with doc_id % 5 == 0
+    * stand in for today's crawl batch, the rest for the already-curated
+    * history; a batch doc is admitted unless it near-dups (Jaccard ≥ 0.5)
+    * a history doc or an earlier batch doc. History×history pairs are
+    * never generated — the per-refresh work scales with the batch (see
+    * `Dedup.incrementalDedupBatch`); the oracle replays the decision from
+    * a whole-corpus pair table, which matches by construction.
+    */
+  def q90IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.incrementalDedupBatch(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      threshold = 0.5)
+      .select(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1170,7 +1220,10 @@ object Queries {
     "q84_ngram_jaccard" -> (q84NgramJaccard _),
     "q85_sketch_audit" -> (q85SketchAudit _),
     "q86_bloom_contamination" -> (q86BloomContamination _),
-    "q87_heavy_hitters" -> (q87HeavyHitters _))
+    "q87_heavy_hitters" -> (q87HeavyHitters _),
+    "q88_pii_scrub" -> (q88PiiScrub _),
+    "q89_semantic_dedup" -> (q89SemanticDedup _),
+    "q90_incremental_dedup" -> (q90IncrementalDedup _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1859,6 +1912,69 @@ object Queries {
          SELECT term, COUNT(*) AS n, TRUE AS cms_ok
          FROM tok GROUP BY term
          ORDER BY n DESC, term LIMIT 20""",
+    // identical planted text, identical RE2/Java-intersection patterns,
+    // identical replace order; DuckDB needs the 'g' flag for replace-all
+    "q88_pii_scrub" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+         FROM planted""",
+    // same centroid/assignment CTEs as the IVF oracle (sim DESC, cid DESC
+    // tie-break = Spark's array_max over (sim, cid) structs), then
+    // within-cluster pairs; WHERE uses the unrounded cosine like Spark
+    "q89_semantic_dedup" ->
+      """WITH cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
+         en AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM embeddings),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         capped AS (
+           SELECT * FROM asg
+           -- mirror Spark's semanticDedupPairs maxBucketSize=10000 guard
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         prs AS (
+           SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
+             CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(a.embedding)+1), k ->
+                         CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos
+           FROM capped a JOIN capped b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT bucket, id1, id2, ROUND(cos, 6) AS cos_sim
+         FROM prs WHERE cos >= 0.4""",
+    // the oracle replays the admission decision from the whole-corpus pair
+    // table: a batch doc (doc_id % 5 = 0) is rejected when a verified pair
+    // links it to any smaller-id doc (history or earlier batch) or to a
+    // larger-id HISTORY doc — exactly incrementalDedupBatch's predicate
+    "q90_incremental_dedup" -> (MinHashOracleCtes +
+      """SELECT d.doc_id FROM documents d
+         WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
+           SELECT 1 FROM pairs p WHERE p.jaccard >= 0.5 AND (
+             p.id2 = d.doc_id OR
+             (p.id1 = d.doc_id AND p.id2 % 5 <> 0)))"""),
     "q83_source_scorecard" -> ("WITH " + CurationCtes + """,
          scrd AS (
            SELECT d.source, f.lang_pred, f.quality, len(c.toks) AS nt

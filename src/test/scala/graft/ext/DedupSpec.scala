@@ -401,4 +401,31 @@ class DedupSpec extends SparkSpecBase {
     val unguarded = Dedup.candidatePairs(many, maxBucketSize = 1000).count()
     assert(unguarded == 50L * 49L / 2)
   }
+
+  test("incremental admission: rejects near-dups of history and of earlier batch docs") {
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "completely different content about spark engines and data pipelines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of history doc 10 → rejected (even though 5 < 10)
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      // unique → admitted
+      (6L, "fresh unseen writing on distributed query planning and shuffle costs"),
+      // near-dup of batch doc 6 (larger id) → rejected, 6 kept
+      (7L, "fresh unseen writing on distributed query planning and shuffle fees"),
+      // exact dup of history doc 11 → rejected
+      (8L, "completely different content about spark engines and data pipelines here")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedupBatch(history, batch,
+        threshold = 0.5, k = 16, bands = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(6L))
+    // an empty batch admits nothing and an empty history rejects only intra-batch dups
+    assert(Dedup.incrementalDedupBatch(history, batch.limit(0)).isEmpty)
+    val noHist = Dedup.incrementalDedupBatch(history.limit(0), batch,
+        threshold = 0.5, k = 16, bands = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noHist == Seq(5L, 6L, 8L)) // 7 still loses to 6; 5 and 8 have no history to hit
+  }
 }

@@ -210,4 +210,26 @@ class SimilaritySpec extends SparkSpecBase {
     // projection is linear, so scaled copies tie with the query at sim 1
     assert(top == Set(0L, 1L, 2L))
   }
+
+  test("semantic dedup: within-cluster pairs found, low-cosine clustermates excluded") {
+    val centroids = Seq(
+      0 -> Seq(1f, 0f, 0f, 0f),
+      1 -> Seq(0f, 1f, 0f, 0f))
+    val vecs = Seq(
+      (10L, Seq(1f, 0.1f, 0f, 0f)),     // cluster 0
+      (11L, Seq(0.9f, 0.12f, 0f, 0f)),  // cluster 0, near-dup of 10
+      (12L, Seq(0.2f, 0f, 0.98f, 0f)),  // cluster 0, dissimilar to both
+      (20L, Seq(0.1f, 1f, 0f, 0f)),     // cluster 1
+      (21L, Seq(0.1f, 1f, 0.001f, 0f))  // cluster 1, near-dup of 20
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(vecs, centroids, threshold = 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (20L, 21L)))
+    val kept = Similarity.dropSemanticDups(vecs, centroids, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 20L))
+    // degenerate-cluster guard: a cap below the cluster size drops its pairs
+    assert(Similarity.semanticDedupPairs(vecs, centroids, threshold = 0.95,
+      maxBucketSize = 2).count() == 1) // only cluster 1 (2 members) survives
+  }
 }

@@ -150,4 +150,24 @@ class TextAnalysisSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
   }
+
+  test("PII scrub: counts and ordered redaction of emails, IPs, phones") {
+    val df = Seq(
+      (1L, "mail a.b-c+x@sub.example.org or admin@test.io from 192.168.1.254 call 555-0123"),
+      (2L, "no pii here just text"),
+      (3L, "dotted host 10.0.0.1 twice 10.0.0.2 and 555-9999")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 1 && out(1L)._4 == 1)
+    assert(out(1L)._5 == "mail [EMAIL] or [EMAIL] from [IP] call [PHONE]")
+    assert(out(2L) == ((2L, 0L, 0L, 0L, "no pii here just text")))
+    assert(out(3L)._5 == "dotted host [IP] twice [IP] and [PHONE]")
+    // email scrub runs first: a host-like dotted string inside an email is
+    // consumed whole, never half-matched as an IP
+    val tricky = Seq((9L, "x 10.0.0.1@h.example.com y")).toDF("doc_id", "text")
+    val s = TextAnalysis.scrubPii(tricky).select("scrubbed").as[String].head()
+    assert(s == "x [EMAIL] y")
+  }
 }
