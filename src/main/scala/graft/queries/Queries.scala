@@ -1131,6 +1131,28 @@ object Queries {
       .select(col("doc_id"))
   }
 
+  /** Quality-ordered corpus selection manifest: every doc's global rank
+    * and cumulative token count under (quality DESC, doc_id) — the "take
+    * the best documents until the token budget" curve a data-constrained
+    * training run reads its cut line from. The global ordering runs on
+    * the two-phase `PrefixSum` (range partition → parallel local
+    * window → per-partition offsets), NOT a bare `Window.orderBy` — the
+    * parallelism-1 trap this engine refuses everywhere. Quality is
+    * 6dp-rounded on both engines, so the (quality, doc_id) total order
+    * is replayed exactly by the oracle's plain window.
+    */
+  def q91QualityBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val feats = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.withGlobalCumSum(feats,
+      Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+      cumCol = "cum_tokens", rankCol = Some("global_rank"))
+      .select(col("doc_id"), col("global_rank").cast("long").as("global_rank"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1223,7 +1245,8 @@ object Queries {
     "q87_heavy_hitters" -> (q87HeavyHitters _),
     "q88_pii_scrub" -> (q88PiiScrub _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
-    "q90_incremental_dedup" -> (q90IncrementalDedup _))
+    "q90_incremental_dedup" -> (q90IncrementalDedup _),
+    "q91_quality_budget" -> (q91QualityBudget _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1975,6 +1998,17 @@ object Queries {
            SELECT 1 FROM pairs p WHERE p.jaccard >= 0.5 AND (
              p.id2 = d.doc_id OR
              (p.id1 = d.doc_id AND p.id2 % 5 <> 0)))"""),
+    // the oracle's single window IS the semantics; Spark refuses the
+    // parallelism-1 plan and reproduces it with the two-phase prefix sum
+    "q91_quality_budget" -> ("WITH " + CurationCtes + """,
+         fr AS (
+           SELECT f.doc_id, f.quality, CAST(len(c.toks) AS BIGINT) AS n_tokens
+           FROM feats f JOIN ct c USING (doc_id))
+         SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS global_rank,
+           CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         FROM fr"""),
     "q83_source_scorecard" -> ("WITH " + CurationCtes + """,
          scrd AS (
            SELECT d.source, f.lang_pred, f.quality, len(c.toks) AS nt
