@@ -263,22 +263,40 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (cands, sh) = ngramCandidates(docs, shingleN, minShared, dfCap, textCol, idCol)
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared exact-recall candidate generator for the n-gram pair family:
+    * returns (candidate id pairs with shared-shingle counts, the per-doc
+    * shingle sets). The df gate is a count window over the
+    * shingle-partitioned posting stream: ONE exchange hash(shingle) feeds
+    * everything downstream — the window's sort is exactly the sort the
+    * pair self-join needs, so Spark reuses the exchange and elides
+    * re-sorting on both join sides. Two measured alternatives lose: a
+    * groupBy-df keep-list join pays a second full sort-merge of the
+    * postings per self-join side (2–3× at 30×), and a collect_list pair
+    * generator drops out of whole-stage codegen into ObjectHashAggregate
+    * (2× at every scale). A degenerate mega-shingle materializes its
+    * window partition before the cap filter drops it, but WindowExec
+    * spills — bounded memory either way. Postings carry the raw shingle
+    * string: hashing them to portable 60-bit md5 longs before the shuffle
+    * was measured SLOWER at 30× (the md5+hex+conv chain costs more than
+    * the payload saving), and a string join key keeps `shared` exactly
+    * "shared shingles".
+    */
+  private def ngramCandidates(docs: DataFrame, shingleN: Int, minShared: Int,
+      dfCap: Int, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val sh = docs.select(col(idCol),
       wordShingles(lower(col(textCol)), shingleN).as("sh"))
-    // df gate as a count window over the shingle-partitioned posting
-    // stream: ONE exchange hash(shingle) feeds everything downstream —
-    // the window's sort is exactly the sort the pair self-join needs, so
-    // Spark reuses the exchange and elides re-sorting on both join sides.
-    // Two measured alternatives lose: a groupBy-df keep-list join pays a
-    // second full sort-merge of the postings per self-join side (2–3× at
-    // 30×), and a collect_list pair generator drops out of whole-stage
-    // codegen into ObjectHashAggregate (2× at every scale). A degenerate
-    // mega-shingle materializes its window partition before the cap
-    // filter drops it, but WindowExec spills — bounded memory either way.
-    // postings carry the raw shingle string: hashing them to portable
-    // 60-bit md5 longs before the shuffle was measured SLOWER at 30×
-    // (the md5+hex+conv chain costs more than the payload saving), and a
-    // string join key keeps `shared` exactly "shared shingles".
     val posts = sh
       .select(col(idCol), explode(col("sh")).as("shingle"))
       .withColumn("df",
@@ -292,15 +310,31 @@ object Dedup {
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    (cands, sh)
+  }
+
+  /** Near-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold over the
+    * same exact posting-join candidates as [[ngramJaccardPairs]]. The
+    * containment metric is the partial-duplication detector Jaccard
+    * structurally misses: a short document quoted whole inside a much
+    * longer one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    * Jaccard-thresholded dedup never pairs them. Corpus pipelines run
+    * both — Jaccard for whole-document near-dups, containment for
+    * boilerplate extraction and quote/subset leakage audits.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+      shingleN: Int = 3, minShared: Int = 2, dfCap: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (cands, sh) = ngramCandidates(docs, shingleN, minShared, dfCap, textCol, idCol)
     cands
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard",
+      .withColumn("containment",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+          least(size(col("sh1")), size(col("sh2"))).cast("double"))
+      .filter(col("containment") >= threshold)
       .select(col("id1"), col("id2"), col("shared"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(col("containment"), 6).as("containment"))
   }
 
   /** Near-dup removal over the exact n-gram Jaccard pair graph (keep-first,

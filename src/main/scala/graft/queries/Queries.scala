@@ -1153,6 +1153,16 @@ object Queries {
         col("cum_tokens").cast("long").as("cum_tokens"))
   }
 
+  /** Near-containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.6): the
+    * partial-duplication audit Jaccard structurally misses — a short doc
+    * quoted whole inside a long one pairs here but never under a Jaccard
+    * threshold (see `Dedup.containmentPairs`). Same exact posting-join
+    * candidate machinery as q84; only the verification metric differs.
+    */
+  def q92ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
+      threshold = 0.6)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1246,7 +1256,8 @@ object Queries {
     "q88_pii_scrub" -> (q88PiiScrub _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
-    "q91_quality_budget" -> (q91QualityBudget _))
+    "q91_quality_budget" -> (q91QualityBudget _),
+    "q92_containment_pairs" -> (q92ContainmentPairs _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1923,6 +1934,36 @@ object Queries {
          SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
            ROUND(jaccard, 6) AS jaccard
          FROM pairs WHERE jaccard >= 0.5""",
+    // q84's posting chain with the containment metric (min-normalized)
+    "q92_containment_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1), i ->
+                         array_to_string(list_slice(toks, i, i + 2), ' ')))
+             END AS sh
+           FROM tok),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         posts AS (
+           -- mirror Spark's dfCap=100 posting-list guard
+           SELECT doc_id, shingle FROM ex
+           QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100),
+         cand AS (
+           SELECT l.doc_id AS id1, r.doc_id AS id2, COUNT(*) AS shared
+           FROM posts l JOIN posts r ON l.shingle = r.shingle
+           WHERE l.doc_id < r.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         pairs AS (
+           SELECT c.id1, c.id2, c.shared,
+             CAST(len(list_distinct(list_intersect(s1.sh, s2.sh))) AS DOUBLE) /
+             LEAST(len(s1.sh), len(s2.sh)) AS containment
+           FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id)
+         SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+           ROUND(containment, 6) AS containment
+         FROM pairs WHERE containment >= 0.6""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -46,6 +46,22 @@ class DedupSpec extends SparkSpecBase {
     assert(j.length == 1 && math.abs(j.head - 0.6) < 1e-9)
   }
 
+  test("containment pairs a quoted subset that jaccard misses") {
+    // doc 1 = doc 0's text embedded in a much longer doc: containment of
+    // doc0's shingles in doc1 is 1.0, jaccard is far below any threshold
+    val quoted = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta " +
+        (1 to 20).map(i => s"filler$i word$i extra$i").mkString(" ")),
+      (2L, "unrelated content entirely different subject")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(quoted, threshold = 0.9)
+      .select("id1", "id2", "containment").as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((0L, 1L, 1.0)))
+    // the jaccard path at the same bar finds nothing
+    assert(Dedup.ngramJaccardPairs(quoted, threshold = 0.5).isEmpty)
+  }
+
   test("ngram jaccard: exact recall via posting join, df cap prunes boilerplate") {
     // doc0/doc1 share 3 of 5 distinct 3-shingles (J = 0.6); doc2 unrelated
     val three = Seq(
@@ -379,6 +395,40 @@ class DedupSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(flagged.synchronized(flagged.toMap) ==
         Map(1L -> true, 2L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
+  test("ingest-time admission: incrementalDedupBatch runs per micro-batch, admitted docs extend history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // history starts with one curated doc; each micro-batch's ADMITTED docs
+    // are appended — the refresh loop a daily-crawl pipeline runs, where at
+    // scale `history` is the corpus table plus its materialized band index
+    var history = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ok = Dedup.incrementalDedupBatch(history, batch,
+          threshold = 0.5, k = 16, bands = 8)
+        val ids = ok.select("doc_id").as[Long].collect().sorted
+        admitted.synchronized { admitted ++= ids }
+        history = history.unionByName(ok.select("doc_id", "text"))
+        ()
+      }.start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // ~history → rejected
+        (2L, "fresh unseen writing on distributed query planning and shuffle costs")) // admitted
+      q.processAllAvailable()
+      input.addData(
+        (3L, "fresh unseen writing on distributed query planning and shuffle fees"), // ~doc 2 (now history) → rejected
+        (4L, "entirely new subject matter covering vector search and quantization")) // admitted
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toList) == List(2L, 4L))
     } finally q.stop()
   }
 
