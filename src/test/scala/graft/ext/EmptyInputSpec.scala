@@ -61,4 +61,19 @@ class EmptyInputSpec extends SparkSpecBase {
       Seq.empty[(Long, Long)].toDF("id", "v"),
       Seq(col("id")), col("v"), "cum").count() == 0)
   }
+
+  test("round-5 operators on empty inputs") {
+    val someDocs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val centroids = Seq(0 -> Seq(1f, 0f), 1 -> Seq(0f, 1f))
+    assert(TextAnalysis.scrubPii(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() == 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() == 0)
+    assert(Similarity.semanticDedupPairs(emptyEmb, centroids).count() == 0)
+    assert(Similarity.dropSemanticDups(emptyEmb, centroids).count() == 0)
+    // empty batch admits nothing; empty history admits the whole batch
+    assert(Dedup.incrementalDedupBatch(someDocs, emptyDocs).count() == 0)
+    assert(Dedup.incrementalDedupBatch(emptyDocs, someDocs).count() == 1)
+    assert(Dedup.incrementalDedupBatch(emptyDocs, emptyDocs).count() == 0)
+  }
 }
