@@ -1163,6 +1163,24 @@ object Queries {
     Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
       threshold = 0.6)
 
+  /** Frame/chunk sampling over the media table (the video-frame-sample
+    * plumbing with the decode stubbed): 4 evenly spaced 16-byte slices per
+    * payload, exploded to scalar rows. The corpus text is ASCII (pinned by
+    * q34's byte-histogram oracle), so DuckDB's character `substr` replays
+    * the binary slicing exactly; positions use an explicit FLOOR on both
+    * engines because ANSI double→int casts truncate in Spark but round in
+    * DuckDB.
+    */
+  def q93MediaChunks(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultiModal.syntheticMediaFromDocs(
+      Tables.load(spark, dir, "documents"))
+    MultiModal.sampleChunks(media, n = 4, chunkSize = 16)
+      .select(col("media_id"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col("media_id"), col("chunk_idx"),
+        col("chunk").cast("string").as("chunk_str"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1257,7 +1275,8 @@ object Queries {
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
     "q91_quality_budget" -> (q91QualityBudget _),
-    "q92_containment_pairs" -> (q92ContainmentPairs _))
+    "q92_containment_pairs" -> (q92ContainmentPairs _),
+    "q93_media_chunks" -> (q93MediaChunks _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1964,6 +1983,18 @@ object Queries {
          SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
            ROUND(containment, 6) AS containment
          FROM pairs WHERE containment >= 0.6""",
+    // ASCII corpus → character substr == byte substr; FLOOR on both
+    // engines (Spark ANSI double->int truncates, DuckDB CAST rounds)
+    "q93_media_chunks" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+         c AS (
+           SELECT media_id, CAST(i AS INTEGER) AS chunk_idx,
+             substr(text,
+               CAST(FLOOR(i * GREATEST((len - 16) / 3.0, 0) + 1) AS INTEGER),
+               16) AS chunk_str
+           FROM m, range(0, 4) t(i))
+         SELECT media_id, chunk_idx, chunk_str FROM c""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

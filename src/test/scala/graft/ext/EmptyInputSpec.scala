@@ -75,5 +75,10 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Dedup.incrementalDedupBatch(someDocs, emptyDocs).count() == 0)
     assert(Dedup.incrementalDedupBatch(emptyDocs, someDocs).count() == 1)
     assert(Dedup.incrementalDedupBatch(emptyDocs, emptyDocs).count() == 0)
+    val emptyMedia = MultiModal.syntheticMediaFromDocs(
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(MultiModal.resizePayloads(emptyMedia, factor = 2).count() == 0)
+    assert(MultiModal.sampleChunks(emptyMedia).count() == 0)
   }
 }
