@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate string self-join at edit distance ≤ 1 — the entity-matching
+  * join data-cleaning pipelines run on names/titles/URLs where exact keys
+  * miss typo'd duplicates.
+  *
+  * Blocking uses the deletion neighborhood: any two strings within
+  * Levenshtein distance 1 (substitution, insertion, or deletion) share at
+  * least one key in {s} ∪ {single-deletion variants of s} — substitutions
+  * meet at the variant deleting the differing position, insertions/
+  * deletions at the shorter string itself. Candidates are therefore an
+  * EQUALITY join on the key (shuffle-partitioned, never all-pairs) and the
+  * exact `levenshtein` filter afterwards removes the neighborhood's false
+  * positives, so recall is exact by construction. Keys per row = len + 1 —
+  * at 100 TB this is the same Σ df² posting-join bound as the n-gram
+  * dedup family, and the same hot-key guard applies (`maxKeyBucket` drops
+  * degenerate keys shared by too many rows, e.g. a corpus of one repeated
+  * name).
+  */
+object FuzzyJoin {
+
+  /** {s} ∪ single-deletion variants, deduped (e.g. "aa" yields one "a"). */
+  def deletionKeys(s: Column): Column =
+    when(length(s) === 0, array(s)).otherwise(
+      array_union(array(s),
+        transform(sequence(lit(1), length(s), lit(1)), i =>
+          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** All pairs (id1 < id2) with Levenshtein(str1, str2) ≤ 1 and the exact
+    * distance (0 for identical strings under different ids).
+    */
+  def selfJoinEditDistance1(df: DataFrame, strCol: String, idCol: String,
+      maxKeyBucket: Int = 1000): DataFrame = {
+    val keyed = df.select(col(idCol), col(strCol))
+      .withColumn("k", explode(deletionKeys(col(strCol))))
+      .withColumn("kdf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k")))
+      .filter(col("kdf") <= maxKeyBucket)
+      .drop("kdf")
+    val l = keyed.select(col("k"), col(idCol).as("id1"), col(strCol).as("n1"))
+    val r = keyed.select(col("k"), col(idCol).as("id2"), col(strCol).as("n2"))
+    l.join(r, Seq("k"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "n1", "id2", "n2").distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist").cast("int").as("dist"))
+  }
+}

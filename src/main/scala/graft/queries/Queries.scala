@@ -1181,6 +1181,16 @@ object Queries {
         col("chunk").cast("string").as("chunk_str"))
   }
 
+  /** Fuzzy entity-matching self-join: customer-name pairs within edit
+    * distance 1, via deletion-neighborhood blocking + exact levenshtein
+    * verification (see `FuzzyJoin`). The padded TPC-H names make this a
+    * dense instance (every one-digit id substitution pairs), which is
+    * exactly the stress the df-capped key join must absorb.
+    */
+  def q94FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.selfJoinEditDistance1(
+      Tables.load(spark, dir, "customer"), strCol = "c_name", idCol = "c_custkey")
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1276,7 +1286,8 @@ object Queries {
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
     "q91_quality_budget" -> (q91QualityBudget _),
     "q92_containment_pairs" -> (q92ContainmentPairs _),
-    "q93_media_chunks" -> (q93MediaChunks _))
+    "q93_media_chunks" -> (q93MediaChunks _),
+    "q94_fuzzy_join" -> (q94FuzzyJoin _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1995,6 +2006,26 @@ object Queries {
                16) AS chunk_str
            FROM m, range(0, 4) t(i))
          SELECT media_id, chunk_idx, chunk_str FROM c""",
+    // deletion-neighborhood blocking replayed, exact levenshtein verify;
+    // both engines use unit-cost Wagner-Fischer distance
+    "q94_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+         keys AS (
+           SELECT c_custkey, c_name, unnest(list_distinct(list_append(
+             list_transform(range(1, length(c_name)+1), i ->
+               substr(c_name, 1, i-1) || substr(c_name, i+1)), c_name))) AS k
+           FROM c),
+         capped AS (
+           SELECT * FROM keys
+           -- mirror Spark's maxKeyBucket=1000 hot-key guard
+           QUALIFY COUNT(*) OVER (PARTITION BY k) <= 1000),
+         cand AS (
+           SELECT DISTINCT l.c_custkey AS id1, l.c_name AS n1,
+                  r.c_custkey AS id2, r.c_name AS n2
+           FROM capped l JOIN capped r ON l.k = r.k
+           WHERE l.c_custkey < r.c_custkey)
+         SELECT id1, id2, CAST(levenshtein(n1, n2) AS INTEGER) AS dist
+         FROM cand WHERE levenshtein(n1, n2) <= 1""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("finds substitution, insertion, and identical pairs; excludes distance 2") {
+    val df = Seq(
+      (1L, "spark"),
+      (2L, "spork"),   // substitution of 1
+      (3L, "spark"),   // identical to 1 → dist 0
+      (4L, "sparks"),  // insertion on 1
+      (5L, "zzz")      // unrelated
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.selfJoinEditDistance1(df, "name", "id")
+      .as[(Long, Long, Int)].collect().toSet
+    // (2,4) "spork"/"sparks" is distance 2 — blocked or filtered either way
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 0), (1L, 4L, 1),
+      (2L, 3L, 1), (3L, 4L, 1)))
+  }
+
+  test("deletion keys: dedup, empty-string guard, neighborhood property") {
+    val ks = Seq(("aa"), (""), ("ab")).toDF("s")
+      .select(FuzzyJoin.deletionKeys(col("s"))).as[Seq[String]].collect()
+    assert(ks(0).sorted == Seq("a", "aa"))   // duplicate deletion deduped
+    assert(ks(1) == Seq(""))                  // empty string survives
+    assert(ks(2).sorted == Seq("a", "ab", "b"))
+  }
+
+  test("hot-key guard bounds a degenerate all-identical corpus") {
+    val same = (0L until 60L).map(i => (i, "dup")).toDF("id", "name")
+    assert(FuzzyJoin.selfJoinEditDistance1(same, "name", "id",
+      maxKeyBucket = 10).count() == 0)
+    assert(FuzzyJoin.selfJoinEditDistance1(same, "name", "id",
+      maxKeyBucket = 100).count() == 60L * 59L / 2)
+  }
+}
