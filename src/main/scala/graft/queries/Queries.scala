@@ -1191,6 +1191,24 @@ object Queries {
     graft.operators.FuzzyJoin.selfJoinEditDistance1(
       Tables.load(spark, dir, "customer"), strCol = "c_name", idCol = "c_custkey")
 
+  /** Cross-source duplication matrix: verified near-dup pair counts per
+    * (source, source) cell — the provenance audit that tells a curation
+    * team which sources mirror each other (high off-diagonal mass) vs
+    * which self-duplicate (diagonal). Source pairs are ordered
+    * lexicographically so each unordered cell appears once.
+    */
+  def q95SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.verifiedNearDups(docs, threshold = 0.5)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1287,7 +1305,8 @@ object Queries {
     "q91_quality_budget" -> (q91QualityBudget _),
     "q92_containment_pairs" -> (q92ContainmentPairs _),
     "q93_media_chunks" -> (q93MediaChunks _),
-    "q94_fuzzy_join" -> (q94FuzzyJoin _))
+    "q94_fuzzy_join" -> (q94FuzzyJoin _),
+    "q95_source_overlap" -> (q95SourceOverlap _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2026,6 +2045,15 @@ object Queries {
            WHERE l.c_custkey < r.c_custkey)
          SELECT id1, id2, CAST(levenshtein(n1, n2) AS INTEGER) AS dist
          FROM cand WHERE levenshtein(n1, n2) <= 1""",
+    "q95_source_overlap" -> (MinHashOracleCtes +
+      """SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+         FROM pairs p
+         JOIN documents da ON p.id1 = da.doc_id
+         JOIN documents db ON p.id2 = db.doc_id
+         WHERE p.jaccard >= 0.5
+         GROUP BY 1, 2"""),
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,
