@@ -612,6 +612,20 @@ object Dedup {
     batch.join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** Materialize the history side's LSH band index as a bucketed table:
+    * the one-time write that makes every later admission run
+    * ([[incrementalDedupBatch]]'s band join) exchange-free on the history
+    * side — only the (small) batch shuffles, to the index's bucket count.
+    * Rewrite (or append) the admitted docs' bands after each refresh;
+    * `DedupSpec` pins the exchange-free plan property.
+    */
+  def writeBandIndex(docs: DataFrame, table: String, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      lshBands(docs, textCol, idCol, k, bands, shingleN),
+      table, Seq("band", "band_hash"), buckets)
+
   /** Streaming exact dedup with watermark-bounded state: the fingerprint is
     * the dedup key, and per-key state is EVICTED once the watermark passes
     * the key's event time. Plain `dropDuplicates("fingerprint")` would keep

@@ -24,12 +24,22 @@ object Bucketing {
     * sort-merge join, leaving just the streamed merge.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column variant: bucket (and sort) by a composite key — the
+    * layout for indexes whose join key is compound, e.g. an LSH band
+    * index joined on (band, band_hash). The join must use exactly the
+    * bucket columns for the exchange-free plan to apply.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(keys.nonEmpty, "at least one bucket key required")
     df.write.mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 

@@ -432,6 +432,34 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bucketed band index: admission band join is exchange-free on the history side") {
+    val history = (0L until 200L)
+      .map(i => (i, s"history document number $i about subject ${i % 7} with extra words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "history document number 3 about subject 3 with extra words"),
+      (1001L, "completely novel writing unseen before in any form")
+    ).toDF("doc_id", "text")
+    Dedup.writeBandIndex(history, "hist_band_idx", buckets = 4, bands = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Dedup.lshBands(batch, "text", "doc_id", k = 16, bands = 8)
+        .withColumnRenamed("doc_id", "bid")
+        .join(spark.table("hist_band_idx"), Seq("band", "band_hash"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly one shuffle: the batch side repartitioning to the index's
+      // bucket layout; the history scan itself is never exchanged
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"want 1 exchange (batch side only):\n$plan")
+      // and the join actually finds the near-dup partner
+      assert(joined.filter(col("bid") === 1000L).count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS hist_band_idx")
+    }
+  }
+
   test("dup-cluster histogram counts families by multiplicity") {
     val corpus = Seq(
       (1L, "aa"), (2L, "AA "), (3L, "aa"),   // one family of 3 (normalized)
