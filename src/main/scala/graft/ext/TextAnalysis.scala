@@ -314,6 +314,60 @@ object TextAnalysis {
         .as("scrubbed"))
   }
 
+  /** Corpus-global boilerplate scrub — the CCNet-style pass that strips
+    * segments appearing in many documents (headers, footers, navigation
+    * chrome) while keeping each document's unique content: documents are
+    * cut into non-overlapping `segTokens`-token segments, a segment's
+    * document frequency is computed corpus-wide, and segments present in
+    * more than `maxDfFrac` of all documents are dropped before the text is
+    * reassembled in order. Unlike doc-level dedup (q20/q42) this is an
+    * intra-document REWRITE driven by corpus-global statistics.
+    *
+    * Output: (idCol, clean_text, n_kept) — documents whose every segment
+    * is boilerplate produce no row (nothing survives the scrub), matching
+    * the inner-join shape any SQL replay produces.
+    *
+    * Physical shape at scale: segmentation is a per-row `transform` inside
+    * the scan projection (no token-level explode — one row per SEGMENT,
+    * ~1/segTokens of the token volume); the df aggregate is one map-side
+    * combined shuffle on the segment string; the threshold is a broadcast
+    * one-row corpus count; reassembly shuffles segments once on the doc id.
+    * The df threshold is RELATIVE (a fraction of corpus size), so the
+    * operator's selectivity is scale-invariant — the same pipeline config
+    * behaves identically at sf0.01 and at 100 TB.
+    */
+  def scrubBoilerplate(docs: DataFrame, segTokens: Int = 2,
+      maxDfFrac: Double = 0.05, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val k = lit(segTokens)
+    val segs = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col(idCol),
+        explode(transform(
+          // ceil(|t| / segTokens) segment slots, idx 0..(|t|-1) div k;
+          // Column./ is double division, so truncate back to int (size >= 1
+          // here, so the cast is a true floor)
+          sequence(lit(0), ((size(col("t")) - lit(1)) / k).cast("int")),
+          i => struct(i.as("idx"),
+            array_join(slice(col("t"), i * k + lit(1), k), " ").as("seg"))))
+          .as("s"))
+      .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))
+    val dfreq = segs.groupBy(col("seg")).agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    segs.join(dfreq, "seg")
+      .crossJoin(broadcast(n))
+      .filter(col("df").cast("double") <=
+        lit(maxDfFrac) * col("n_docs").cast("double"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+            s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1209,6 +1209,34 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Corpus-global boilerplate scrub: non-overlapping 2-token segments,
+    * segments present in >5% of documents stripped, text reassembled in
+    * order (see `TextAnalysis.scrubBoilerplate`). The relative df
+    * threshold makes the selectivity scale-invariant — the same config is
+    * meaningful at sf0.01 and at 100 TB.
+    */
+  def q96BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrubBoilerplate(Tables.load(spark, dir, "documents"),
+      segTokens = 2, maxDfFrac = 0.05)
+
+  /** Event-sequence transition matrix: per-user event streams ordered by
+    * (ts, event_id), counted by (previous type → type) — the Markov
+    * bigram over behavioral sequences (funnel/anomaly analytics). One
+    * shuffle to co-locate each user's history, per-user lag window (no
+    * global window), one map-side-combined count aggregate.
+    */
+  def q97EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("src_type", lag(col("event_type"), 1).over(w))
+      .filter(col("src_type").isNotNull)
+      .groupBy(col("src_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .select(col("src_type"), col("event_type").as("dst_type"),
+        col("n_transitions"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1306,7 +1334,9 @@ object Queries {
     "q92_containment_pairs" -> (q92ContainmentPairs _),
     "q93_media_chunks" -> (q93MediaChunks _),
     "q94_fuzzy_join" -> (q94FuzzyJoin _),
-    "q95_source_overlap" -> (q95SourceOverlap _))
+    "q95_source_overlap" -> (q95SourceOverlap _),
+    "q96_boilerplate_scrub" -> (q96BoilerplateScrub _),
+    "q97_event_transitions" -> (q97EventTransitions _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2054,6 +2084,31 @@ object Queries {
          JOIN documents db ON p.id2 = db.doc_id
          WHERE p.jaccard >= 0.5
          GROUP BY 1, 2"""),
+    "q96_boilerplate_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+         segs AS (
+           SELECT doc_id, i AS idx, array_to_string(t[(i*2+1):(i*2+2)], ' ') AS seg
+           FROM nz, UNNEST(generate_series(0, CAST((len(t)+1)//2 AS BIGINT) - 1)) AS g(i)),
+         dfreq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT s.doc_id,
+                string_agg(s.seg, ' ' ORDER BY s.idx) AS clean_text,
+                COUNT(*) AS n_kept
+         FROM segs s JOIN dfreq USING (seg), n
+         WHERE CAST(dfreq.df AS DOUBLE) <= CAST(0.05 AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+         GROUP BY s.doc_id""",
+    "q97_event_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+         t AS (
+           SELECT event_type AS dst_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS src_type
+           FROM e)
+         SELECT src_type, dst_type, COUNT(*) AS n_transitions
+         FROM t WHERE src_type IS NOT NULL GROUP BY 1, 2""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

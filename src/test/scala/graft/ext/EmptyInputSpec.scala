@@ -80,5 +80,6 @@ class EmptyInputSpec extends SparkSpecBase {
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     assert(MultiModal.resizePayloads(emptyMedia, factor = 2).count() == 0)
     assert(MultiModal.sampleChunks(emptyMedia).count() == 0)
+    assert(TextAnalysis.scrubBoilerplate(emptyDocs).count() == 0)
   }
 }

@@ -170,4 +170,36 @@ class TextAnalysisSpec extends SparkSpecBase {
     val s = TextAnalysis.scrubPii(tricky).select("scrubbed").as[String].head()
     assert(s == "x [EMAIL] y")
   }
+
+  test("boilerplate scrub: frequent segments stripped, order preserved") {
+    // "nav bar" opens 3 of 4 docs (df=3 > 50% of 4) → boilerplate;
+    // everything else is unique (df=1) → kept in original order.
+    val df = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "nav bar eta theta"),
+      (4L, "iota kappa")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(df, segTokens = 2, maxDfFrac = 0.5)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "alpha beta gamma delta" && out(1L)._3 == 2)
+    assert(out(2L)._2 == "epsilon zeta")
+    assert(out(3L)._2 == "eta theta")
+    assert(out(4L)._2 == "iota kappa")
+  }
+
+  test("boilerplate scrub: all-boilerplate docs drop; odd tails segment whole") {
+    val df = Seq(
+      (1L, "footer text"),
+      (2L, "footer text"),
+      (3L, "footer text"),
+      (4L, "unique one two") // odd token count: tail segment is 1 token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(df, segTokens = 2, maxDfFrac = 0.5)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    // docs 1-3 are pure boilerplate (df=3 > 2.0 cap) → no row survives
+    assert(out.keySet == Set(4L))
+    assert(out(4L) == "unique one two")
+  }
 }
