@@ -109,4 +109,31 @@ object Sampling {
       salt: String = "mix"): DataFrame =
     applyRates(df, stratum,
       temperatureRates(df, stratum, alpha, targetFrac), keyCol, salt)
+
+  /** Per-stratum adaptive top-fraction gate: within each stratum, keep
+    * the rows ranking in the top `frac` by `score` (ties broken by
+    * `keyCol` so the cut is total and replayable). This is the
+    * per-source dynamic quality threshold real curation pipelines use
+    * instead of one global cutoff — a noisy source keeps only its best
+    * slice while a clean source passes mostly intact, with NO per-source
+    * tuning constant.
+    *
+    * The kept count is ceil(frac · n) — integer logic, no percentile
+    * interpolation, so any engine reproduces the identical cut. Physical
+    * shape: one hash exchange on the stratum, per-stratum window
+    * (row_number + count over the same partitioning — one sort, no
+    * global window), then the filter; skew is bounded by the largest
+    * single stratum, the same bound the per-source scorecard (q83)
+    * already lives with.
+    */
+  def topFractionByStratum(df: DataFrame, stratum: Column, score: Column,
+      frac: Double, keyCol: String = "doc_id"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    df.withColumn("_rn", row_number().over(
+        w.orderBy(score.desc, col(keyCol).asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn").cast("double") <= ceil(lit(frac) * col("_n")))
+      .drop("_rn", "_n")
+  }
 }

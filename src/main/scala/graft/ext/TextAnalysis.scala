@@ -338,10 +338,20 @@ object TextAnalysis {
     */
   def scrubBoilerplate(docs: DataFrame, segTokens: Int = 2,
       maxDfFrac: Double = 0.05, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    scrubBoilerplateAgainst(docs, segmentDf(docs, segTokens, textCol, idCol),
+      docs.agg(count(lit(1)).as("n_docs")), segTokens, maxDfFrac, textCol, idCol)
+
+  /** Exploded (idCol, idx, seg) segment rows: non-overlapping
+    * `segTokens`-token slices, built inside the scan projection (one row
+    * per SEGMENT, ~1/segTokens of the token volume — never a token-level
+    * explode).
+    */
+  def segments(docs: DataFrame, segTokens: Int, textCol: String,
+      idCol: String): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val k = lit(segTokens)
-    val segs = docs
+    docs
       .select(col(idCol), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) > 0)
       .select(col(idCol),
@@ -354,11 +364,33 @@ object TextAnalysis {
             array_join(slice(col("t"), i * k + lit(1), k), " ").as("seg"))))
           .as("s"))
       .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))
-    val dfreq = segs.groupBy(col("seg")).agg(countDistinct(col(idCol)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    segs.join(dfreq, "seg")
-      .crossJoin(broadcast(n))
-      .filter(col("df").cast("double") <=
+  }
+
+  /** Corpus-wide segment document frequencies: (seg, df). Materialize this
+    * once per corpus snapshot (one map-side-combined shuffle) and feed it
+    * to [[scrubBoilerplateAgainst]] for every subsequent batch — the
+    * incremental-refresh path (see q90's admission pattern) that scrubs
+    * new arrivals without rescanning 100 TB of history.
+    */
+  def segmentDf(docs: DataFrame, segTokens: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    segments(docs, segTokens, textCol, idCol)
+      .groupBy(col("seg")).agg(countDistinct(col(idCol)).as("df"))
+
+  /** Scrub `batch` against a PRE-COMPUTED segment-df table and corpus
+    * count (a one-row DataFrame with `n_docs`). `scrubBoilerplate` is
+    * this applied corpus-against-itself; a production refresh applies it
+    * batch-against-history so per-batch work scales with the batch, not
+    * the corpus. Segments absent from `segDf` are treated as df=0 (kept):
+    * a brand-new segment is by definition not boilerplate.
+    */
+  def scrubBoilerplateAgainst(batch: DataFrame, segDf: DataFrame,
+      nDocs: DataFrame, segTokens: Int = 2, maxDfFrac: Double = 0.05,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    segments(batch, segTokens, textCol, idCol)
+      .join(segDf, Seq("seg"), "left")
+      .crossJoin(broadcast(nDocs))
+      .filter(coalesce(col("df"), lit(0L)).cast("double") <=
         lit(maxDfFrac) * col("n_docs").cast("double"))
       .groupBy(col(idCol))
       .agg(
@@ -366,7 +398,6 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
             s => s.getField("seg")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-  }
 
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1237,6 +1237,35 @@ object Queries {
         col("n_transitions"))
   }
 
+  /** Incremental boilerplate scrub — the production refresh path of q96:
+    * the segment-df table is computed once over the full corpus (in a
+    * real deployment, materialized from history) and a new batch (docs
+    * with id % 10 == 0 here) is scrubbed against it, so per-batch work
+    * scales with the batch, not the corpus (see
+    * `TextAnalysis.scrubBoilerplateAgainst`).
+    */
+  def q98IncrementalScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.scrubBoilerplateAgainst(
+      docs.filter(col("doc_id") % 10 === 0),
+      TextAnalysis.segmentDf(docs),
+      docs.agg(count(lit(1)).as("n_docs")),
+      segTokens = 2, maxDfFrac = 0.05)
+  }
+
+  /** Per-source adaptive quality gate: within each source keep the top
+    * 50% of documents by quality score (ceil(frac·n) rows, integer cut —
+    * see `Sampling.topFractionByStratum`). The dynamic per-source
+    * threshold replaces a single global cutoff: noisy sources keep only
+    * their best slice with no hand-tuned per-source constant.
+    */
+  def q99AdaptiveGate(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topFractionByStratum(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+      col("source"), col("quality"), frac = 0.5)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1336,7 +1365,9 @@ object Queries {
     "q94_fuzzy_join" -> (q94FuzzyJoin _),
     "q95_source_overlap" -> (q95SourceOverlap _),
     "q96_boilerplate_scrub" -> (q96BoilerplateScrub _),
-    "q97_event_transitions" -> (q97EventTransitions _))
+    "q97_event_transitions" -> (q97EventTransitions _),
+    "q98_incremental_scrub" -> (q98IncrementalScrub _),
+    "q99_adaptive_gate" -> (q99AdaptiveGate _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2109,6 +2140,51 @@ object Queries {
            FROM e)
          SELECT src_type, dst_type, COUNT(*) AS n_transitions
          FROM t WHERE src_type IS NOT NULL GROUP BY 1, 2""",
+    // same CTE chain as q96; only the reassembly is restricted to the
+    // batch (df stays corpus-wide — that is the point of the refresh path)
+    "q98_incremental_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+         segs AS (
+           SELECT doc_id, i AS idx, array_to_string(t[(i*2+1):(i*2+2)], ' ') AS seg
+           FROM nz, UNNEST(generate_series(0, CAST((len(t)+1)//2 AS BIGINT) - 1)) AS g(i)),
+         dfreq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT s.doc_id,
+                string_agg(s.seg, ' ' ORDER BY s.idx) AS clean_text,
+                COUNT(*) AS n_kept
+         FROM segs s JOIN dfreq USING (seg), n
+         WHERE s.doc_id % 10 = 0
+           AND CAST(dfreq.df AS DOUBLE) <= CAST(0.05 AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+         GROUP BY s.doc_id""",
+    "q99_adaptive_gate" ->
+      """WITH t AS (SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ltoks
+           FROM documents),
+         s AS (SELECT doc_id, source,
+             LEAST(len(toks) / 20.0, 1.0) AS len_score,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)
+             END AS punct_ratio,
+             CASE WHEN len(ltoks) = 0 THEN 0.0
+                  ELSE len(list_filter(ltoks, x -> list_contains(
+                         ['the','a','an','and','or','of','to','in','is','it',
+                          'for','on','with','as','at','by','from','that','this'], x))) / len(ltoks)
+             END AS sw_ratio
+           FROM t),
+         q AS (SELECT doc_id, source,
+             ROUND(len_score * 0.5 + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.25
+                   + LEAST(sw_ratio * 5.0, 1.0) * 0.25, 6) AS quality
+           FROM s),
+         r AS (SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM q)
+         SELECT doc_id, source, quality FROM r
+         WHERE CAST(rn AS DOUBLE) <= ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE))""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

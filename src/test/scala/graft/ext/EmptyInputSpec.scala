@@ -81,5 +81,10 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(MultiModal.resizePayloads(emptyMedia, factor = 2).count() == 0)
     assert(MultiModal.sampleChunks(emptyMedia).count() == 0)
     assert(TextAnalysis.scrubBoilerplate(emptyDocs).count() == 0)
+    assert(TextAnalysis.scrubBoilerplateAgainst(emptyDocs,
+      TextAnalysis.segmentDf(someDocs),
+      someDocs.agg(count(lit(1)).as("n_docs"))).count() == 0)
+    assert(Sampling.topFractionByStratum(emptyDocs, col("text"),
+      length(col("text")), frac = 0.5).count() == 0)
   }
 }

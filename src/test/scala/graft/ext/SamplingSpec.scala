@@ -123,4 +123,18 @@ class SamplingSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("top-fraction gate: ceil cut per stratum, ties broken by key") {
+    val df = Seq(
+      // stratum a: 3 rows, frac 0.5 → ceil(1.5)=2 kept (scores 9, 7)
+      (1L, "a", 9.0), (2L, "a", 7.0), (3L, "a", 5.0),
+      // stratum b: tie on score → lower doc_id wins the single slot
+      (4L, "b", 4.0), (5L, "b", 4.0),
+      // stratum c: single row is always kept (ceil(0.5)=1)
+      (6L, "c", 0.0)
+    ).toDF("doc_id", "stratum", "score")
+    val kept = Sampling.topFractionByStratum(df, col("stratum"), col("score"),
+      frac = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+  }
 }

@@ -189,6 +189,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4L)._2 == "iota kappa")
   }
 
+  test("incremental scrub: batch against history df; unseen segments kept") {
+    val history = Seq(
+      (1L, "footer text alpha beta"),
+      (2L, "footer text gamma delta"),
+      (3L, "footer text epsilon zeta")
+    ).toDF("doc_id", "text")
+    val segDf = TextAnalysis.segmentDf(history, segTokens = 2)
+    val n = history.agg(count(lit(1)).as("n_docs"))
+    // "footer text" has df=3 > 0.5*3 → boilerplate; "brand new" is absent
+    // from history (df=0) → kept
+    val batch = Seq((10L, "footer text brand new")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplateAgainst(batch, segDf, n,
+      segTokens = 2, maxDfFrac = 0.5)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(10L) == "brand new")
+    // self-application equals the one-shot scrub by construction
+    val selfA = TextAnalysis.scrubBoilerplate(history, 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    val selfB = TextAnalysis.scrubBoilerplateAgainst(history, segDf, n, 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(selfA == selfB)
+  }
+
   test("boilerplate scrub: all-boilerplate docs drop; odd tails segment whole") {
     val df = Seq(
       (1L, "footer text"),
