@@ -1246,9 +1246,14 @@ object Queries {
     */
   def q98IncrementalScrub(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // materialize the history segment-df once (the corpus-snapshot
+    // artifact a production refresh reads), then scrub the batch against
+    // the read-back table — same pattern as the q61/q76 indexed variants
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_segdf_${dir.hashCode.toHexString}"
+    TextAnalysis.segmentDf(docs, segTokens = 2).write.mode("overwrite").parquet(idx)
     TextAnalysis.scrubBoilerplateAgainst(
       docs.filter(col("doc_id") % 10 === 0),
-      TextAnalysis.segmentDf(docs),
+      spark.read.parquet(idx),
       docs.agg(count(lit(1)).as("n_docs")),
       segTokens = 2, maxDfFrac = 0.05)
   }
