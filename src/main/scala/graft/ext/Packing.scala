@@ -61,4 +61,31 @@ object Packing {
       .select(col(idCol), col(tokenCol), col("offset"),
         col("first_chunk"), col("last_chunk"))
   }
+
+  /** Shuffled export manifest — the training-order randomizer: documents
+    * are placed in a DETERMINISTIC pseudo-random global order (md5 of a
+    * salted id, so re-runs and engines agree bit-for-bit and a re-export
+    * with a new salt reshuffles), given a 1-based `export_pos`, a global
+    * token `offset` in that order, and a token-balanced `shard`
+    * assignment (`offset DIV shardTokens` — contiguous shards of ~equal
+    * token mass, not equal doc counts, so loader workers stream equal
+    * work). The global order/offset runs on the two-phase
+    * [[graft.operators.PrefixSum]] — no parallelism-1 window at any
+    * corpus size; the md5 key is computed in the scan projection.
+    */
+  def shuffledExportManifest(docs: DataFrame, shardTokens: Long,
+      salt: String = "export", tokenCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val keyed = docs.withColumn("_key",
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string")).cast("binary")))
+    graft.operators.PrefixSum
+      .withGlobalCumSum(keyed, Seq(col("_key").asc, col(idCol).asc),
+        col(tokenCol), "_cum", rankCol = Some("export_pos"))
+      .withColumn("offset", col("_cum") - col(tokenCol))
+      .select(col(idCol), col("_key").as("shuffle_key"),
+        col("export_pos").cast("long").as("export_pos"),
+        col("offset").cast("long").as("offset"),
+        expr(s"offset DIV $shardTokens").as("shard"))
+  }
 }

@@ -1271,6 +1271,19 @@ object Queries {
           TextAnalysis.qualityScore(col("text")).as("quality")),
       col("source"), col("quality"), frac = 0.5)
 
+  /** Shuffled export manifest: deterministic pseudo-random training order
+    * (salted md5 of the id), global position/offset on the distributed
+    * prefix sum, token-balanced shard assignment (see
+    * `Packing.shuffledExportManifest`) — the manifest a training run's
+    * data loader streams shards from.
+    */
+  def q100ShuffledExport(spark: SparkSession, dir: String): DataFrame =
+    Packing.shuffledExportManifest(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      shardTokens = 4096L)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1372,7 +1385,8 @@ object Queries {
     "q96_boilerplate_scrub" -> (q96BoilerplateScrub _),
     "q97_event_transitions" -> (q97EventTransitions _),
     "q98_incremental_scrub" -> (q98IncrementalScrub _),
-    "q99_adaptive_gate" -> (q99AdaptiveGate _))
+    "q99_adaptive_gate" -> (q99AdaptiveGate _),
+    "q100_shuffled_export" -> (q100ShuffledExport _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2190,6 +2204,19 @@ object Queries {
            FROM q)
          SELECT doc_id, source, quality FROM r
          WHERE CAST(rn AS DOUBLE) <= ceil(CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE))""",
+    "q100_shuffled_export" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5('export:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS export_pos,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4096 AS shard
+         FROM d""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

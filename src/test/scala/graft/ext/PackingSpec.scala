@@ -60,4 +60,29 @@ class PackingSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(m == Seq((0L, 2L, 8L)))
   }
+
+  test("shuffled export: deterministic, salt-sensitive, token-contiguous shards") {
+    val docs = (0L until 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "n_tokens")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Packing.shuffledExportManifest(d, shardTokens = 64L, salt = salt)
+        .select("doc_id", "export_pos", "offset", "shard")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    val a = run(docs, "export")
+    // partition-invariant: same manifest from any input layout
+    assert(run(docs.repartition(7), "export") == a)
+    // a different salt produces a different order (same doc set)
+    val b = run(docs, "other-salt")
+    assert(a.map(_._1) != b.map(_._1) && a.map(_._1).toSet == b.map(_._1).toSet)
+    // positions are 1..n; offsets are the running token sum in that order
+    assert(a.map(_._2) == (1L to 200L))
+    val tok = (0L until 200L).map(i => i -> ((i % 13) + 1)).toMap
+    a.foldLeft(0L) { case (cum, (id, _, off, shard)) =>
+      assert(off == cum && shard == off / 64L)
+      cum + tok(id)
+    }
+    // shards are contiguous in export order and hold ~shardTokens each
+    val perShard = a.groupBy(_._4).toSeq.sortBy(_._1)
+      .map { case (s, rows) => (s, rows.map(r => tok(r._1)).sum) }
+    assert(perShard.dropRight(1).forall { case (_, t) => t >= 52 && t <= 76 })
+  }
 }

@@ -13,7 +13,7 @@ class QueriesContractSpec extends AnyFunSuite {
   }
 
   test("query names follow the qNN_snake_case convention") {
-    assert(Queries.all.keySet.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(Queries.all.keySet.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("oracle SQL is non-trivial and references a corpus table") {
