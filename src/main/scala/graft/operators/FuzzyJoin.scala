@@ -34,18 +34,28 @@ object FuzzyJoin {
     */
   def selfJoinEditDistance1(df: DataFrame, strCol: String, idCol: String,
       maxKeyBucket: Int = 1000): DataFrame = {
-    val keyed = df.select(col(idCol), col(strCol))
+    val base = df.select(col(idCol), col(strCol))
+    val keyed = base
       .withColumn("k", explode(deletionKeys(col(strCol))))
       .withColumn("kdf",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("k")))
       .filter(col("kdf") <= maxKeyBucket)
       .drop("kdf")
+    // candidate dedup keeps ONE side's string: an ED1 pair surfaces from
+    // 2-3 shared deletion keys (an identical pair from ALL its keys), so
+    // the distinct is the volume choke point — carrying both strings
+    // through it shuffles ~2·strlen extra bytes per row, while dropping
+    // both forces TWO rejoins of the full pair set. One string through the
+    // distinct + one rejoin for the other measured fastest on the 30×
+    // probe (10.8M verified pairs).
     val l = keyed.select(col("k"), col(idCol).as("id1"), col(strCol).as("n1"))
-    val r = keyed.select(col("k"), col(idCol).as("id2"), col(strCol).as("n2"))
-    l.join(r, Seq("k"))
+    val r = keyed.select(col("k"), col(idCol).as("id2"))
+    val cand = l.join(r, Seq("k"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "n1", "id2", "n2").distinct()
+      .select("id1", "n1", "id2").distinct()
+    cand
+      .join(base.select(col(idCol).as("id2"), col(strCol).as("n2")), "id2")
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("dist").cast("int").as("dist"))

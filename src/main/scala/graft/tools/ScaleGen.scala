@@ -62,8 +62,17 @@ object ScaleGen {
 
     val cust = rd("customer")
     val custSpan = maxOf(cust, "c_custkey")
-    wr(replicate(cust).withColumn("c_custkey", off("c_custkey", custSpan)).drop("_i"),
-      "customer")
+    // c_name must stay a bijection of the key: replicating the name
+    // verbatim gives every name n exact copies, so the fuzzy-join probe's
+    // dist-0 pair count grows ~n² instead of linearly (caught by q94 at
+    // 30×: 55.8× time for 30× data). Regenerating the TPC-H name shape
+    // from the OFFSET key keeps the name space dense and 1:1, which is
+    // the shape-preserving invariant every other column here follows.
+    wr(replicate(cust)
+      .withColumn("c_custkey", off("c_custkey", custSpan))
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .drop("_i"), "customer")
 
     val supp = rd("supplier")
     val suppSpan = maxOf(supp, "s_suppkey")

@@ -27,6 +27,12 @@ class ScaleGenSpec extends SparkSpecBase {
     val dangling = orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti").count()
     assert(dangling == 0)
 
+    // names stay a bijection of the key: verbatim-replicated names give
+    // every name n exact copies and the fuzzy-join probe's dist-0 pairs
+    // grow ~n² (caught by q94 at 30×: 55.8× time for 30× data)
+    assert(cust.select("c_name").distinct().count() == cust.count(),
+      "replicated customer names collide — fuzzy-join probe corpus is invalid")
+
     // replica vocabularies are disjoint: a cross-replica doc pair can never
     // be a near-dup, so similarity workload grows Nx, not N^2-ish
     val docs = spark.read.parquet(s"$out/documents.parquet")
