@@ -86,5 +86,9 @@ class EmptyInputSpec extends SparkSpecBase {
       someDocs.agg(count(lit(1)).as("n_docs"))).count() == 0)
     assert(Sampling.topFractionByStratum(emptyDocs, col("text"),
       length(col("text")), frac = 0.5).count() == 0)
+    assert(Packing.shuffledExportManifest(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), 64L).count() == 0)
+    assert(graft.operators.FuzzyJoin.selfJoinEditDistance1(
+      Seq.empty[(Long, String)].toDF("id", "name"), "name", "id").count() == 0)
   }
 }
