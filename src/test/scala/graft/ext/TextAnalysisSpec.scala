@@ -212,6 +212,40 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(selfA == selfB)
   }
 
+  test("streaming scrub: batches scrub against the static segment-df per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (1L, "footer text alpha beta"),
+      (2L, "footer text gamma delta"),
+      (3L, "footer text epsilon zeta")
+    ).toDF("doc_id", "text")
+    // the materialized corpus-snapshot artifacts a refresh job reads
+    val segDf = TextAnalysis.segmentDf(history, segTokens = 2).cache()
+    val n = history.agg(count(lit(1)).as("n_docs")).cache()
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Map[Long, String]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.scrubBoilerplateAgainst(batch, segDf, n,
+            segTokens = 2, maxDfFrac = 0.5)
+          .select("doc_id", "clean_text").as[(Long, String)].collect()
+          .foreach { case (id, t) => out.synchronized { out(id) = t } }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "footer text brand new"))
+      q.processAllAvailable()
+      input.addData((11L, "footer text"), (12L, "alpha beta own words"))
+      q.processAllAvailable()
+      // 10/12 keep their non-boilerplate segments; 11 is pure boilerplate
+      // (no row); "alpha beta" has history df=1 <= cap so it survives
+      assert(out.synchronized(out.toMap) ==
+        Map(10L -> "brand new", 12L -> "alpha beta own words"))
+    } finally q.stop()
+  }
+
   test("boilerplate scrub: all-boilerplate docs drop; odd tails segment whole") {
     val df = Seq(
       (1L, "footer text"),
