@@ -1284,6 +1284,19 @@ object Queries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
       shardTokens = 4096L)
 
+  /** Z-order (Morton) layout key over the fact table's two independent
+    * join keys — the multi-dimensional clustering that lets min/max
+    * footer stats prune scans filtered on EITHER key (see
+    * `sources.Layout`: a one-key sort prunes one predicate; interleaved
+    * bits give every file a small key-space rectangle). Pure integer
+    * bit arithmetic, so any engine replays the key exactly.
+    */
+  def q101ZorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zorderKey2(
+          col("l_partkey"), col("l_suppkey")).as("zkey"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1386,7 +1399,8 @@ object Queries {
     "q97_event_transitions" -> (q97EventTransitions _),
     "q98_incremental_scrub" -> (q98IncrementalScrub _),
     "q99_adaptive_gate" -> (q99AdaptiveGate _),
-    "q100_shuffled_export" -> (q100ShuffledExport _))
+    "q100_shuffled_export" -> (q100ShuffledExport _),
+    "q101_zorder_key" -> (q101ZorderKey _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2217,6 +2231,14 @@ object Queries {
            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4096 AS shard
          FROM d""",
+    "q101_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           ((l_partkey % 65536) // CAST(power(2, i) AS BIGINT) % 2)
+             * CAST(power(2, 2*i) AS BIGINT) +
+           ((l_suppkey % 65536) // CAST(power(2, i) AS BIGINT) % 2)
+             * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zkey
+         FROM lineitem""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,
