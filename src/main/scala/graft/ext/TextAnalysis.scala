@@ -343,28 +343,16 @@ object TextAnalysis {
       docs.agg(count(lit(1)).as("n_docs")), segTokens, maxDfFrac, textCol, idCol)
 
   /** Exploded (idCol, idx, seg) segment rows: non-overlapping
-    * `segTokens`-token slices, built inside the scan projection (one row
-    * per SEGMENT, ~1/segTokens of the token volume — never a token-level
-    * explode).
+    * `segTokens`-token slices. This IS [[Chunking.chunkTokens]] with
+    * stride == chunkSize (overlap 0) — one segmentation implementation
+    * to keep in sync with the DuckDB oracle, not two.
     */
   def segments(docs: DataFrame, segTokens: Int, textCol: String,
-      idCol: String): DataFrame = {
-    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val k = lit(segTokens)
-    docs
-      .select(col(idCol), tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col(idCol),
-        explode(transform(
-          // ceil(|t| / segTokens) segment slots, idx 0..(|t|-1) div k;
-          // Column./ is double division, so truncate back to int (size >= 1
-          // here, so the cast is a true floor)
-          sequence(lit(0), ((size(col("t")) - lit(1)) / k).cast("int")),
-          i => struct(i.as("idx"),
-            array_join(slice(col("t"), i * k + lit(1), k), " ").as("seg"))))
-          .as("s"))
-      .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))
-  }
+      idCol: String): DataFrame =
+    Chunking.chunkTokens(docs, chunkSize = segTokens, stride = segTokens,
+        textCol, idCol)
+      .select(col(idCol), col("chunk_idx").as("idx"),
+        col("chunk_text").as("seg"))
 
   /** Corpus-wide segment document frequencies: (seg, df). Materialize this
     * once per corpus snapshot (one map-side-combined shuffle) and feed it

@@ -55,7 +55,11 @@ object FuzzyJoin {
       .filter(col("id1") < col("id2"))
       .select("id1", "n1", "id2").distinct()
     cand
-      .join(base.select(col(idCol).as("id2"), col(strCol).as("n2")), "id2")
+      // distinct on the rejoin side: an exact-duplicate input row would
+      // otherwise re-expand a deduped pair (the 4-column-distinct
+      // semantics this restructuring must preserve)
+      .join(base.distinct().select(col(idCol).as("id2"), col(strCol).as("n2")),
+        "id2")
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("dist").cast("int").as("dist"))

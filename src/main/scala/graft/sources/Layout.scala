@@ -25,23 +25,18 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton-interleaved z-key of two columns' low `bits` bits (bits ≤ 31:
-    * exponents stay < 2^62 and the double `pow` stays integer-exact).
+    * every bit position stays < 2^62). `bits` is known at plan time, so
+    * the key unrolls to constant-folded pure-integer shift/mod arithmetic
+    * — no per-row array, no floating point anywhere.
     */
   def zorderKey2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val mask = lit((1L << bits) - 1)
-    val mx = pmod(x.cast("long"), mask + lit(1L))
-    val my = pmod(y.cast("long"), mask + lit(1L))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => {
-        def bitOf(c: Column): Column =
-          pmod(floor(c / pow(lit(2.0), i)).cast("long"), lit(2L))
-        acc +
-          bitOf(mx) * floor(pow(lit(2.0), i * 2)).cast("long") +
-          bitOf(my) * floor(pow(lit(2.0), i * 2 + lit(1))).cast("long")
-      })
+    val mx = pmod(x.cast("long"), lit(1L << bits))
+    val my = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      pmod(shiftright(mx, i), lit(2L)) * lit(1L << (2 * i)) +
+        pmod(shiftright(my, i), lit(2L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
   }
 
   /** Write `df` clustered by the z-order of (xCol, yCol): range-partition

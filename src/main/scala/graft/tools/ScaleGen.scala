@@ -70,8 +70,9 @@ object ScaleGen {
     // the shape-preserving invariant every other column here follows.
     wr(replicate(cust)
       .withColumn("c_custkey", off("c_custkey", custSpan))
-      .withColumn("c_name",
-        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      // format_string pads to 9 digits but NEVER truncates (lpad would
+      // silently truncate 10+-digit offset keys back into collision)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
       .drop("_i"), "customer")
 
     val supp = rd("supplier")

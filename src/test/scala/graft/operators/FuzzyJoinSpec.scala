@@ -29,6 +29,15 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(ks(2).sorted == Seq("a", "ab", "b"))
   }
 
+  test("exact-duplicate input rows do not re-expand deduped pairs") {
+    // id 9 appears twice with the same name: the candidate dedup keeps one
+    // (7,9) pair and the name rejoin must not multiply it back out
+    val df = Seq((7L, "ab"), (9L, "ac"), (9L, "ac")).toDF("id", "name")
+    val pairs = FuzzyJoin.selfJoinEditDistance1(df, "name", "id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((7L, 9L, 1)))
+  }
+
   test("hot-key guard bounds a degenerate all-identical corpus") {
     val same = (0L until 60L).map(i => (i, "dup")).toDF("id", "name")
     assert(FuzzyJoin.selfJoinEditDistance1(same, "name", "id",
