@@ -31,6 +31,13 @@ object Profile {
     time("verified_neardups")(Dedup.verifiedNearDups(docs, 0.5).count())
     time("simhash")(docs.select(Dedup.simHash(col("text"))).count())
     time("simhash_pairs")(Dedup.simHashPairs(docs, 16).count())
+    // n-gram posting-join family (q84/q92) stage breakdown
+    val (cands, _, _) = Dedup.ngramCandidates(docs, 3, 2, 100, "text", "doc_id")
+    time("ngram_postings")(docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(lower(col("text")), 3)).as("s"))
+      .count())
+    time("ngram_candidates")(cands.count())
+    time("ngram_jaccard_full")(Dedup.ngramJaccardPairs(docs).count())
     spark.stop()
   }
 }
