@@ -97,6 +97,63 @@ class DedupSpec extends SparkSpecBase {
     lsh.foreach { case (k, j) => assert(math.abs(exact(k) - j) < 1e-9) }
   }
 
+  test("ngram pair pre-filter is bit-identical to brute force under df capping") {
+    // The algebraic pre-filter in ngramJaccardPairs/containmentPairs prunes
+    // candidates using `shared + min(capped)` as an intersection upper
+    // bound. Its safety hinges on the capped-shingle credit, which the
+    // driver corpus may never exercise (few shingles over the cap) — so
+    // build a random corpus over a TINY vocabulary with a small dfCap,
+    // forcing many shingles over the cap, and compare against a
+    // brute-force reference for every metric/threshold combination.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 6).map(i => s"w$i")
+    val corpus = (0L until 60L).map { id =>
+      val len = 6 + rnd.nextInt(14)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+
+    // reference shingle sets from the same shingle function (n=3)
+    val sets: Map[Long, Set[String]] = corpusDf
+      .select(col("doc_id"), Dedup.wordShingles(lower(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.toMap
+    for ((dfCap, minShared) <- Seq((3, 1), (5, 2))) {
+      val df: Map[String, Int] = sets.values.flatten.groupBy(identity)
+        .map { case (s, occ) => s -> occ.size }
+      // the scenario must actually exercise the capped-credit path
+      assert(df.values.exists(_ > dfCap), s"no capped shingles at dfCap=$dfCap")
+      val cands = for {
+        a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+        sharedKept = (sets(a) & sets(b)).count(s => df(s) <= dfCap)
+        if sharedKept >= minShared
+      } yield (a, b, sets(a) & sets(b))
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val expJac = cands.collect { case (a, b, inter)
+          if inter.size.toDouble / (sets(a) | sets(b)).size >= t =>
+            (a, b) -> inter.size.toDouble / (sets(a) | sets(b)).size }.toMap
+        val gotJac = Dedup.ngramJaccardPairs(corpusDf, t, 3, minShared, dfCap)
+          .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+          .map { case (a, b, j) => (a, b) -> j }.toMap
+        assert(gotJac.keySet == expJac.keySet,
+          s"jaccard t=$t dfCap=$dfCap: missing=${expJac.keySet -- gotJac.keySet} " +
+            s"extra=${gotJac.keySet -- expJac.keySet}")
+        gotJac.foreach { case (k, j) => assert(math.abs(j - expJac(k)) < 1e-6) }
+
+        val expCont = cands.collect { case (a, b, inter)
+          if inter.size.toDouble / math.min(sets(a).size, sets(b).size) >= t =>
+            (a, b) -> inter.size.toDouble / math.min(sets(a).size, sets(b).size) }.toMap
+        val gotCont = Dedup.containmentPairs(corpusDf, t, 3, minShared, dfCap)
+          .select("id1", "id2", "containment").as[(Long, Long, Double)].collect()
+          .map { case (a, b, c) => (a, b) -> c }.toMap
+        assert(gotCont.keySet == expCont.keySet,
+          s"containment t=$t dfCap=$dfCap: missing=${expCont.keySet -- gotCont.keySet} " +
+            s"extra=${gotCont.keySet -- expCont.keySet}")
+        gotCont.foreach { case (k, c) => assert(math.abs(c - expCont(k)) < 1e-6) }
+      }
+    }
+  }
+
   test("simhash: identical docs hamming 0; near-dups closer than unrelated") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
