@@ -60,8 +60,11 @@ object FuzzyJoin {
       // semantics this restructuring must preserve)
       .join(base.distinct().select(col(idCol).as("id2"), col(strCol).as("n2")),
         "id2")
-      .withColumn("dist", levenshtein(col("n1"), col("n2")))
-      .filter(col("dist") <= 1)
+      // threshold form: banded O(len·1) DP that bails at distance 2 and
+      // returns -1, instead of the full O(len²) matrix — the verify runs
+      // once per candidate pair, so the DP width is the hot loop
+      .withColumn("dist", levenshtein(col("n1"), col("n2"), 1))
+      .filter(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("dist").cast("int").as("dist"))
   }
 }
