@@ -45,8 +45,13 @@ object VectorMeanAggregator
     if (r._2 == 0) Seq.empty
     else r._1.map(s => (s / r._2).toFloat).toSeq
 
+  // Product encoder, NOT Encoders.kryo: the tuple maps to a native row
+  // (array<double>, bigint), so buffer shuffle bytes are columnar-compact
+  // and the serializer needs no java.nio reflective access — Kryo's
+  // ByteBuffer path requires `--add-opens java.base/java.nio` on JDK17+
+  // and fails with EXPRESSION_ENCODING_FAILED when launched without it.
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    Encoders.kryo[(Array[Double], Long)]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
   override def outputEncoder: Encoder[Seq[Float]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
 }
