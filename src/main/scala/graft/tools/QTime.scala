@@ -5,12 +5,19 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf3")
     val names = if (args.length > 1) args.tail.toSeq else Seq("q68_ivf_sq8", "q61_ivf_indexed")
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // A/B knob: start shuffles wider and let AQE coalesce down, instead of
+    // pinning reducer count to 32 regardless of data volume
+    val spark = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+      .fold(builder)(n => builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- names; i <- 1 to 2) {
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    for (q <- names; i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = graft.queries.Queries.all(q)(spark, dir).count()
       println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
