@@ -11,9 +11,16 @@ object QTime {
       .config("spark.ui.enabled", "false")
     // A/B knob: start shuffles wider and let AQE coalesce down, instead of
     // pinning reducer count to 32 regardless of data volume
-    val spark = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+    val b2 = sys.env.get("SPARK_GRAFT_INIT_PARTS")
       .fold(builder)(n => builder.config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    // AQE coalesces down to this target SIZE of compressed shuffle bytes —
+    // for explode-heavy self-joins the in-memory expansion is ~10× the
+    // wire bytes, so widening initialPartitionNum alone is undone by the
+    // 64m default advisory; lower both together to actually widen
+    val spark = sys.env.get("SPARK_GRAFT_ADVISORY")
+      .fold(b2)(s => b2.config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", s))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
