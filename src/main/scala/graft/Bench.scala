@@ -5,21 +5,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
+    val spark = graft.tools.ScaleKnobs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    // Optional scale knobs (default off — driver behavior unchanged): at
-    // ≥30× the fixed reducer width spills on the explode-heavy self-joins,
-    // and widening initialPartitionNum alone is undone by AQE coalescing
-    // back to the 64m ADVISORY (compressed wire bytes, ~10× below the
-    // in-memory expansion of exploded postings) — set both together,
-    // e.g. SPARK_GRAFT_INIT_PARTS=256 SPARK_GRAFT_ADVISORY=8m.
-    val b2 = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(builder)(n =>
-      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
-    val spark = sys.env.get("SPARK_GRAFT_ADVISORY").fold(b2)(s =>
-      b2.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup on the smallest sf: JIT-compiles the scan/agg/join

@@ -273,17 +273,10 @@ object Dedup {
     // even with every capped shingle credited to the intersection can be
     // pruned with NO effect on the output. ε guards the double-arithmetic
     // boundary: never over-prune.
-    val pre = cands
-      .join(stats.select(col(idCol).as("id1"),
-        col("sz").as("sz1"), col("capped").as("c1")), "id1")
-      .join(stats.select(col(idCol).as("id2"),
-        col("sz").as("sz2"), col("capped").as("c2")), "id2")
-      .filter(
-        (col("shared") + least(col("c1"), col("c2"))).cast("double") *
-          lit(1.0 + threshold) >=
-          lit(threshold) * (col("sz1") + col("sz2")).cast("double") - lit(1e-9))
-      .select(col("id1"), col("id2"), col("shared"))
-    pre
+    preFilter(cands, stats, idCol) { (interUb, sz1, sz2) =>
+      interUb * lit(1.0 + threshold) >=
+        lit(threshold) * (sz1 + sz2) - lit(1e-9)
+    }
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard",
@@ -337,6 +330,28 @@ object Dedup {
     (cands, sh, stats)
   }
 
+  /** Shared plumbing of the algebraic verify pre-filters: join candidate
+    * pairs to per-doc (sz, capped) stats and keep pairs where
+    * `keep(interUb, sz1, sz2)` holds, with `interUb` =
+    * shared + min(capped₁, capped₂) — a provable upper bound on |A∩B|
+    * (capped shingles are the only intersection mass `shared` cannot
+    * see). Every candidate id has ≥1 surviving posting row, so the inner
+    * stats joins can never drop a candidate. All three columns reach
+    * `keep` pre-cast to double; bounds subtract an ε so double rounding
+    * can only under-prune, never over-prune.
+    */
+  private def preFilter(cands: DataFrame, stats: DataFrame, idCol: String)(
+      keep: (Column, Column, Column) => Column): DataFrame =
+    cands
+      .join(stats.select(col(idCol).as("id1"),
+        col("sz").as("sz1"), col("capped").as("c1")), "id1")
+      .join(stats.select(col(idCol).as("id2"),
+        col("sz").as("sz2"), col("capped").as("c2")), "id2")
+      .filter(keep(
+        (col("shared") + least(col("c1"), col("c2"))).cast("double"),
+        col("sz1").cast("double"), col("sz2").cast("double")))
+      .select(col("id1"), col("id2"), col("shared"))
+
   /** Near-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold over the
     * same exact posting-join candidates as [[ngramJaccardPairs]]. The
     * containment metric is the partial-duplication detector Jaccard
@@ -353,17 +368,9 @@ object Dedup {
       ngramCandidates(docs, shingleN, minShared, dfCap, textCol, idCol)
     // same conservative pre-filter as ngramJaccardPairs, for the
     // containment bound: |A∩B| ≥ t·min(|A|,|B|), |A∩B| ≤ shared + min(c)
-    val pre = cands
-      .join(stats.select(col(idCol).as("id1"),
-        col("sz").as("sz1"), col("capped").as("c1")), "id1")
-      .join(stats.select(col(idCol).as("id2"),
-        col("sz").as("sz2"), col("capped").as("c2")), "id2")
-      .filter(
-        (col("shared") + least(col("c1"), col("c2"))).cast("double") >=
-          lit(threshold) * least(col("sz1"), col("sz2")).cast("double") -
-          lit(1e-9))
-      .select(col("id1"), col("id2"), col("shared"))
-    pre
+    preFilter(cands, stats, idCol) { (interUb, sz1, sz2) =>
+      interUb >= lit(threshold) * least(sz1, sz2) - lit(1e-9)
+    }
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("containment",
