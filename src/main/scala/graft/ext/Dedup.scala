@@ -123,6 +123,14 @@ object Dedup {
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // Single-chain verify: `cands` is referenced exactly once, so the LSH
+    // pipeline runs once with no materialization barrier. Computing the
+    // shingle sets corpus-wide for the two verify joins is deliberate —
+    // a member-pruned variant (semi-join docs to pair members first) was
+    // measured SLOWER at sf0.1 (the extra checkpoint/job barrier costs
+    // more than the shingle recompute) and the 300× probes show the
+    // corpus-wide shape scaling linearly; at extreme pair densities the
+    // bucket cap, not the verify scan, is the operative guard.
     val cands = candidatePairs(docs, textCol, idCol, k, bands, shingleN)
     val sh = docs.select(col(idCol), wordShingles(lower(col(textCol)), shingleN).as("sh"))
     cands
@@ -289,9 +297,9 @@ object Dedup {
 
   /** Shared exact-recall candidate generator for the n-gram pair family:
     * returns (candidate id pairs with shared-shingle counts, the per-doc
-    * shingle sets). The df gate is a count window over the
-    * shingle-partitioned posting stream: ONE exchange hash(shingle) feeds
-    * everything downstream — the window's sort is exactly the sort the
+    * shingle sets, per-doc verify-bound stats). The df gate is a count
+    * window over the shingle-partitioned posting stream: ONE exchange
+    * hash(shingle) feeds everything downstream — the window's sort is exactly the sort the
     * pair self-join needs, so Spark reuses the exchange and elides
     * re-sorting on both join sides. Two measured alternatives lose: a
     * groupBy-df keep-list join pays a second full sort-merge of the
@@ -409,17 +417,67 @@ object Dedup {
     * component = the minimum node id of its CC.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = ccConvergedStars(edges, maxIter)
+    // member rows are unique by the star property; only the (root, root)
+    // rows need dedup, and that distinct runs over one row per component
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
+  /** The contraction loop behind [[connectedComponents]]: returns the
+    * CONVERGED star edge set — exactly one row (node, root) per non-root
+    * node, root = its component's minimum id. Callers that only need the
+    * member→root map (dedup keeps) read it straight off this set and skip
+    * `connectedComponents`' final union/distinct, which exists only to
+    * add the (root, root) rows.
+    *
+    * Convergence is detected by a DETERMINISTIC one-job star-set test
+    * instead of comparing successive edge sets: both contraction
+    * operators preserve connectivity and orient every output edge
+    * member→root (u > v), so the state is final exactly when it is a
+    * disjoint union of stars — no node appears twice on the member side,
+    * and no node appears on both sides. That test (one groupBy over the
+    * tagged endpoint union) fires in the round convergence HAPPENS,
+    * where the previous next-vs-previous comparison (two counts plus an
+    * `except` anti-join per round) needed one extra full round just to
+    * observe stability — and a star set's roots are provably their
+    * component minima (edges always point u > v), so stopping early
+    * cannot return a wrong or partial assignment.
+    *
+    * `canonicalMemberRoot` lets callers that already guarantee distinct
+    * (smaller, larger) pairs — every pair generator in this file — skip
+    * the defensive self-loop filter / reorientation / dedup shuffle; the
+    * input is still checkpointed once so the (expensive) pair lineage is
+    * never replayed inside the loop.
+    *
+    * SIZE-CONDITIONAL local solve: after LSH banding + verification the
+    * pair graph is orders of magnitude smaller than the corpus (near-dups
+    * are a minority; at sf0.1 it's ~256 edges for 50k docs). Below
+    * `localMaxEdges` edges the distributed loop's per-round cost is pure
+    * job/shuffle latency — a driver-side union-find over the collected
+    * edge list returns the identical star set in one job's time. The
+    * threshold bounds driver memory explicitly (default 4M edges ≈ tens
+    * of MB of boxed ids — far under any sane driver heap; override via
+    * SPARK_GRAFT_CC_LOCAL_MAX, 0 forces the distributed path). Above it,
+    * the contraction loop runs exactly as before — this is the same
+    * small-side/big-side regime split Spark itself applies to joins.
+    */
+  private[graft] def ccConvergedStars(edges: DataFrame, maxIter: Int = 50,
+      canonicalMemberRoot: Boolean = false,
+      localMaxEdges: Long = ccLocalMaxEdges): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
 
     // large-star: every strictly-larger neighbor of u links to
-    // m = min(N(u) ∪ {u})
+    // m = min(N(u) ∪ {u}). No dedup: duplicates cannot change small-star's
+    // window min, the row count is bounded by |sym| = 2|e| either way, and
+    // the dedup shuffle cost more than the duplicate rows it removed
+    // (small-star's distinct still bounds the per-round edge set).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       sym
         .withColumn("m", least(min(col("v")).over(w), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: group by the larger endpoint; every smaller neighbor and
@@ -434,36 +492,124 @@ object Dedup {
         .distinct()
     }
 
-    var e = edges.toDF("u", "v")
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    // star set ⟺ every member (u-side) node appears exactly once and
+    // never as a root (v-side): one shuffle on the node id, no join
+    def isStarSet(e: DataFrame): Boolean =
+      e.select(col("u").as("n"), lit(1L).as("a"), lit(0L).as("b"))
+        .union(e.select(col("v").as("n"), lit(0L).as("a"), lit(1L).as("b")))
+        .groupBy(col("n"))
+        .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+        .filter(col("a") > 1 || (col("a") === 1 && col("b") > 0))
+        .isEmpty
+
+    var e = (if (canonicalMemberRoot) edges.toDF("u", "v")
+      else edges.toDF("u", "v")
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct())
       .localCheckpoint()
+    // count is a cheap scan over the just-materialized checkpoint blocks
+    if (e.count() <= localMaxEdges && idOrdering(e.schema.head.dataType).isDefined)
+      return localStars(e)
+    // contract FIRST, then test: real pair graphs are essentially never
+    // star-shaped on arrival, so testing the input wastes a job in the
+    // common case — and contracting an already-star set is the identity,
+    // so skipping the input test cannot change the result
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // distinct sets are equal iff same size and empty difference
-      converged = next.count() == e.count() && next.except(e).isEmpty
-      e = next
+      e = smallStar(largeStar(e)).localCheckpoint()
+      converged = isStarSet(e)
       i += 1
     }
     // fail loudly rather than return a partially-contracted (wrong) result
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v").as("node"), col("v").as("component")))
-      .distinct()
+    e
+  }
+
+  /** Driver-memory bound for [[ccConvergedStars]]' local solve, in edges. */
+  private[graft] val ccLocalMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(1L << 22)
+
+  /** Total order on the external (Row-level) value of an id column, for
+    * the local CC solve's min-root selection. None for types no pair
+    * generator produces — the caller then stays on the distributed path.
+    */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** Driver-side union-find over a (checkpointed, size-bounded) edge list:
+    * returns the same converged star set as the contraction loop — one
+    * (member, min-root) row per non-root node — as a local relation, which
+    * downstream joins then broadcast instead of shuffling. Union by size +
+    * path compression; the min id per component is resolved in a final
+    * pass so union order never affects the result.
+    */
+  private def localStars(e: DataFrame): DataFrame = {
+    val ord = idOrdering(e.schema.head.dataType).get
+    val parent = new java.util.HashMap[Any, Any]()
+    val size = new java.util.HashMap[Any, java.lang.Long]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def add(x: Any): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); size.put(x, 1L) }
+    e.toLocalIterator().forEachRemaining { row =>
+      val a = row.get(0); val b = row.get(1)
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (big, small) =
+          if (size.get(ra) >= size.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(small, big)
+        size.put(big, size.get(big) + size.get(small))
+      }
+    }
+    // min id per component root (union order is size-driven, not id-driven)
+    val minOf = new java.util.HashMap[Any, Any]()
+    val nodes = parent.keySet().toArray
+    nodes.foreach { x =>
+      val r = find(x)
+      val m = minOf.get(r)
+      if (m == null || ord.lt(x, m)) minOf.put(r, x)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    nodes.foreach { x =>
+      val m = minOf.get(find(x))
+      if (x != m) rows.add(org.apache.spark.sql.Row(x, m))
+    }
+    e.sparkSession.createDataFrame(rows, e.schema)
   }
 
   /** Keep exactly one document (the minimum id) per connected component of
-    * the given pair graph; documents in no pair are untouched.
+    * the given pair graph; documents in no pair are untouched. The losers
+    * are read straight off the converged star set's non-root side — see
+    * [[ccConvergedStars]]. Set `pairsCanonical` only when `pairs` is
+    * already distinct with first column < second column (every pair
+    * generator in this file) — it skips the defensive canonicalization
+    * shuffle.
     */
   def dropByComponents(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val losers = connectedComponents(pairs)
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+      idCol: String = "doc_id", pairsCanonical: Boolean = false): DataFrame = {
+    val e =
+      if (pairsCanonical)
+        ccConvergedStars(pairs.toDF("v", "u").select(col("u"), col("v")),
+          canonicalMemberRoot = true)
+      else ccConvergedStars(pairs)
+    docs.join(e.select(col("u").as(idCol)), Seq(idCol), "left_anti")
   }
 
   /** Keep the BEST-scoring document per connected component (ties break to
@@ -476,12 +622,19 @@ object Dedup {
     * window size.
     */
   def keepBestByComponents(docs: DataFrame, pairs: DataFrame, score: Column,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", pairsCanonical: Boolean = false): DataFrame = {
+    val stars =
+      if (pairsCanonical)
+        ccConvergedStars(pairs.toDF("v", "u").select(col("u"), col("v")),
+          canonicalMemberRoot = true)
+      else ccConvergedStars(pairs)
+    val members = stars.select(col("u").as("node"), col("v").as("component"))
+      .union(stars.select(col("v").as("node"), col("v").as("component")).distinct())
     // join FIRST, score AFTER: the score expression then evaluates only on
     // component members (near-dups are a minority of the corpus), not on
     // every document — at 30× this halved the query
     val scored = docs
-      .join(connectedComponents(pairs).withColumnRenamed("node", idCol), idCol)
+      .join(members.withColumnRenamed("node", idCol), idCol)
       .select(col(idCol).as("node"), col("component"), score.as("_score"))
     val losers = scored
       .withColumn("_rn", row_number().over(
@@ -598,7 +751,7 @@ object Dedup {
     dropByComponents(docs,
       verifiedNearDups(docs, threshold, textCol, idCol, k, bands, shingleN)
         .select(col("id1"), col("id2")),
-      idCol)
+      idCol, pairsCanonical = true)
 
   /** Incremental near-dup admission for a corpus-refresh batch: returns
     * the subset of `batch` to ADMIT into an already-curated `history` —

@@ -881,7 +881,7 @@ object Queries {
     val docs = Tables.load(spark, dir, "documents")
     Dedup.keepBestByComponents(docs,
       Dedup.verifiedNearDups(docs, threshold = 0.5).select(col("id1"), col("id2")),
-      TextAnalysis.qualityScore(col("text")))
+      TextAnalysis.qualityScore(col("text")), pairsCanonical = true)
       .select(col("doc_id"))
   }
 

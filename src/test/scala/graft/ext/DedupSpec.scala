@@ -349,7 +349,29 @@ class DedupSpec extends SparkSpecBase {
       val got = Dedup.connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"seed=$seed: CC disagrees with union-find")
+      // both regimes of the size-conditional solve agree: the forced
+      // distributed contraction loop and the forced driver-local
+      // union-find return the identical converged star set
+      def stars(localMax: Long) =
+        Dedup.ccConvergedStars(edges.toDF("a", "b"), localMaxEdges = localMax)
+          .as[(Long, Long)].collect().toSet
+      assert(stars(0L) == stars(Long.MaxValue),
+        s"seed=$seed: local union-find disagrees with contraction loop")
     }
+  }
+
+  test("local CC solve handles string ids and canonical member-root input") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("z", "y")).toDF("u", "v")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
+    // canonicalMemberRoot path (member = first col, larger id) — the shape
+    // dropByComponents/keepBestByComponents feed after relabeling pairs
+    val stars = Dedup.ccConvergedStars(
+        Seq(("b", "a"), ("c", "b"), ("z", "y")).toDF("u", "v"),
+        canonicalMemberRoot = true)
+      .as[(String, String)].collect().toSet
+    assert(stars == Set(("b", "a"), ("c", "a"), ("z", "y")))
   }
 
   test("CC dedup keeps exactly one doc per transitive chain (a-b-c, a not~c)") {
