@@ -32,6 +32,18 @@ object Similarity {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Point lookup of one probe vector by key — the serving-path fetch the
+    * ANN queries share. The equality predicate on the id column is
+    * pushdown-able, so the scan reads only the row groups whose min/max
+    * straddle the key (and only the id+embedding columns), not the corpus;
+    * at scale the embeddings table would additionally be bucketed or
+    * z-ordered by id so the lookup touches one file.
+    */
+  def probeVector(embeddings: DataFrame, vecId: Long = 0L,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[Float] =
+    embeddings.filter(col(idCol) === vecId)
+      .select(col(embCol)).head().getSeq[Float](0)
+
   /** Exact top-k by cosine similarity against one query vector.
     * Deterministic: ties broken by ascending id. The plan is
     * scan → project(sim) → TakeOrderedAndProject — no shuffle of the data,

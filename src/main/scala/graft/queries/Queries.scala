@@ -301,8 +301,7 @@ object Queries {
   /** Exact brute-force ANN: top-10 by cosine against the vec_id=0 vector. */
   def q25AnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     Similarity.bruteForceTopK(emb, qv, 10).select(col("vec_id"))
   }
 
@@ -632,8 +631,7 @@ object Queries {
   def q33IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, m = 8)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     Similarity.ivfTopK(Similarity.assignBuckets(emb, centroids), centroids, qv,
       k = 10, nprobe = 3).select(col("vec_id"))
   }
@@ -649,8 +647,7 @@ object Queries {
   def q61IvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, m = 8)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     // index path keyed by the sf dir so concurrent gates don't collide
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
     Similarity.writeIvfIndex(emb, centroids, idx)
@@ -667,8 +664,7 @@ object Queries {
   def q68IvfSq8(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, m = 8)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq8_${dir.hashCode.toHexString}"
     Similarity.writeIvfIndexSQ8(emb, centroids, idx)
     Similarity.ivfTopKSQ8(spark, idx, centroids, qv, k = 10, nprobe = 3)
@@ -860,8 +856,7 @@ object Queries {
     */
   def q72RprojTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     Similarity.rprojTopK(emb, qv, k = 10, dimOut = 16).select(col("vec_id"))
   }
 
@@ -903,8 +898,7 @@ object Queries {
     */
   def q76RprojIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_rproj_${dir.hashCode.toHexString}"
     Similarity.writeRprojIndex(emb, dimIn = qv.length, dimOut = 16, path = idx)
     Similarity.rprojTopKIndexed(spark, idx, qv, k = 10, dimOut = 16)
@@ -926,8 +920,7 @@ object Queries {
     */
   def q78RprojRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qv = Similarity.probeVector(emb)
     val exact = Similarity.bruteForceTopK(emb, qv, 10).select(col("vec_id"))
     val approx = Similarity.rprojTopK(emb, qv, 10, dimOut = 16).select(col("vec_id"))
     exact.join(approx, "vec_id")
@@ -1061,7 +1054,11 @@ object Queries {
     * the audit outputs only exact counts and the deterministic gate
     * (fixed seed ⇒ fixed hash family ⇒ replayable boolean), so the
     * oracle stays exact SQL. CMS never under-counts, so the gate is
-    * `exact ≤ est ≤ exact + ε·N` with ε = 1e-3.
+    * `exact ≤ est ≤ exact + ε·N` with ε = 1e-3. The gate itself stays
+    * DISTRIBUTED: the constant-size sketch is broadcast and each
+    * executor evaluates `estimateCount` over its slice of the
+    * heavy-hitter candidates — the shape that still works when the
+    * candidate set is "every term over df 10k", not a top-20.
     */
   def q87HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1070,15 +1067,21 @@ object Queries {
     val eps = 1e-3
     val cms = toks.stat.countMinSketch("term", eps, 0.99, seed = 42)
     val slack = (eps * cms.totalCount()).ceil.toLong
-    val top = toks.groupBy(col("term"))
+    val sketchBytes = spark.sparkContext.broadcast(cms.toByteArray)
+    toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(20)
-      .as[(String, Long)].collect()
-    top.toSeq.map { case (term, n) =>
-      val est = cms.estimateCount(term)
-      (term, n, est >= n && est <= n + slack)
-    }.toDF("term", "n", "cms_ok")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(sketchBytes.value)
+        it.map { case (term, n) =>
+          val est = sk.estimateCount(term)
+          (term, n, est >= n && est <= n + slack)
+        }
+      }
+      .toDF("term", "n", "cms_ok")
   }
 
   /** PII detection + redaction (emails / IPv4s / phone fragments). The
