@@ -64,7 +64,21 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"spread":$spreads,"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}""")
+    val line = s"""{"spread":$spreads,"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
+    println(line)
+    // Self-contained artifact: the driver log keeps only a tail of stdout
+    // (BENCH_r04's truncation lost 50 of 101 per-query times for the next
+    // round's comparison), so also persist the full record in the repo.
+    // Best-effort — an unwritable cwd must not fail the bench itself.
+    try {
+      val cfg = Seq("SPARK_GRAFT_CPUS", "SPARK_GRAFT_INIT_PARTS",
+          "SPARK_GRAFT_ADVISORY", "SPARK_GRAFT_CC_LOCAL_MAX")
+        .flatMap(k => sys.env.get(k).map(v => s"\"${esc(k)}\":\"${esc(v)}\""))
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"config":$cfg,${line.drop(1)}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

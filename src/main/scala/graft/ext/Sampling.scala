@@ -118,8 +118,13 @@ object Sampling {
     * slice while a clean source passes mostly intact, with NO per-source
     * tuning constant.
     *
-    * The kept count is ceil(frac · n) — integer logic, no percentile
-    * interpolation, so any engine reproduces the identical cut. Physical
+    * The kept count is ceil(frac · n) in IEEE-double arithmetic — no
+    * percentile interpolation, so any engine that evaluates the product
+    * as a double reproduces the identical cut (note the double semantics
+    * are load-bearing at representation edges: frac=0.3, n=10 gives
+    * 3.0000000000000004 and keeps 4 rows, and e.g. DuckDB agrees because
+    * it computes the same product; a true-rational ceil would keep 3).
+    * Physical
     * shape: one hash exchange on the stratum, per-stratum window
     * (row_number + count over the same partitioning — one sort, no
     * global window), then the filter; skew is bounded by the largest

@@ -25,6 +25,18 @@ import org.apache.spark.sql.types.DecimalType
 object Queries {
 
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Scratch path for a query's materialized index artifact (the q61/q68/
+    * q76/q98 build-once tables). Keyed on the SANITIZED FULL corpus path
+    * (two dirs can collide on hashCode) plus the application id, so
+    * concurrent runs against the same corpus never overwrite each other's
+    * artifact mid-read.
+    */
+  private def scratchPath(spark: SparkSession, tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val app = spark.sparkContext.applicationId
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${safe}_$app"
+  }
   private def msum(c: Column): Column = sum(money(c)).cast("double")
   /** For PRODUCTS of 2-decimal values: the exact result has 4 decimals, so
     * a DECIMAL(18,4) cast sits exactly on the grid — no engine ever rounds
@@ -648,8 +660,7 @@ object Queries {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, m = 8)
     val qv = Similarity.probeVector(emb)
-    // index path keyed by the sf dir so concurrent gates don't collide
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.hashCode.toHexString}"
+    val idx = scratchPath(spark, "ivf", dir)
     Similarity.writeIvfIndex(emb, centroids, idx)
     Similarity.ivfTopKIndexed(spark, idx, centroids, qv, k = 10, nprobe = 3)
       .select(col("vec_id"))
@@ -665,7 +676,7 @@ object Queries {
     val emb = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, m = 8)
     val qv = Similarity.probeVector(emb)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq8_${dir.hashCode.toHexString}"
+    val idx = scratchPath(spark, "ivfsq8", dir)
     Similarity.writeIvfIndexSQ8(emb, centroids, idx)
     Similarity.ivfTopKSQ8(spark, idx, centroids, qv, k = 10, nprobe = 3)
       .select(col("vec_id"))
@@ -899,7 +910,7 @@ object Queries {
   def q76RprojIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val qv = Similarity.probeVector(emb)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_rproj_${dir.hashCode.toHexString}"
+    val idx = scratchPath(spark, "rproj", dir)
     Similarity.writeRprojIndex(emb, dimIn = qv.length, dimOut = 16, path = idx)
     Similarity.rprojTopKIndexed(spark, idx, qv, k = 10, dimOut = 16)
       .select(col("vec_id"))
@@ -1252,7 +1263,7 @@ object Queries {
     // materialize the history segment-df once (the corpus-snapshot
     // artifact a production refresh reads), then scrub the batch against
     // the read-back table — same pattern as the q61/q76 indexed variants
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_segdf_${dir.hashCode.toHexString}"
+    val idx = scratchPath(spark, "segdf", dir)
     TextAnalysis.segmentDf(docs, segTokens = 2).write.mode("overwrite").parquet(idx)
     TextAnalysis.scrubBoilerplateAgainst(
       docs.filter(col("doc_id") % 10 === 0),

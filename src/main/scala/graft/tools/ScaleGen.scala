@@ -77,11 +77,20 @@ object ScaleGen {
 
     val supp = rd("supplier")
     val suppSpan = maxOf(supp, "s_suppkey")
-    wr(replicate(supp).withColumn("s_suppkey", off("s_suppkey", suppSpan)).drop("_i"),
-      "supplier")
+    // same bijection rule as c_name: s_name is key-formatted in the source
+    wr(replicate(supp)
+      .withColumn("s_suppkey", off("s_suppkey", suppSpan))
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+      .drop("_i"), "supplier")
 
     val part = rd("part")
     val partSpan = maxOf(part, "p_partkey")
+    // p_name is word-based ("small ring"), not key-derived: replication
+    // gives each name n exact copies. That matches TPC-H's own p_name
+    // cardinality (a fixed word vocabulary, heavy duplication at any SF),
+    // so it's left verbatim — but a fuzzy/dedup probe pointed at p_name
+    // would see dist-0 pairs grow ~n² (the artifact q94 caught on c_name)
+    // and must probe a key-derived column instead.
     wr(replicate(part).withColumn("p_partkey", off("p_partkey", partSpan)).drop("_i"),
       "part")
 

@@ -31,18 +31,27 @@ class LayoutSpec extends SparkSpecBase {
   test("z-ordered files cover small rectangles in BOTH dimensions") {
     val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
       .toDF("x", "y")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_layout_spec"
-    Layout.writeZOrdered(grid, dir, "x", "y", numFiles = 16, bits = 6)
-    val spans = spark.read.parquet(dir)
-      .groupBy(input_file_name())
-      .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"))
-      .select("xr", "yr").as[(Long, Long)].collect()
-    assert(spans.length >= 8) // the range partitioner actually spread files
-    // a contiguous z-range is a compact rectangle: every file spans well
-    // under the full 0..63 extent in BOTH x and y — this is what lets
-    // min/max footer stats prune a filter on EITHER column. A one-key
-    // sort gives xr ~ 4 but yr = 63 (no pruning on y) on the same data.
-    assert(spans.forall { case (xr, yr) => xr <= 48 && yr <= 48 },
-      s"some file spans nearly the whole key space: ${spans.mkString(",")}")
+    // per-run unique dir: a fixed path let concurrent test JVMs overwrite
+    // each other's output mid-read
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_spec")
+    val dir = tmp.resolve("z").toString
+    try {
+      Layout.writeZOrdered(grid, dir, "x", "y", numFiles = 16, bits = 6)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"))
+        .select("xr", "yr").as[(Long, Long)].collect()
+      assert(spans.length >= 8) // the range partitioner actually spread files
+      // a contiguous z-range is a compact rectangle: every file spans well
+      // under the full 0..63 extent in BOTH x and y — this is what lets
+      // min/max footer stats prune a filter on EITHER column. A one-key
+      // sort gives xr ~ 4 but yr = 63 (no pruning on y) on the same data.
+      assert(spans.forall { case (xr, yr) => xr <= 48 && yr <= 48 },
+        s"some file spans nearly the whole key space: ${spans.mkString(",")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
