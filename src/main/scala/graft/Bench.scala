@@ -47,7 +47,7 @@ object Bench {
         Some((name, good.min, good.max - good.min))
       } else None
     }
-    // 3-decimal rounding keeps the 101-query line compact, and the
+    // 3-decimal rounding keeps the full-map queries line compact, and the
     // metric/value/unit summary goes LAST in the object: the driver stores
     // only the final ~2000 chars of output, so with the summary at the
     // front a long queries map pushed the headline total out of view

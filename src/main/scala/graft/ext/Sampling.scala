@@ -141,4 +141,48 @@ object Sampling {
       .filter(col("_rn").cast("double") <= ceil(lit(frac) * col("_n")))
       .drop("_rn", "_n")
   }
+
+  /** Frozen per-stratum admission thresholds for [[topFractionByStratum]]
+    * — the side-input its STREAMING/INCREMENTAL form gates against. The
+    * gate itself is holistic (a row's admission depends on its rank
+    * within the whole stratum), so no row-at-a-time operator can replay
+    * it exactly over an unbounded stream; the production decomposition is
+    * the same one the boilerplate scrub uses (q96→q98): recompute the
+    * thresholds over history on a refresh cadence, then admit each
+    * arriving row STATELESSLY against the frozen cut. One row per
+    * stratum: the (score, key) of the last row the gate admits, so the
+    * threshold captures the gate's total tie-broken order exactly, not a
+    * score alone.
+    */
+  def stratumThresholds(df: DataFrame, stratum: Column, score: Column,
+      frac: Double, keyCol: String = "doc_id"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    df.withColumn("_rn", row_number().over(
+        w.orderBy(score.desc, col(keyCol).asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn").cast("double") === ceil(lit(frac) * col("_n")))
+      .select(stratum.as("_stratum"), score.as("_cut_score"),
+        col(keyCol).as("_cut_key"))
+  }
+
+  /** Stateless admission gate against frozen [[stratumThresholds]]: a row
+    * is admitted iff it sorts at-or-above the cut in the gate's
+    * (score desc, key asc) order. Per-row decidable with only the
+    * broadcast threshold table as state — exactly the shape a
+    * `readStream` pipeline evaluates (broadcast join + filter; no
+    * shuffle, no window), and therefore batch/stream identical by
+    * construction: gating a union equals the union of gating each batch.
+    * Parity with the holistic gate is pinned by SamplingSpec — replaying
+    * the SAME corpus the thresholds were derived from reproduces
+    * `topFractionByStratum` row-for-row. A stratum absent from the
+    * thresholds admits nothing until the next refresh (conservative for
+    * a brand-new source; relax by unioning a default threshold row).
+    */
+  def gateAgainstThresholds(batch: DataFrame, stratum: Column, score: Column,
+      thresholds: DataFrame, keyCol: String = "doc_id"): DataFrame =
+    batch.join(broadcast(thresholds), stratum <=> col("_stratum"))
+      .filter(score > col("_cut_score") ||
+        (score === col("_cut_score") && col(keyCol) <= col("_cut_key")))
+      .drop("_stratum", "_cut_score", "_cut_key")
 }

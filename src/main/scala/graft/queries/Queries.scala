@@ -1154,6 +1154,16 @@ object Queries {
     * parallelism-1 trap this engine refuses everywhere. Quality is
     * 6dp-rounded on both engines, so the (quality, doc_id) total order
     * is replayed exactly by the oracle's plain window.
+    *
+    * Incremental form: the rank/cum columns are holistic (one insert
+    * shifts every position below it), so the manifest is an EPOCH
+    * artifact — recomputed per refresh, like the q98 df-snapshot. Budget
+    * ADMISSION against a frozen epoch is still streaming-expressible,
+    * because cum_tokens is monotone in the manifest order: the admitted
+    * set is a prefix, and a prefix of a total order is exactly a
+    * (quality, doc_id) lex-threshold gate — equivalence pinned in
+    * SamplingSpec ("quality-budget admission equals the stateless
+    * lex-gate").
     */
   def q91QualityBudget(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -1276,7 +1286,11 @@ object Queries {
     * 50% of documents by quality score (ceil(frac·n) rows, integer cut —
     * see `Sampling.topFractionByStratum`). The dynamic per-source
     * threshold replaces a single global cutoff: noisy sources keep only
-    * their best slice with no hand-tuned per-source constant.
+    * their best slice with no hand-tuned per-source constant. The gate
+    * is holistic (rank within the stratum), so its streaming form is the
+    * q96→q98 decomposition: freeze `Sampling.stratumThresholds` on a
+    * refresh cadence and admit arriving rows statelessly via
+    * `Sampling.gateAgainstThresholds` (parity pinned in SamplingSpec).
     */
   def q99AdaptiveGate(spark: SparkSession, dir: String): DataFrame =
     Sampling.topFractionByStratum(
@@ -1310,6 +1324,23 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"),
         graft.sources.Layout.zorderKey2(
           col("l_partkey"), col("l_suppkey")).as("zkey"))
+
+  /** Rank-quantile z-order key — the skew-robust variant of q101 for
+    * wide/continuous domains (here: price × part key): each dimension is
+    * exact-rank bucketed into 64 equi-depth ranks before the Morton
+    * interleave, so file rectangles stay small in RANK space no matter
+    * how the values are distributed (see `Layout.quantileBucket` — the
+    * ranking runs over the value histogram through the distributed
+    * two-phase prefix sum, no global single-task window, and the exact
+    * integer arithmetic replays in any engine).
+    */
+  def q102ZorderQuantile(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.withZorderKeyQuantile(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_partkey")),
+      "l_extendedprice", "l_partkey", bits = 6, zCol = "zq")
+      .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
 
   // ------------------------------------------------------------------
 
@@ -1414,7 +1445,8 @@ object Queries {
     "q98_incremental_scrub" -> (q98IncrementalScrub _),
     "q99_adaptive_gate" -> (q99AdaptiveGate _),
     "q100_shuffled_export" -> (q100ShuffledExport _),
-    "q101_zorder_key" -> (q101ZorderKey _))
+    "q101_zorder_key" -> (q101ZorderKey _),
+    "q102_zorder_quantile" -> (q102ZorderQuantile _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2253,6 +2285,27 @@ object Queries {
            ((l_suppkey % 65536) // CAST(power(2, i) AS BIGINT) % 2)
              * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zkey
          FROM lineitem""",
+    "q102_zorder_quantile" ->
+      """WITH tot AS (SELECT COUNT(*) AS n FROM lineitem),
+         hx AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+                FROM lineitem GROUP BY 1),
+         qx AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 64) // (SELECT n FROM tot) AS b FROM hx),
+         hy AS (SELECT l_partkey AS v, COUNT(*) AS c
+                FROM lineitem GROUP BY 1),
+         qy AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 64) // (SELECT n FROM tot) AS b FROM hy)
+         SELECT l.l_orderkey, l.l_linenumber,
+           CAST(list_sum(list_transform(range(0, 6), i ->
+             (qx.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i) AS BIGINT) +
+             (qy.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zq
+         FROM lineitem l
+         JOIN qx ON l.l_extendedprice = qx.v
+         JOIN qy ON l.l_partkey = qy.v""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -52,4 +52,65 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Exact rank-quantile bucket ids for one column: bucket(v) =
+    * rowsBefore(v) · buckets DIV n, so each bucket holds ~n/buckets rows
+    * REGARDLESS of the value distribution — the skew-robust front end for
+    * the domains where `zorderKey2`'s masked identity is wrong: a wide or
+    * skewed domain wraps mod 2^bits and shreds locality, while rank space
+    * is dense by construction. Equal values always share a bucket, so the
+    * mapping is a pure function of the data.
+    *
+    * Physical shape: the ranking runs over the VALUE HISTOGRAM (groupBy
+    * value → count → distributed two-phase prefix sum over the sorted
+    * distinct values — see [[graft.operators.PrefixSum]]; no global
+    * single-task window), so its cost scales with DISTINCT values, and
+    * the bucket map joins back on the value as an ordinary shuffle join.
+    * Exact integer arithmetic end to end (no approximate sketch, no
+    * floating point): any engine replays the identical buckets, and
+    * `rowsBefore · buckets` stays under 2^63 for any real n.
+    */
+  def quantileBucket(df: DataFrame, valueCol: String, buckets: Int,
+      bucketCol: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    val ranked = graft.operators.PrefixSum
+      .withGlobalCumSum(hist, Seq(col(valueCol)), col("_c"), "_cum")
+      .withColumn("_before", col("_cum") - col("_c"))
+    val bmap = ranked
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+      .select(col(valueCol),
+        expr(s"(_before * CAST($buckets AS BIGINT)) DIV _n").as(bucketCol))
+    df.join(bmap, Seq(valueCol))
+  }
+
+  /** Append the rank-quantile z-order key of (xCol, yCol): each dimension
+    * is quantile-bucketed into 2^bits ranks, then Morton-interleaved. This
+    * is the layout key for skewed or wide/continuous domains (prices,
+    * timestamps, hash-spread ids) where `zorderKey2`'s low-bit mask would
+    * alias distant values into the same cell.
+    */
+  def withZorderKeyQuantile(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, zCol: String = "_z"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val b = 1 << bits
+    val bucketed = quantileBucket(
+      quantileBucket(df, xCol, b, "_qbx"), yCol, b, "_qby")
+    bucketed
+      .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
+      .drop("_qbx", "_qby")
+  }
+
+  /** [[writeZOrdered]] over rank-quantile keys — the variant whose
+    * per-file rectangles are small in RANK space, which is what makes
+    * footer-stats pruning on a range predicate effective under skew
+    * (a range predicate selects a contiguous rank interval).
+    */
+  def writeZOrderedQuantile(df: DataFrame, path: String, xCol: String,
+      yCol: String, numFiles: Int, bits: Int = 16): Unit =
+    withZorderKeyQuantile(df, xCol, yCol, bits, "_z")
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }

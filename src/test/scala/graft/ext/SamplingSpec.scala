@@ -137,4 +137,79 @@ class SamplingSpec extends SparkSpecBase {
       frac = 0.5).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L, 6L))
   }
+
+  test("frozen thresholds replay the holistic top-fraction gate row-for-row") {
+    // random scores with deliberate ties: the (score, key) lex threshold
+    // must reproduce the rank gate exactly, including tie-broken cuts
+    val r = new scala.util.Random(7)
+    val corpus = (0L until 900L)
+      .map(i => (i, s"s${i % 5}", (r.nextInt(40) / 4).toDouble))
+      .toDF("doc_id", "stratum", "score")
+    for (frac <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val holistic = Sampling.topFractionByStratum(corpus, col("stratum"),
+        col("score"), frac).select("doc_id").as[Long].collect().sorted.toSeq
+      val thr = Sampling.stratumThresholds(corpus, col("stratum"),
+        col("score"), frac)
+      val gated = Sampling.gateAgainstThresholds(corpus, col("stratum"),
+        col("score"), thr).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(gated == holistic, s"frac=$frac: threshold gate diverged")
+    }
+  }
+
+  test("threshold gate is streaming-identical: stream-static join matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // thresholds frozen from a history corpus (the refresh artifact)
+    val history = (0L until 400L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de", (i % 17).toDouble))
+      .toDF("doc_id", "stratum", "score")
+    val thr = Sampling.stratumThresholds(history, col("stratum"),
+      col("score"), frac = 0.25)
+    val batchRows = (1000L until 1400L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", (i % 23).toDouble))
+    val input = MemoryStream[(Long, String, Double)]
+    val gatedStream = Sampling.gateAgainstThresholds(
+      input.toDF().toDF("doc_id", "stratum", "score"),
+      col("stratum"), col("score"), thr)
+    val q = gatedStream.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      batchRows.grouped(100).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT doc_id FROM gate_stream")
+        .as[Long].collect().sorted.toSeq
+      val batch = Sampling.gateAgainstThresholds(
+        batchRows.toDF("doc_id", "stratum", "score"),
+        col("stratum"), col("score"), thr)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("quality-budget admission equals the stateless lex-gate at the boundary") {
+    // the q91 manifest's budget cut (cum_tokens <= B over quality-desc
+    // order) is equivalent to a per-row (quality, id) threshold gate:
+    // cum_tokens is monotone in the manifest order, so the admitted set
+    // is a prefix, and a prefix of a total order IS a lex threshold —
+    // which is what makes budget ADMISSION streaming-expressible against
+    // a frozen epoch boundary even though the manifest positions
+    // themselves are holistic (epoch-recomputed)
+    val r = new scala.util.Random(11)
+    val feats = (0L until 500L)
+      .map(i => (i, (r.nextInt(12)).toDouble, 10L + r.nextInt(90)))
+      .toDF("doc_id", "quality", "n_tokens")
+    val manifest = graft.operators.PrefixSum.withGlobalCumSum(feats,
+      Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+      cumCol = "cum_tokens", rankCol = Some("rank"))
+    val budget = 8000L
+    val admitted = manifest.filter(col("cum_tokens") <= budget)
+    val byBudget = admitted.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byBudget.nonEmpty && byBudget.size < 500)
+    // boundary = last admitted row in manifest order
+    val (bq, bid) = admitted.orderBy(col("rank").desc).limit(1)
+      .select("quality", "doc_id").as[(Double, Long)].head()
+    val byGate = feats.filter(col("quality") > bq ||
+        (col("quality") === bq && col("doc_id") <= bid))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byGate == byBudget)
+  }
 }

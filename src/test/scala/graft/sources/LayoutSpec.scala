@@ -54,4 +54,54 @@ class LayoutSpec extends SparkSpecBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("quantile buckets are equi-depth and rank-ordered under heavy skew") {
+    // zipf-ish: value 10^(i%4) — 4 distinct values, wildly spread domain
+    val df = (0 until 4000).map(i => math.pow(10, i % 4).toLong).toDF("v")
+    val got = Layout.quantileBucket(df, "v", buckets = 4, "b")
+      .groupBy("v", "b").count().as[(Long, Long, Long)].collect().sortBy(_._1)
+    // each distinct value fills exactly one of the 4 equi-depth buckets,
+    // in rank order — bucket ids are dense regardless of the value gaps
+    assert(got.toSeq == Seq((1L, 0L, 1000L), (10L, 1L, 1000L),
+      (100L, 2L, 1000L), (1000L, 3L, 1000L)))
+  }
+
+  test("quantile z-order prunes skewed wide-domain keys where masking cannot") {
+    // x: monotone exponential spread (rank r -> 2^(r/4)·4096 + 64r) — a
+    // wide skewed domain whose LOW 6 BITS are all zero, so the masked
+    // identity sees every x as the same cell; y: dense 0..63. Rank space
+    // is a 64x64 grid.
+    val rows = for (xr <- 0L until 64L; y <- 0L until 64L)
+      yield ((1L << (xr / 4).toInt) * 4096L + 64L * xr, y, xr)
+    val grid = rows.toDF("x", "y", "xr")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_q")
+    try {
+      Layout.writeZOrderedQuantile(grid, tmp.resolve("q").toString,
+        "x", "y", numFiles = 16, bits = 6)
+      val spans = spark.read.parquet(tmp.resolve("q").toString)
+        .groupBy(input_file_name())
+        .agg((max($"xr") - min($"xr")).as("xrr"), (max($"y") - min($"y")).as("yr"))
+        .select("xrr", "yr").as[(Long, Long)].collect()
+      assert(spans.length >= 8)
+      // every file covers a small RANK-space rectangle in BOTH dims —
+      // the same pruning bound the dense-key test pins for zorderKey2
+      assert(spans.forall { case (xrr, yr) => xrr <= 48 && yr <= 48 },
+        s"some file spans nearly the whole rank space: ${spans.mkString(",")}")
+      // contrast: the masked-identity key aliases the exponential domain
+      // (x mod 64 is unrelated to rank), so at least one file's x-RANK
+      // span approaches the full extent — no pruning on x
+      Layout.writeZOrdered(grid, tmp.resolve("m").toString,
+        "x", "y", numFiles = 16, bits = 6)
+      val masked = spark.read.parquet(tmp.resolve("m").toString)
+        .groupBy(input_file_name())
+        .agg((max($"xr") - min($"xr")).as("xrr"))
+        .select("xrr").as[Long].collect()
+      assert(masked.exists(_ > 48),
+        "masked identity unexpectedly preserved rank locality on the skewed domain")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
