@@ -389,6 +389,72 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  // --------------------------------------------- exact substring dedup
+
+  /** Content-sampled character L-gram fingerprints of a text column —
+    * the primitive behind exact-SUBSTRING dedup (the character-level
+    * family of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2021): two documents are substring-linked when they
+    * share a verbatim character run, which word-level shingles miss
+    * whenever the run straddles token edits. Any shared run of length
+    * ≥ gramLen contains the same length-`gramLen` windows on both sides,
+    * so gram-fingerprint equality has exact recall on such runs; to keep
+    * posting volume at 1/modP of total characters, a window is KEPT only
+    * when its md5-60 hash ≡ 0 (mod modP). The keep rule reads only the
+    * window's bytes — never its position — so a shared run selects the
+    * SAME windows in both documents (no positional misalignment), and a
+    * run of length ≥ gramLen + k still surfaces unless all k+1 of its
+    * windows fail the coin — miss probability (1−1/modP)^(k+1),
+    * vanishing for runs much longer than gramLen. `modP = 1` restores
+    * exact ≥ gramLen recall. Returns distinct array<long>; the 60-bit
+    * fingerprint IS the join key downstream (2⁻⁶⁰ collision odds in
+    * exchange for shuffling 8-byte longs instead of 40-byte grams).
+    */
+  def charGramFingerprints(text: Column, gramLen: Int = 40, modP: Int = 4): Column =
+    graft.functions.native.charGramHashes(text, gramLen, modP)
+
+  /** Exact-substring duplicate pairs: documents sharing ≥ `minShared`
+    * sampled gram fingerprints, with per-fingerprint document frequency
+    * capped at `dfCap` (a fingerprint occurring in d documents yields
+    * d·(d−1)/2 candidate rows — the df cap is what keeps boilerplate
+    * runs from turning the posting self-join quadratic, exactly as in
+    * [[ngramCandidates]]). Same physical shape as the word-shingle
+    * posting family: one exchange on the fingerprint feeds the df
+    * window and both self-join sides; work is Σ df² over kept
+    * fingerprints, never N². Returns (id1, id2, shared).
+    */
+  def substringDupPairs(docs: DataFrame, gramLen: Int = 40, modP: Int = 4,
+      minShared: Int = 2, dfCap: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val posts = docs
+      .select(col(idCol),
+        explode(charGramFingerprints(col(textCol), gramLen, modP)).as("gh"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gh")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    posts.select(col("gh"), col(idCol).as("id1"))
+      .join(posts.select(col("gh"), col(idCol).as("id2")), Seq("gh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Substring-dedup removal (keep-first policy, mirroring
+    * [[dropNearDups]]; compose with `dropByComponents` for the
+    * transitive variant).
+    */
+  def dropSubstringDups(docs: DataFrame, gramLen: Int = 40, modP: Int = 4,
+      minShared: Int = 2, dfCap: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val losers = substringDupPairs(docs, gramLen, modP, minShared, dfCap,
+        textCol, idCol)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup removal over the exact n-gram Jaccard pair graph (keep-first,
     * mirroring `dropNearDups`' policy; compose with `dropByComponents` for
     * the transitive variant).

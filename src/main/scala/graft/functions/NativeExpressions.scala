@@ -554,6 +554,34 @@ object HashKernels {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Content-sampled character L-gram fingerprints: the md5-60 hash of
+    * every length-`gramLen` character window of the string whose hash is
+    * ≡ 0 (mod `modP`), distinct, in first-occurrence order. Selection
+    * depends only on the window's BYTES — never its position — so a
+    * verbatim run shared by two documents contributes identical
+    * fingerprints to both sides. One pass, one md5 per window on a
+    * thread-local digest; windows are `String.substring` slices (UTF-16
+    * units — identical to the oracle's codepoint `substr` on any
+    * BMP-only corpus).
+    */
+  def charGramHashes(in: UTF8String, gramLen: Int, modP: Int): ArrayData = {
+    val s = in.toString
+    val n = s.length - gramLen + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val h = Md5Utils.hash60(s.substring(i, i + gramLen))
+      if (h % modP == 0) seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
@@ -676,6 +704,33 @@ case class WordShingles(child: Expression, n: Int)
       s"${ev.value} = graft.functions.HashKernels.wordShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Content-sampled character-gram fingerprints (see
+  * `HashKernels.charGramHashes`): the exact-substring dedup primitive.
+  * Every step is replayable by a DuckDB oracle —
+  * `('0x' || substr(md5(substr(text, i, gramLen)), 1, 15))::BIGINT` with
+  * the same mod-`modP` keep rule.
+  */
+case class CharGramHashes(child: Expression, gramLen: Int, modP: Int)
+    extends UnaryExpression {
+  require(gramLen >= 1, s"gramLen must be positive, got $gramLen")
+  require(modP >= 1, s"modP must be positive, got $modP")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.charGramHashes(in.asInstanceOf[UTF8String], gramLen, modP)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.charGramHashes($c, $gramLen, $modP);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
     copy(child = newChild)
 }
 
@@ -844,6 +899,8 @@ object native {
     col(HyperplaneSignBits(ex(vec), planes))
   def wordShingles(text: Column, n: Int): Column =
     col(WordShingles(ex(text), n))
+  def charGramHashes(text: Column, gramLen: Int, modP: Int): Column =
+    col(CharGramHashes(ex(text), gramLen, modP))
   def whitespaceTokens(text: Column): Column =
     col(WhitespaceTokens(ex(text)))
   def adjacentBigrams(arr: Column): Column =
@@ -873,6 +930,8 @@ object native {
     "simhash60_p" -> { args => SimHash60P(args(0)) },
     "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
+    "char_gram_hashes" -> { args => CharGramHashes(args(0),
+      intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
     "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },
     "token_freq_stats" -> { args => TokenFreqStats(args(0)) },

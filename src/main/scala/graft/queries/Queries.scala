@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Chunking, Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1342,6 +1342,26 @@ object Queries {
       "l_extendedprice", "l_partkey", bits = 6, zCol = "zq")
       .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
 
+  /** Exact-substring duplicate pairs — the character-level dedup family
+    * (Lee et al. 2021): documents sharing ≥ 2 content-sampled 40-char
+    * gram fingerprints (md5-60 ≡ 0 mod 4, per-fingerprint df ≤ 50).
+    * Catches verbatim reuse that word-shingle Jaccard structurally
+    * misses when the copied run is a small slice of a long document;
+    * candidates come only from the df-capped posting self-join on the
+    * 8-byte fingerprint — see `Dedup.substringDupPairs`.
+    */
+  def q103SubstringPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(Tables.load(spark, dir, "documents"))
+
+  /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
+    * top-30 frequency-weighted adjacent character pairs over the
+    * word-frequency table — one corpus shuffle, then vocabulary-sized
+    * work, the scale shape of the whole trainer. Deterministic cut:
+    * count desc, then (sym1, sym2).
+    */
+  def q104BpePairs(spark: SparkSession, dir: String): DataFrame =
+    Bpe.bpePairCounts(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1446,7 +1466,9 @@ object Queries {
     "q99_adaptive_gate" -> (q99AdaptiveGate _),
     "q100_shuffled_export" -> (q100ShuffledExport _),
     "q101_zorder_key" -> (q101ZorderKey _),
-    "q102_zorder_quantile" -> (q102ZorderQuantile _))
+    "q102_zorder_quantile" -> (q102ZorderQuantile _),
+    "q103_substring_pairs" -> (q103SubstringPairs _),
+    "q104_bpe_pairs" -> (q104BpePairs _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2306,6 +2328,32 @@ object Queries {
          FROM lineitem l
          JOIN qx ON l.l_extendedprice = qx.v
          JOIN qy ON l.l_partkey = qy.v""",
+    "q103_substring_pairs" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+             range(1, greatest(length(text) - 39, 0) + 1),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))::BIGINT),
+             h -> h % 4 = 0))) AS gh
+           FROM documents),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+         FROM g a JOIN g b USING (gh) JOIN d USING (gh)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 2""",
+    "q104_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+           FROM documents),
+         wf AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+         p AS (
+           SELECT f, unnest(list_transform(range(1, length(word)), i ->
+             substr(word, CAST(i AS INTEGER), 2))) AS pair
+           FROM wf)
+         SELECT substr(pair, 1, 1) AS sym1, substr(pair, 2, 1) AS sym2,
+           CAST(SUM(f) AS BIGINT) AS cnt
+         FROM p GROUP BY 1, 2
+         ORDER BY cnt DESC, sym1 ASC, sym2 ASC LIMIT 30""",
     "q85_sketch_audit" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders,

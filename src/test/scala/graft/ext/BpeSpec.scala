@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // the classic BPE walkthrough corpus: hug×3, pug, pun, bun
+  private val docs = Seq(
+    (0L, "hug pug pun"),
+    (1L, "bun hug hug")
+  ).toDF("doc_id", "text")
+
+  test("pair counts are frequency-weighted and deterministically ordered") {
+    val top = Bpe.bpePairCounts(docs, topK = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // pairs: (u,g)=4 [hug×3 + pug], (h,u)=3, (p,u)=2, (u,n)=2, (b,u)=1
+    assert(top == Seq(("u", "g", 4L), ("h", "u", 3L), ("p", "u", 2L)))
+  }
+
+  test("train reproduces the hand-computed merge sequence and vocab") {
+    val (merges, vocab) = Bpe.train(docs, nMerges = 5)
+    // round 1: (u,g)=4 → ug; round 2: (h,ug)=3 → hug;
+    // round 3: (u,n)=2 → un; then every remaining pair is a singleton
+    assert(merges == Seq(("u", "g"), ("h", "ug"), ("u", "n")))
+    val syms = vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(syms("hug") == Seq("hug"))
+    assert(syms("pug") == Seq("p", "ug"))
+    assert(syms("pun") == Seq("p", "un"))
+    assert(syms("bun") == Seq("b", "un"))
+  }
+
+  test("segment replays training order, including overlap greediness") {
+    val (merges, _) = Bpe.train(docs, nMerges = 5)
+    val out = Seq("hugpun", "gug").toDF("word")
+      .select(Bpe.segment(col("word"), merges).as("syms"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("hug", "p", "un"), Seq("g", "ug")))
+    // greedy left-to-right, no overlap: "aaa" under a hypothetical (a,a)
+    // merge becomes [aa, a]
+    val tri = Seq("aaa").toDF("word")
+      .select(Bpe.segment(col("word"), Seq(("a", "a"))).as("syms"))
+      .as[Seq[String]].collect().head
+    assert(tri == Seq("aa", "a"))
+  }
+}

@@ -46,6 +46,33 @@ class DedupSpec extends SparkSpecBase {
     assert(j.length == 1 && math.abs(j.head - 0.6) < 1e-9)
   }
 
+  test("substring dedup: planted shared 40-char run found, disjoint docs absent") {
+    val run = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN" // 50 chars
+    val docs3 = Seq(
+      (0L, "prefix one " + run + " suffix alpha"),
+      (1L, "totally different lead-in " + run + " and another tail"),
+      (2L, "no shared runs here at all just ordinary filler text long enough to window"),
+      (3L, "short doc") // < gramLen: contributes no fingerprints
+    ).toDF("doc_id", "text")
+    // modP = 1 is exact recall: a shared >= 40-char run MUST pair, and the
+    // shared count is exactly the fully-contained windows of the shared
+    // run — both docs flank `run` with a space, so the run is 52 chars
+    // and contributes 52-40+1 = 13 windows (boundary-straddling windows
+    // differ by construction)
+    val pairs = Dedup.substringDupPairs(docs3, gramLen = 40, modP = 1, minShared = 1)
+      .select("id1", "id2", "shared").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 13L)))
+    // content sampling keeps a window iff its HASH (not position) passes
+    // the coin, so whatever modP selects, it selects on both sides: any
+    // surviving pair must still be (0,1)
+    val sampled = Dedup.substringDupPairs(docs3, gramLen = 40, modP = 4, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(sampled.subsetOf(Set((0L, 1L))))
+    val kept = Dedup.dropSubstringDups(docs3, gramLen = 40, modP = 1, minShared = 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
   test("containment pairs a quoted subset that jaccard misses") {
     // doc 1 = doc 0's text embedded in a much longer doc: containment of
     // doc0's shingles in doc1 is 1.0, jaccard is far below any threshold
