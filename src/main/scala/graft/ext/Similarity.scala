@@ -327,6 +327,113 @@ object Similarity {
       nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfTopK(spark.read.parquet(indexPath), centroids, queryVec, k, nprobe, idCol, vecCol)
 
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", 2011): the vector space is split into
+    * `m` subspaces of dim/m dims, each with its own `k`-entry codebook.
+    * Codebooks come from the same deterministic seed sample the IVF
+    * quantizer uses ([[sampleCentroids]], sliced per subspace) so any
+    * engine can rebuild them; a per-subspace k-means refinement
+    * ([[kmeansCentroids]] over the sliced vectors) is a drop-in at build
+    * time. Returns m codebooks of (cid, sub-centroid).
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Float])]] = {
+    val seeds = sampleCentroids(embeddings, k, idCol, vecCol)
+    require(seeds.nonEmpty, "pqCodebooks: empty embeddings")
+    val d = seeds.head._2.length
+    require(d % m == 0, s"m=$m must divide dim=$d")
+    val sub = d / m
+    (0 until m).map(s =>
+      seeds.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) })
+  }
+
+  /** Squared L2 distance between a float-array column and a literal
+    * centroid with oracle-exact term order: element-wise double diffs,
+    * then the sequential Σ diff² via the native double-dot kernel —
+    * bit-identical to the oracle's `list_sum(list_transform(...))`.
+    */
+  private def l2sqToLit(sl: Column, c: Seq[Float]): Column = {
+    val diff = zip_with(sl, array(c.map(lit(_)): _*),
+      (x, y) => x.cast("double") - y.cast("double"))
+    graft.functions.native.dotD(diff, diff)
+  }
+
+  /** PQ codes: per subspace, the id of the nearest (squared-L2) codebook
+    * entry, ties to the smaller id — `array<int>` of length m. Each code
+    * carries log2(k) bits where the raw slice carried 4·dim/m bytes: with
+    * (m=4, k=8, dim=64) that is the 64×-plus compression that lets a
+    * 100 TB float corpus keep its WHOLE approximate index in memory.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[(Int, Seq[Float])]]): Column = {
+    val sub = codebooks.head.head._2.length
+    array(codebooks.zipWithIndex.map { case (book, s) =>
+      val sl = slice(vec, s * sub + 1, sub)
+      array_min(array(book.map { case (cid, c) =>
+        struct(l2sqToLit(sl, c).as("d"), lit(cid).as("cid")) }: _*))
+        .getField("cid")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) approximation of ||query − v||² from v's
+    * codes alone: the query is NOT quantized — per subspace the exact
+    * ||q_s − c||² for all k codebook entries is computed once on the
+    * driver (the classic per-query lookup table), and each row pays m
+    * table lookups + (m−1) adds. No vector data is touched at query
+    * time.
+    */
+  def pqAdcDistance(codes: Column, codebooks: Seq[Seq[(Int, Seq[Float])]],
+      queryVec: Seq[Float]): Column = {
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.map { case (book, s) =>
+      val qs = queryVec.slice(s * sub, (s + 1) * sub)
+      val lut = book.sortBy(_._1).map { case (_, c) =>
+        qs.iterator.zip(c.iterator).map { case (q, x) =>
+          val dd = q.toDouble - x.toDouble; dd * dd }.sum }
+      element_at(array(lut.map(lit(_)): _*), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** PQ/ADC top-k: encode in the scan (or read a materialized code table —
+    * [[pqTopKIndexed]]), rank by ADC distance, ties by id. Same physical
+    * shape as every ANN probe here: scan → project → TakeOrderedAndProject,
+    * no shuffle.
+    */
+  def pqTopK(embeddings: DataFrame, codebooks: Seq[Seq[(Int, Seq[Float])]],
+      queryVec: Seq[Float], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKFromCodes(
+      embeddings.select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes")),
+      codebooks, queryVec, k, idCol)
+
+  private def pqTopKFromCodes(coded: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], queryVec: Seq[Float], k: Int,
+      idCol: String): DataFrame =
+    coded
+      .select(col(idCol), pqAdcDistance(col("codes"), codebooks, queryVec).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol))
+
+  /** Build-time half of the PQ index: codes materialized once (m ints per
+    * vector — the 64× storage/IO lever); probes never read the floats.
+    */
+  def writePqIndex(embeddings: DataFrame, codebooks: Seq[Seq[(Int, Seq[Float])]],
+      path: String, idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    embeddings
+      .select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Query the materialized PQ code table: identical result to [[pqTopK]]
+    * (the codes are deterministic), scanning m ints per row instead of
+    * dim floats.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], queryVec: Seq[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    pqTopKFromCodes(spark.read.parquet(indexPath), codebooks, queryVec, k, idCol)
+
   /** Per-vector symmetric int8 quantization: scale = max|v_i| / 127,
     * q_i = trunc(v_i / scale) ∈ [-127, 127]. At 100 TB of float32
     * embeddings this is the standard 4× storage/IO lever (the IVF index

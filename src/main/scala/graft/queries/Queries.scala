@@ -1362,6 +1362,31 @@ object Queries {
   def q104BpePairs(spark: SparkSession, dir: String): DataFrame =
     Bpe.bpePairCounts(Tables.load(spark, dir, "documents"))
 
+  /** Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8
+    * deterministic seed sub-centroids, vectors encoded to 4 codes,
+    * ranking by the asymmetric per-query distance lookup table
+    * (`Similarity.pqTopK`). The third compression point on the ANN
+    * surface: rproj shrinks dims, SQ8 shrinks floats to ints, PQ
+    * shrinks vectors to m codebook ids.
+    */
+  def q105PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 8)
+    Similarity.pqTopK(emb, books, Similarity.probeVector(emb), k = 10)
+  }
+
+  /** PQ over a materialized code table (the build-once index: m ints per
+    * vector, ~64× less scan IO than the floats) — same algebra and
+    * oracle as q105, physical layout differs.
+    */
+  def q106PqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 8)
+    val idx = scratchPath(spark, "pq", dir)
+    Similarity.writePqIndex(emb, books, idx)
+    Similarity.pqTopKIndexed(spark, idx, books, Similarity.probeVector(emb), k = 10)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1468,7 +1493,9 @@ object Queries {
     "q101_zorder_key" -> (q101ZorderKey _),
     "q102_zorder_quantile" -> (q102ZorderQuantile _),
     "q103_substring_pairs" -> (q103SubstringPairs _),
-    "q104_bpe_pairs" -> (q104BpePairs _))
+    "q104_bpe_pairs" -> (q104BpePairs _),
+    "q105_pq_topk" -> (q105PqTopK _),
+    "q106_pq_indexed" -> (q106PqIndexed _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -1868,6 +1895,10 @@ object Queries {
     // against the identical oracle.
     "q61_ivf_indexed" -> IvfTopKOracle,
     "q68_ivf_sq8" -> IvfSq8Oracle,
+    "q105_pq_topk" -> PqTopKOracle,
+    // q106 is the materialized-code-table path of the same PQ algorithm —
+    // identical codebooks, encoding, ADC ranking, and tie-break.
+    "q106_pq_indexed" -> PqTopKOracle,
     "q69_repetition_signals" ->
       """WITH t AS (
            SELECT doc_id,
@@ -2680,6 +2711,51 @@ object Queries {
                          CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) / (e.nrm * qv.nrm) END AS sim
            FROM asg e, qv WHERE e.bucket IN (SELECT cid FROM probe))
          ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+
+  /** DuckDB replay of the PQ/ADC pipeline (q105/q106): seed codebooks =
+    * the 8 smallest-id vectors sliced into 4 subspaces of 16 dims;
+    * per-subspace argmin squared-L2 encoding (ties to the smaller cid);
+    * ADC distance = Σ over subspaces of the exact ||q_s − c[code_s]||².
+    * Distance terms are double diffs summed in element order on both
+    * sides, so the ranking replays exactly.
+    */
+  private def PqTopKOracle: String =
+    """WITH cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         gs AS (SELECT unnest(range(4)) AS s),
+         sub AS (
+           SELECT gs.s, c.cid,
+             list_slice(c.embedding, gs.s * 16 + 1, gs.s * 16 + 16) AS c
+           FROM cent c, gs),
+         esub AS (
+           SELECT e.vec_id, gs.s,
+             list_slice(e.embedding, gs.s * 16 + 1, gs.s * 16 + 16) AS v
+           FROM embeddings e, gs),
+         qsub AS (
+           SELECT gs.s, list_slice(embedding, gs.s * 16 + 1, gs.s * 16 + 16) AS q
+           FROM embeddings, gs WHERE vec_id = 0),
+         enc AS (
+           SELECT vec_id, s, cid AS code FROM (
+             SELECT e.vec_id, e.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                 ORDER BY list_sum(list_transform(range(1, 17), k ->
+                   (CAST(e.v[k] AS DOUBLE) - CAST(c.c[k] AS DOUBLE)) *
+                   (CAST(e.v[k] AS DOUBLE) - CAST(c.c[k] AS DOUBLE)))) ASC,
+                   c.cid ASC) AS rn
+             FROM esub e JOIN sub c ON c.s = e.s)
+           WHERE rn = 1),
+         lut AS (
+           SELECT c.s, c.cid,
+             list_sum(list_transform(range(1, 17), k ->
+               (CAST(q.q[k] AS DOUBLE) - CAST(c.c[k] AS DOUBLE)) *
+               (CAST(q.q[k] AS DOUBLE) - CAST(c.c[k] AS DOUBLE)))) AS d
+           FROM sub c JOIN qsub q ON q.s = c.s),
+         adc AS (
+           SELECT enc.vec_id, SUM(l.d) AS dist
+           FROM enc JOIN lut l ON l.s = enc.s AND l.cid = enc.code
+           GROUP BY enc.vec_id)
+         SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10"""
 
   /** DuckDB replay of the md5-parity ±1 random projection (q72/q76): the
     * 16×64 sign matrix from md5('rp|j|k'), both sides projected, reduced-

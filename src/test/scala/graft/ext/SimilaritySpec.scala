@@ -152,6 +152,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("PQ: self-codes for seeds, ADC recovers the query cluster, index replays exactly") {
+    // seed ids (the 4 smallest) must SPAN the clusters or the codebook
+    // cannot separate them — two x seeds, two y seeds, then 4 more of each
+    val pqData = (
+      Seq((0L, vec(ax, 0.1f, 0)), (1L, vec(ax, 0.1f, 1)),
+        (2L, vec(ay, 0.1f, 2)), (3L, vec(ay, 0.1f, 3))) ++
+      (4L until 8L).map(i => (i, vec(ax, 0.1f, i.toInt))) ++
+      (8L until 12L).map(i => (i, vec(ay, 0.1f, i.toInt)))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(pqData, m = 2, k = 4)
+    assert(books.length == 2 && books.forall(_.length == 4))
+    // the seed vectors are their own sub-centroids: distance exactly 0 in
+    // every subspace, so each encodes to itself
+    val codes = pqData
+      .select(col("vec_id"), Similarity.pqEncode(col("embedding"), books).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    (0 until 4).foreach(i => assert(codes(i.toLong) == Seq(i, i)))
+    // ADC ranking against the x axis puts the whole x cluster first
+    val top = Similarity.pqTopK(pqData, books, Seq(1f, 0f, 0f, 0f), 6)
+      .as[Long].collect().toSeq
+    assert(top.toSet == Set(0L, 1L, 4L, 5L, 6L, 7L))
+    // the materialized code table replays the in-memory ranking row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    try {
+      Similarity.writePqIndex(pqData, books, dir)
+      val indexed = Similarity.pqTopKIndexed(spark, dir, books, Seq(1f, 0f, 0f, 0f), 6)
+        .as[Long].collect().toSeq
+      assert(indexed == top)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)

@@ -173,11 +173,11 @@ class NativeExpressionsSpec extends SparkSpecBase {
   test("GraftExtensions exposes the same builders") {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
-      Seq("adjacent_bigrams", "array_count_in", "dot_product_d",
-        "dot_product_f", "hyperplane_sign_bits", "minhash_sig",
-        "minhash_sig_p", "quantize_int8", "random_project_f",
-        "simhash60_p", "simhash64", "token_freq_stats",
-        "whitespace_tokens", "word_shingles"))
+      Seq("adjacent_bigrams", "array_count_in", "char_gram_hashes",
+        "dot_product_d", "dot_product_f", "hyperplane_sign_bits",
+        "minhash_sig", "minhash_sig_p", "quantize_int8",
+        "random_project_f", "simhash60_p", "simhash64",
+        "token_freq_stats", "whitespace_tokens", "word_shingles"))
   }
 
   test("randomProjectF matches the composed per-plane literal dot products") {
