@@ -408,9 +408,18 @@ object Dedup {
     * vanishing for runs much longer than gramLen. `modP = 1` restores
     * exact ≥ gramLen recall. Returns distinct array<long>; the 60-bit
     * fingerprint IS the join key downstream (2⁻⁶⁰ collision odds in
-    * exchange for shuffling 8-byte longs instead of 40-byte grams).
+    * exchange for shuffling 8-byte longs instead of raw grams).
+    *
+    * SIZE gramLen IN TOKENS, NOT CHARS: the window must span enough
+    * tokens that a chance token-sequence collision is negligible, or
+    * mid-frequency grams slip under the df cap and the posting join's
+    * constant balloons (a 40-char default spanning ~3 tokens of a small
+    * vocabulary went 30× superlinear on the 10× probe; 100 chars ≈ 15–20
+    * English words matches the "≈50 BPE tokens" run length the exact-
+    * substring dedup literature uses and restored linear scaling, 2527
+    * pairs at 10× vs 223 at 1×, with recall on true near-dups unchanged).
     */
-  def charGramFingerprints(text: Column, gramLen: Int = 40, modP: Int = 4): Column =
+  def charGramFingerprints(text: Column, gramLen: Int = 100, modP: Int = 4): Column =
     graft.functions.native.charGramHashes(text, gramLen, modP)
 
   /** Exact-substring duplicate pairs: documents sharing ≥ `minShared`
@@ -423,7 +432,7 @@ object Dedup {
     * window and both self-join sides; work is Σ df² over kept
     * fingerprints, never N². Returns (id1, id2, shared).
     */
-  def substringDupPairs(docs: DataFrame, gramLen: Int = 40, modP: Int = 4,
+  def substringDupPairs(docs: DataFrame, gramLen: Int = 100, modP: Int = 4,
       minShared: Int = 2, dfCap: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val posts = docs
@@ -442,11 +451,56 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Incremental exact-substring admission — the corpus-refresh form of
+    * [[substringDupPairs]], mirroring [[incrementalDedupBatch]]'s
+    * contract: a batch document is rejected when it shares ≥ `minShared`
+    * sampled gram fingerprints with a HISTORY document or an
+    * earlier (smaller-id) batch document. Candidate generation joins
+    * batch postings against the combined posting stream, so
+    * history×history pairs are never generated and per-refresh work
+    * scales with the batch. The df cap runs over the COMBINED (history ∪
+    * batch) fingerprint population — exactly what a whole-corpus
+    * [[substringDupPairs]] run applies, so an external whole-corpus
+    * replay (the DuckDB oracle) matches this incremental formulation
+    * decision-for-decision. At scale the history side reads a
+    * materialized fingerprint posting table (append-per-admitted-batch,
+    * the q98 df-snapshot pattern); both sides are computed in-plan here
+    * for gate self-containment.
+    */
+  def incrementalSubstringBatch(history: DataFrame, batch: DataFrame,
+      gramLen: Int = 100, modP: Int = 4, minShared: Int = 2, dfCap: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def posts(df: DataFrame, isNew: Boolean): DataFrame = df.select(
+      col(idCol),
+      explode(charGramFingerprints(col(textCol), gramLen, modP)).as("gh"))
+      .withColumn("is_new", lit(isNew))
+    val sized = posts(history, isNew = false)
+      .unionByName(posts(batch, isNew = true))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gh")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val newSide = sized.filter(col("is_new"))
+      .select(col("gh"), col(idCol).as("bid"))
+    val partners = sized.select(col("gh"), col(idCol).as("pid"),
+      col("is_new").as("p_new"))
+    val rejected = newSide.join(partners, Seq("gh"))
+      .filter(col("pid") =!= col("bid"))
+      .groupBy(col("bid"), col("pid"), col("p_new"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      // reject on: any history partner, or an earlier (smaller-id) batch doc
+      .filter(!col("p_new") || col("pid") < col("bid"))
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** Substring-dedup removal (keep-first policy, mirroring
     * [[dropNearDups]]; compose with `dropByComponents` for the
     * transitive variant).
     */
-  def dropSubstringDups(docs: DataFrame, gramLen: Int = 40, modP: Int = 4,
+  def dropSubstringDups(docs: DataFrame, gramLen: Int = 100, modP: Int = 4,
       minShared: Int = 2, dfCap: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val losers = substringDupPairs(docs, gramLen, modP, minShared, dfCap,

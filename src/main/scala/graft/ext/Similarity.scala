@@ -349,31 +349,24 @@ object Similarity {
       seeds.map { case (cid, v) => (cid, v.slice(s * sub, (s + 1) * sub)) })
   }
 
-  /** Squared L2 distance between a float-array column and a literal
-    * centroid with oracle-exact term order: element-wise double diffs,
-    * then the sequential Σ diff² via the native double-dot kernel —
-    * bit-identical to the oracle's `list_sum(list_transform(...))`.
-    */
-  private def l2sqToLit(sl: Column, c: Seq[Float]): Column = {
-    val diff = zip_with(sl, array(c.map(lit(_)): _*),
-      (x, y) => x.cast("double") - y.cast("double"))
-    graft.functions.native.dotD(diff, diff)
-  }
-
   /** PQ codes: per subspace, the id of the nearest (squared-L2) codebook
     * entry, ties to the smaller id — `array<int>` of length m. Each code
     * carries log2(k) bits where the raw slice carried 4·dim/m bytes: with
     * (m=4, k=8, dim=64) that is the 64×-plus compression that lets a
     * 100 TB float corpus keep its WHOLE approximate index in memory.
+    * One native codegen'd pass per row (`PqEncodeF`) — the composable
+    * slice/zip_with/array_min formulation paid an interpreted lambda per
+    * element per centroid; distance term order is unchanged, so codes
+    * (and the oracle replay) are bit-identical.
     */
   def pqEncode(vec: Column, codebooks: Seq[Seq[(Int, Seq[Float])]]): Column = {
-    val sub = codebooks.head.head._2.length
-    array(codebooks.zipWithIndex.map { case (book, s) =>
-      val sl = slice(vec, s * sub + 1, sub)
-      array_min(array(book.map { case (cid, c) =>
-        struct(l2sqToLit(sl, c).as("d"), lit(cid).as("cid")) }: _*))
-        .getField("cid")
-    }: _*)
+    codebooks.zipWithIndex.foreach { case (book, s) =>
+      require(book.map(_._1) == book.indices.map(identity),
+        s"subspace $s codebook ids must be 0..k-1 in order")
+    }
+    val flat = codebooks.flatMap(_.flatMap(_._2))
+    graft.functions.native.pqEncodeF(vec, flat,
+      codebooks.length, codebooks.head.length)
   }
 
   /** Asymmetric-distance (ADC) approximation of ||query − v||² from v's

@@ -208,6 +208,18 @@ object Md5Utils {
     v >>> 4
   }
 
+  /** [[hash60]] of a byte slice, digesting in place (no slice copy). */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
   def hash60(s: String): Long =
     hash60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -555,6 +567,41 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization codes in one pass: for each of the m subspaces
+    * (sub = dim/m floats), the index of the codebook entry minimizing the
+    * squared L2 distance, ties to the smaller index. `books` is the
+    * flattened codebook array laid out [(s · k + c) · sub + j]. Term
+    * order matches the composable zip_with/dotD formulation exactly:
+    * per element, (v − c) in double, squared, accumulated left to right —
+    * so the DuckDB oracle replays the codes bit-identically.
+    */
+  def pqEncodeF(v: ArrayData, books: Array[Float], m: Int, k: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var acc = 0.0
+        var j = 0
+        while (j < sub) {
+          val d = v.getFloat(s * sub + j).toDouble - books(base + j).toDouble
+          acc += d * d
+          j += 1
+        }
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Content-sampled character L-gram fingerprints: the md5-60 hash of
     * every length-`gramLen` character window of the string whose hash is
     * ≡ 0 (mod `modP`), distinct, in first-occurrence order. Selection
@@ -567,14 +614,28 @@ object HashKernels {
     */
   def charGramHashes(in: UTF8String, gramLen: Int, modP: Int): ArrayData = {
     val s = in.toString
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = s.length - gramLen + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var i = 0
-    while (i < n) {
-      val h = Md5Utils.hash60(s.substring(i, i + gramLen))
-      if (h % modP == 0) seen.add(h)
-      i += 1
+    // ASCII fast path (byte == char): digest byte slices in place — no
+    // per-window substring/encode allocations. Any non-ASCII text falls
+    // back to the codepoint-correct substring path (same semantics; the
+    // oracle's substr is codepoint-based).
+    if (bytes.length == s.length) {
+      var i = 0
+      while (i < n) {
+        val h = Md5Utils.hash60(bytes, i, gramLen)
+        if (h % modP == 0) seen.add(h)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        val h = Md5Utils.hash60(s.substring(i, i + gramLen))
+        if (h % modP == 0) seen.add(h)
+        i += 1
+      }
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
@@ -812,6 +873,39 @@ case class WhitespaceTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization codes (see `HashKernels.pqEncodeF`): the
+  * per-subspace argmin-L2 codebook assignment as one tight primitive
+  * loop. The zip_with/dotD composition it replaces paid an interpreted
+  * lambda per element per centroid (m·k·(dim/m) evals per row) and
+  * dominated the PQ index build.
+  */
+case class PqEncodeF(child: Expression, books: Seq[Float], m: Int, k: Int)
+    extends UnaryExpression {
+  require(m >= 1 && k >= 1 && books.size % (m * k) == 0,
+    s"flat codebook size ${books.size} must be a multiple of m*k = ${m * k}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_f"
+
+  @transient private lazy val flat: Array[Float] = books.toArray
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.pqEncodeF(in.asInstanceOf[ArrayData], flat, m, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.pqEncodeF($c, $booksRef, $m, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeF =
+    copy(child = newChild)
+}
+
 /** Count of array elements contained in a fixed keyword set (marker-token
   * voting, stopword counting). One tight hash-set loop per row instead of
   * `size(filter(arr, t => array_contains(lit-array, t)))`, whose lambda is
@@ -901,6 +995,8 @@ object native {
     col(WordShingles(ex(text), n))
   def charGramHashes(text: Column, gramLen: Int, modP: Int): Column =
     col(CharGramHashes(ex(text), gramLen, modP))
+  def pqEncodeF(vec: Column, books: Seq[Float], m: Int, k: Int): Column =
+    col(PqEncodeF(ex(vec), books, m, k))
   def whitespaceTokens(text: Column): Column =
     col(WhitespaceTokens(ex(text)))
   def adjacentBigrams(arr: Column): Column =

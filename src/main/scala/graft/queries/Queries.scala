@@ -1343,15 +1343,32 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
 
   /** Exact-substring duplicate pairs — the character-level dedup family
-    * (Lee et al. 2021): documents sharing ≥ 2 content-sampled 40-char
-    * gram fingerprints (md5-60 ≡ 0 mod 4, per-fingerprint df ≤ 50).
-    * Catches verbatim reuse that word-shingle Jaccard structurally
-    * misses when the copied run is a small slice of a long document;
-    * candidates come only from the df-capped posting self-join on the
-    * 8-byte fingerprint — see `Dedup.substringDupPairs`.
+    * (Lee et al. 2021): documents sharing ≥ 2 content-sampled 100-char
+    * gram fingerprints (md5-60 ≡ 0 mod 4, per-fingerprint df ≤ 50; the
+    * window length is sized in TOKENS ≈ the literature's ~50-BPE-token
+    * run — see `charGramFingerprints`' scale note). Catches verbatim
+    * reuse that word-shingle Jaccard structurally misses when the copied
+    * run is a small slice of a long document; candidates come only from
+    * the df-capped posting self-join on the 8-byte fingerprint — see
+    * `Dedup.substringDupPairs`.
     */
   def q103SubstringPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringDupPairs(Tables.load(spark, dir, "documents"))
+
+  /** Incremental exact-substring admission: batch docs (doc_id % 5 == 0)
+    * admitted against the history corpus (the rest) — rejected on a
+    * shared-fingerprint link to any history doc or an earlier batch doc.
+    * Batch×history candidate generation only, never history×history (see
+    * `Dedup.incrementalSubstringBatch`); the oracle replays the decision
+    * from a whole-corpus pair table, which matches by construction.
+    */
+  def q107IncrementalSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.incrementalSubstringBatch(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"))
+  }
 
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
@@ -1495,7 +1512,8 @@ object Queries {
     "q103_substring_pairs" -> (q103SubstringPairs _),
     "q104_bpe_pairs" -> (q104BpePairs _),
     "q105_pq_topk" -> (q105PqTopK _),
-    "q106_pq_indexed" -> (q106PqIndexed _))
+    "q106_pq_indexed" -> (q106PqIndexed _),
+    "q107_incr_substring" -> (q107IncrementalSubstring _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2362,8 +2380,8 @@ object Queries {
     "q103_substring_pairs" ->
       """WITH g AS (
            SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
-             range(1, greatest(length(text) - 39, 0) + 1),
-             i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))::BIGINT),
+             range(1, greatest(length(text) - 99, 0) + 1),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 100)), 1, 15))::BIGINT),
              h -> h % 4 = 0))) AS gh
            FROM documents),
          d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50)
@@ -2372,6 +2390,29 @@ object Queries {
          WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2
          HAVING COUNT(*) >= 2""",
+    "q107_incr_substring" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+             range(1, greatest(length(text) - 99, 0) + 1),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 100)), 1, 15))::BIGINT),
+             h -> h % 4 = 0))) AS gh
+           FROM documents),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+           FROM g a JOIN g b USING (gh) JOIN d USING (gh)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= 2),
+         pr AS (
+           SELECT id1 AS b, id2 AS x FROM p
+           UNION ALL
+           SELECT id2 AS b, id1 AS x FROM p)
+         SELECT doc_id FROM documents bt
+         WHERE doc_id % 5 = 0 AND NOT EXISTS (
+           SELECT 1 FROM pr
+           WHERE pr.b = bt.doc_id
+             AND (pr.x % 5 <> 0 OR pr.x < bt.doc_id))""",
     "q104_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

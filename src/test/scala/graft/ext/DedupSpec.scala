@@ -73,6 +73,32 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(0L, 2L, 3L))
   }
 
+  test("incremental substring admission matches the whole-corpus replay") {
+    val run = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"
+    val all = Seq(
+      (0L, "history doc carrying " + run + " the shared payload"),
+      (1L, "unrelated history material with nothing shared at all"),
+      (2L, "batch doc also carrying " + run + " inside it"), // rejected: history link
+      (3L, "fresh batch content with no duplicated runs anywhere"), // admitted
+      (4L, "batch doc also carrying " + run + " inside it padded") // rejected: link to 0 (and 2)
+    ).toDF("doc_id", "text")
+    val history = all.filter(col("doc_id") < 2L)
+    val batch = all.filter(col("doc_id") >= 2L)
+    val admitted = Dedup.incrementalSubstringBatch(history, batch,
+        gramLen = 40, modP = 1, minShared = 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(3L))
+    // whole-corpus replay: batch minus docs paired to history or an
+    // earlier batch doc — the q107 oracle's decision rule
+    val pairs = Dedup.substringDupPairs(all, gramLen = 40, modP = 1, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val batchIds = Set(2L, 3L, 4L)
+    val rejected = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (b, x) if batchIds.contains(b) &&
+        (!batchIds.contains(x) || x < b) => b }.toSet
+    assert((batchIds -- rejected).toSeq.sorted == admitted.toSeq)
+  }
+
   test("containment pairs a quoted subset that jaccard misses") {
     // doc 1 = doc 0's text embedded in a much longer doc: containment of
     // doc0's shingles in doc1 is 1.0, jaccard is far below any threshold
