@@ -443,8 +443,14 @@ object Dedup {
           .partitionBy("gh")))
       .filter(col("df") <= dfCap)
       .drop("df")
+    // merge-hint the self-join: both sides are the SAME posting subplan
+    // already exchanged on gh for the df window, so SMJ reuses that one
+    // exchange (ReusedExchange) and the gram-hash kernel runs ONCE; the
+    // broadcast plan AQE picks at small scale re-executes the kernel to
+    // build the hash relation — measurably slower wherever the kernel,
+    // not the join, is the cost.
     posts.select(col("gh"), col(idCol).as("id1"))
-      .join(posts.select(col("gh"), col(idCol).as("id2")), Seq("gh"))
+      .join(posts.select(col("gh"), col(idCol).as("id2")).hint("merge"), Seq("gh"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"))
