@@ -387,6 +387,76 @@ object TextAnalysis {
             s => s.getField("seg")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
 
+  /** Add-k–smoothed word-bigram language model — the model behind a
+    * CCNet-style (Wenzek et al., "CCNet", 2019) perplexity quality gate:
+    * train a small LM on a trusted corpus slice, score every incoming
+    * document by mean bigram log-probability, and flag documents whose
+    * perplexity says they are far from the trusted distribution. The
+    * reference pipeline has no model-based filter; this is the standard
+    * companion to the heuristic gates in [[qualityScore]].
+    *
+    * `bigrams` is (w1, w2, c12); `histories` is (w1, c1 = Σ_w2 c12) — the
+    * history count is derived from the bigram table so the two are always
+    * consistent; `vocab` is a 1-row (v = |distinct training tokens|)
+    * frame kept as a plan (not a collected scalar) and broadcast at
+    * scoring time. 100 TB: both tables are vocabulary-bounded aggregates
+    * (not corpus-bounded — counts saturate, rows don't grow past V and
+    * V²), produced by one tokenize pass + one shuffle; scoring joins on
+    * (w1, w2) / (w1) are plain equality joins AQE broadcasts while the
+    * model is small and shuffles once it isn't.
+    */
+  final case class BigramLm(bigrams: DataFrame, histories: DataFrame,
+      vocab: DataFrame, k: Double)
+
+  /** Train a [[BigramLm]] over `train`'s `textCol` (lowercased whitespace
+    * tokens — the oracle-portable tokenizer used corpus-wide here).
+    */
+  def trainBigramLm(train: DataFrame, k: Double = 0.5,
+      textCol: String = "text"): BigramLm = {
+    val toks = train.select(tokens(lower(col(textCol))).as("t"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val histories = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    BigramLm(bigrams, histories, vocab, k)
+  }
+
+  /** Per-document mean bigram log-probability + perplexity under `lm`,
+    * with the standard three-way backoff: seen bigram →
+    * ln((c12+k)/(c1+kV)); seen history, unseen continuation →
+    * ln(k/(c1+kV)); unseen history → uniform −ln(V). Documents with
+    * fewer than two tokens have no bigrams and are dropped (both engines
+    * drop them identically). Scoring a stream against a trained model is
+    * a stream-static join, so the gate is streaming-identical by
+    * construction (same shape as `Sampling`'s rate gates).
+    */
+  def perplexityScores(docs: DataFrame, lm: BigramLm,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = lm.k
+    val bg = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bg.join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.histories, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .withColumn("lp",
+        when(col("c1").isNotNull && col("c12").isNotNull,
+          log(col("c12") + lit(k)) - log(col("c1") + lit(k) * col("v")))
+          .when(col("c1").isNotNull,
+            log(lit(k)) - log(col("c1") + lit(k) * col("v")))
+          .otherwise(-log(col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_lp"))
+      .withColumn("ppl", exp(-col("avg_lp")))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

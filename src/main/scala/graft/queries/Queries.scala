@@ -1370,6 +1370,26 @@ object Queries {
       .select(col("doc_id"))
   }
 
+  /** CCNet-style model-based quality gate (the pipeline stage the
+    * heuristic gates can't replace): an add-k word-bigram LM trained on
+    * the trusted English slice (`TextAnalysis.trainBigramLm`), every
+    * document scored by mean bigram log-probability against it
+    * (`perplexityScores`), flagged where perplexity says it is far from
+    * the trusted distribution. Train = two vocabulary-bounded
+    * aggregations; score = equality joins AQE broadcasts while the model
+    * is small; the scoring join is stream-static, so the gate runs
+    * unchanged over a stream.
+    */
+  def q108LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lm = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"))
+    TextAnalysis.perplexityScores(docs, lm)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_lp"), 6).as("avg_lp"),
+        round(col("ppl"), 4).as("ppl"))
+      .withColumn("flagged", col("ppl") > lit(32.0))
+  }
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1513,7 +1533,8 @@ object Queries {
     "q104_bpe_pairs" -> (q104BpePairs _),
     "q105_pq_topk" -> (q105PqTopK _),
     "q106_pq_indexed" -> (q106PqIndexed _),
-    "q107_incr_substring" -> (q107IncrementalSubstring _))
+    "q107_incr_substring" -> (q107IncrementalSubstring _),
+    "q108_lm_perplexity" -> (q108LmPerplexity _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2413,6 +2434,39 @@ object Queries {
            SELECT 1 FROM pr
            WHERE pr.b = bt.doc_id
              AND (pr.x % 5 <> 0 OR pr.x < bt.doc_id))""",
+    "q108_lm_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i ->
+               [t[CAST(i AS INTEGER)], t[CAST(i + 1 AS INTEGER)]])) AS p
+           FROM tok WHERE len(t) >= 2),
+         cb AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+                FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+         ch AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY 1),
+         vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+                FROM (SELECT unnest(t) AS w FROM tok WHERE lang = 'en')),
+         lp AS (
+           SELECT b.doc_id,
+             CASE WHEN ch.c1 IS NOT NULL AND cb.c12 IS NOT NULL
+                    THEN ln(cb.c12 + 0.5) - ln(ch.c1 + 0.5 * vv.v)
+                  WHEN ch.c1 IS NOT NULL
+                    THEN ln(0.5) - ln(ch.c1 + 0.5 * vv.v)
+                  ELSE -ln(vv.v) END AS lp
+           FROM bg b
+           LEFT JOIN cb ON b.p[1] = cb.w1 AND b.p[2] = cb.w2
+           LEFT JOIN ch ON b.p[1] = ch.w1
+           CROSS JOIN vv),
+         agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(lp) AS a
+           FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, round(a, 6) AS avg_lp,
+           round(exp(-a), 4) AS ppl, round(exp(-a), 4) > 32.0 AS flagged
+         FROM agg""",
     "q104_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

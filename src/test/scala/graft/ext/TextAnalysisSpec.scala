@@ -28,6 +28,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(hashes.forall(h => h >= 0 && h < 2147483647L))
   }
 
+  test("bigram LM perplexity matches the hand-computed add-k model") {
+    // train: bigrams (a,b)×3, (b,a)×1 → histories a:3, b:1; vocab V=2, k=0.5
+    val train = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(train)
+    val docs = Seq(
+      (10L, "a b"),   // seen bigram: ln(3.5/4)          → ppl 4/3.5
+      (11L, "a a"),   // seen history, unseen cont: ln(0.5/4) → ppl 8
+      (12L, "c b"),   // unseen history: -ln(2)          → ppl 2
+      (13L, "x y z"), // two unseen-history bigrams      → ppl 2
+      (14L, "a")      // <2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityScores(docs, lm)
+      .select("doc_id", "n_bigrams", "ppl").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(10L)._1 == 1L && math.abs(out(10L)._2 - 4.0 / 3.5) < 1e-9)
+    assert(math.abs(out(11L)._2 - 8.0) < 1e-9)
+    assert(math.abs(out(12L)._2 - 2.0) < 1e-9)
+    assert(out(13L)._1 == 2L && math.abs(out(13L)._2 - 2.0) < 1e-9)
+  }
+
   test("quality score stays in [0,1]; natural text beats punctuation soup") {
     val df = Seq(
       ("nat", "the quick brown fox is on the hill and it runs to the river for a drink today"),
