@@ -71,17 +71,30 @@ object Layout {
     * `rowsBefore · buckets` stays under 2^63 for any real n.
     */
   def quantileBucket(df: DataFrame, valueCol: String, buckets: Int,
-      bucketCol: String): DataFrame = {
+      bucketCol: String): DataFrame =
+    df.join(bucketMap(df, valueCol, buckets, bucketCol), Seq(valueCol))
+
+  /** The (value → bucket) frame behind [[quantileBucket]], exposed so a
+    * multi-dimension caller can derive every dimension's map from the
+    * SAME narrow base scan and join them on afterwards — bucket counts
+    * are a function of the value histogram alone, so computing dimension
+    * 2's map from dimension 1's (already-joined, wider) output costs an
+    * extra materialization of that join for an identical result.
+    */
+  private[graft] def bucketMap(df: DataFrame, valueCol: String,
+      buckets: Int, bucketCol: String): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
     val ranked = graft.operators.PrefixSum
       .withGlobalCumSum(hist, Seq(col(valueCol)), col("_c"), "_cum")
       .withColumn("_before", col("_cum") - col("_c"))
-    val bmap = ranked
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+    // total rows = Σ histogram counts: summing the (already shuffled,
+    // distinct-sized) histogram is strictly cheaper than a second scan
+    // of the base frame, and gives the identical n
+    ranked
+      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
       .select(col(valueCol),
         expr(s"(_before * CAST($buckets AS BIGINT)) DIV _n").as(bucketCol))
-    df.join(bmap, Seq(valueCol))
   }
 
   /** Append the rank-quantile z-order key of (xCol, yCol): each dimension
@@ -94,8 +107,12 @@ object Layout {
       bits: Int = 16, zCol: String = "_z"): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val b = 1 << bits
-    val bucketed = quantileBucket(
-      quantileBucket(df, xCol, b, "_qbx"), yCol, b, "_qby")
+    // both dimension maps derive from the narrow base frame (see
+    // [[bucketMap]]) — chaining quantileBucket would rebuild dimension
+    // 1's shuffle join just to histogram dimension 2
+    val bucketed = df
+      .join(bucketMap(df, xCol, b, "_qbx"), Seq(xCol))
+      .join(bucketMap(df, yCol, b, "_qby"), Seq(yCol))
     bucketed
       .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
       .drop("_qbx", "_qby")
