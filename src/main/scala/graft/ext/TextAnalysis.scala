@@ -457,6 +457,76 @@ object TextAnalysis {
       .withColumn("ppl", exp(-col("avg_lp")))
   }
 
+  /** Multinomial Naive-Bayes text classifier, trained closed-form from
+    * count aggregates — the fasttext-style supervised labeler of real
+    * curation pipelines (train on a labeled seed set, label the corpus),
+    * in the one model family whose training IS a Spark aggregation: no
+    * gradient loop, one shuffle for the (token, class) count table, one
+    * for the class stats. Add-k smoothing throughout; every count is an
+    * exact integer, so any engine replays the model bit-for-bit.
+    *
+    * `tokenCounts` is (w, cls, cwc); `classStats` is (cls, prior_lp =
+    * ln(docs_c/docs_total), n_c = Σ_w cwc); `vocab` is the 1-row distinct
+    * training-token count V. 100 TB: the model is vocabulary×classes
+    * bounded, scoring is a map-side cross with the (tiny) class list plus
+    * an equality join on the token — AQE broadcasts the model while it
+    * fits.
+    */
+  final case class NbModel(tokenCounts: DataFrame, classStats: DataFrame,
+      vocab: DataFrame, k: Double)
+
+  /** Train an [[NbModel]] from `train`'s `textCol` / `labelCol`. */
+  def trainNaiveBayes(train: DataFrame, labelCol: String, k: Double = 0.5,
+      textCol: String = "text"): NbModel = {
+    val toks = train.select(col(labelCol).as("cls"),
+      tokens(lower(col(textCol))).as("t"))
+    val tokenCounts = toks.select(col("cls"), explode(col("t")).as("w"))
+      .groupBy("w", "cls").agg(count(lit(1)).as("cwc"))
+    val nDocs = toks.groupBy("cls").agg(count(lit(1)).as("_docs"))
+    val classStats = tokenCounts.groupBy("cls").agg(sum(col("cwc")).as("n_c"))
+      .join(nDocs, Seq("cls"))
+      .crossJoin(broadcast(nDocs.agg(sum(col("_docs")).as("_tot"))))
+      .select(col("cls"),
+        (log(col("_docs").cast("double")) - log(col("_tot").cast("double")))
+          .as("prior_lp"),
+        col("n_c"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    NbModel(tokenCounts, classStats, vocab, k)
+  }
+
+  /** Classify `docs` under `model`: per document, the argmax class of
+    * prior + Σ_token [ln(c(w,cls)+k) − ln(n_c+kV)] (unseen (w,cls) pairs
+    * take c=0), deterministic tie-break by class ascending. Scores are
+    * rounded to 6 decimals before the argmax so near-ties resolve the
+    * same way regardless of double summation order. Output: (idCol,
+    * pred). Scoring is stream-static against the trained model, so it
+    * runs unchanged over a stream.
+    */
+  def naiveBayesClassify(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = model.k
+    val tok = docs.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+      .select(col(idCol), explode(col("t")).as("w"))
+    val classes = model.classStats.select("cls", "prior_lp", "n_c")
+    val scored = tok
+      .crossJoin(broadcast(classes))
+      .join(model.tokenCounts, Seq("w", "cls"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("_lp",
+        log(coalesce(col("cwc"), lit(0L)) + lit(k)) -
+          log(col("n_c") + lit(k) * col("v")))
+      .groupBy(col(idCol), col("cls"))
+      .agg((first(col("prior_lp")) + sum(col("_lp"))).as("_score"))
+      .withColumn("_score", round(col("_score"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("cls").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("cls").as("pred"))
+  }
+
   /** Per-document feature frame over a corpus. */
   def documentFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1390,6 +1390,24 @@ object Queries {
       .withColumn("flagged", col("ppl") > lit(32.0))
   }
 
+  /** Supervised model-based labeling: a multinomial Naive-Bayes
+    * classifier trained closed-form on the 80% split's (text, lang)
+    * pairs (`TextAnalysis.trainNaiveBayes` — training is literally two
+    * count aggregations) and evaluated on the held-out 20%, per-document
+    * prediction vs truth. The supervised sibling of q108's perplexity
+    * gate: real curation pipelines bootstrap quality/domain labels from
+    * a seed set exactly this way.
+    */
+  def q109NbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val model = TextAnalysis.trainNaiveBayes(
+      docs.filter(col("doc_id") % 10 < 8), "lang")
+    TextAnalysis.naiveBayesClassify(
+      docs.filter(col("doc_id") % 10 >= 8), model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("correct", col("pred") === col("lang"))
+  }
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1534,7 +1552,8 @@ object Queries {
     "q105_pq_topk" -> (q105PqTopK _),
     "q106_pq_indexed" -> (q106PqIndexed _),
     "q107_incr_substring" -> (q107IncrementalSubstring _),
-    "q108_lm_perplexity" -> (q108LmPerplexity _))
+    "q108_lm_perplexity" -> (q108LmPerplexity _),
+    "q109_nb_langid" -> (q109NbLangid _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2467,6 +2486,41 @@ object Queries {
          SELECT doc_id, n_bigrams, round(a, 6) AS avg_lp,
            round(exp(-a), 4) AS ppl, round(exp(-a), 4) > 32.0 AS flagged
          FROM agg""",
+    "q109_nb_langid" ->
+      """WITH tr AS (
+           SELECT lang AS cls,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents WHERE doc_id % 10 < 8),
+         te AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents WHERE doc_id % 10 >= 8),
+         tc AS (SELECT cls, unnest(t) AS w FROM tr),
+         cwc AS (SELECT w, cls, COUNT(*) AS cwc FROM tc GROUP BY 1, 2),
+         cstat AS (SELECT cls, SUM(cwc) AS n_c FROM cwc GROUP BY 1),
+         nd AS (SELECT cls, COUNT(*) AS docs FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(docs) AS tot FROM nd),
+         pri AS (
+           SELECT nd.cls, ln(nd.docs) - ln(tot.tot) AS prior_lp, cstat.n_c
+           FROM nd JOIN cstat USING (cls) CROSS JOIN tot),
+         vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tc),
+         tw AS (SELECT doc_id, unnest(t) AS w FROM te),
+         sc AS (
+           SELECT tw.doc_id, p.cls,
+             round(any_value(p.prior_lp) +
+               SUM(ln(COALESCE(cwc.cwc, 0) + 0.5) -
+                   ln(p.n_c + 0.5 * vv.v)), 6) AS s
+           FROM tw
+           CROSS JOIN pri p
+           LEFT JOIN cwc ON tw.w = cwc.w AND p.cls = cwc.cls
+           CROSS JOIN vv
+           GROUP BY tw.doc_id, p.cls),
+         pred AS (
+           SELECT doc_id, cls AS pred FROM sc
+           QUALIFY row_number() OVER (
+             PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
+         SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
+         FROM pred p JOIN documents d USING (doc_id)""",
     "q104_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -49,6 +49,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(13L)._1 == 2L && math.abs(out(13L)._2 - 2.0) < 1e-9)
   }
 
+  test("naive bayes recovers class-separating vocabulary on held-out docs") {
+    val train = Seq(
+      ("cat", "meow purr meow whiskers"), ("cat", "purr meow nap"),
+      ("dog", "woof bark woof fetch"), ("dog", "bark woof tail")
+    ).toDF("cls", "text")
+    val model = TextAnalysis.trainNaiveBayes(train, "cls")
+    val test = Seq((1L, "meow purr"), (2L, "woof bark bark"),
+      (3L, "fetch tail woof")).toDF("doc_id", "text")
+    val pred = TextAnalysis.naiveBayesClassify(test, model)
+      .as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "cat", 2L -> "dog", 3L -> "dog"))
+  }
+
+  test("naive bayes tie-break is deterministic: all-unseen doc with equal stats") {
+    // symmetric classes (same doc count, same token totals): an all-OOV
+    // doc scores identically for both → tie-break by class ascending
+    val train = Seq(("a", "x x"), ("b", "y y")).toDF("cls", "text")
+    val model = TextAnalysis.trainNaiveBayes(train, "cls")
+    val pred = TextAnalysis.naiveBayesClassify(
+      Seq((1L, "zz qq")).toDF("doc_id", "text"), model)
+      .as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "a"))
+  }
+
   test("quality score stays in [0,1]; natural text beats punctuation soup") {
     val df = Seq(
       ("nat", "the quick brown fox is on the hill and it runs to the river for a drink today"),
