@@ -58,6 +58,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each
+    * anchor — the min-id vector of each label, a deterministic per-class
+    * exemplar — the k most-similar corpus vectors carrying a DIFFERENT
+    * label. High-similarity wrong-label items are exactly the negatives
+    * contrastive/embedding training wants more of; random negatives are
+    * trivially separable.
+    *
+    * Shape at 100 TB: anchors are one aggregation (`min_by`, map-side
+    * partials — not a per-label window) and broadcast; the candidate
+    * pass is a map-side cross with the tiny anchor list over one corpus
+    * scan; per-anchor top-k runs through [[graft.operators.TopK]]'s
+    * two-phase ranking, so no anchor ever pulls the whole corpus onto
+    * one task. Output is exact and deterministic (ties broken by id).
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val anchors = embeddings
+      .groupBy(col(labelCol).as("anchor_label"))
+      .agg(min_by(col(vecCol), col(idCol)).as("_avec"))
+    val cand = embeddings
+      .crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col("anchor_label"))
+      .withColumn("_sim", cosine(col(vecCol), col("_avec")))
+    graft.operators.TopK.topKPerKey(cand, Seq(col("anchor_label")),
+        Seq(col("_sim").desc, col(idCol).asc), k, rankCol = Some("rank"))
+      .select(col("anchor_label"), col("rank").cast("long").as("rank"),
+        col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
   /** Deterministic ±1 random-projection sign matrix: entry (j, k) is +1
     * iff the first hex nibble of md5("seed|j|k") is < 8 — an unbiased coin
     * any engine can replay from the same md5, so a reduced-space index

@@ -1408,6 +1408,17 @@ object Queries {
       .withColumn("correct", col("pred") === col("lang"))
   }
 
+  /** Hard-negative mining over the embedding corpus: per-label anchor
+    * exemplars, then each anchor's 10 most-similar WRONG-label vectors
+    * (`Similarity.hardNegatives`) — the contrastive-training data op
+    * (random negatives are trivially separable; high-similarity
+    * wrong-label ones are the training signal). Exercises the two-phase
+    * `operators.TopK` ranking: exact per-anchor top-k with no
+    * single-task window.
+    */
+  def q110HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.load(spark, dir, "embeddings"), k = 10)
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1553,7 +1564,8 @@ object Queries {
     "q106_pq_indexed" -> (q106PqIndexed _),
     "q107_incr_substring" -> (q107IncrementalSubstring _),
     "q108_lm_perplexity" -> (q108LmPerplexity _),
-    "q109_nb_langid" -> (q109NbLangid _))
+    "q109_nb_langid" -> (q109NbLangid _),
+    "q110_hard_negatives" -> (q110HardNegatives _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2521,6 +2533,30 @@ object Queries {
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
          FROM pred p JOIN documents d USING (doc_id)""",
+    "q110_hard_negatives" ->
+      """WITH a AS (
+           SELECT label AS anchor_label, MIN(vec_id) AS aid
+           FROM embeddings GROUP BY 1),
+         av AS (
+           SELECT a.anchor_label, e.embedding AS avec
+           FROM a JOIN embeddings e ON e.vec_id = a.aid),
+         c AS (
+           SELECT av.anchor_label, e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> CAST(e.embedding[j] AS DOUBLE) * CAST(av.avec[j] AS DOUBLE))) /
+             (NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(av.avec) + 1),
+                 j -> CAST(av.avec[j] AS DOUBLE) * CAST(av.avec[j] AS DOUBLE)))), 0)) AS sim
+           FROM embeddings e CROSS JOIN av
+           WHERE e.label <> av.anchor_label)
+         SELECT anchor_label, CAST(rn AS BIGINT) AS rank, vec_id,
+           round(sim, 6) AS sim
+         FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY anchor_label ORDER BY sim DESC, vec_id ASC) AS rn
+           FROM c)
+         WHERE rn <= 10""",
     "q104_bpe_pairs" ->
       """WITH w AS (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word

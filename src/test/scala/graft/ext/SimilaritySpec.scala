@@ -27,6 +27,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("hard negatives exclude the anchor's own label and rank by similarity") {
+    val labeled = embeddings.withColumn("label",
+      when(col("vec_id") < 5, 0).when(col("vec_id") < 10, 1).otherwise(2))
+    val got = Similarity.hardNegatives(labeled, k = 3)
+      .select("anchor_label", "rank", "vec_id", "sim")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.length == 9) // 3 anchors x k=3
+    val byAnchor = got.groupBy(_._1)
+    for ((a, rows) <- byAnchor) {
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+      // similarity non-increasing in rank
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      // no negative carries the anchor's own label
+      val ownIds = a match {
+        case 0 => (0L until 5L).toSet
+        case 1 => (5L until 10L).toSet
+        case _ => Set(10L)
+      }
+      assert(rows.map(_._3).forall(id => !ownIds.contains(id)))
+    }
+    // the outlier anchor (-1,-1,0,0) is closer to nothing: its best
+    // negatives still have negative cosine against both axis clusters
+    assert(byAnchor(2).forall(_._4 < 0.1))
+  }
+
   test("brute-force top-k returns the query's own cluster first") {
     val top = Similarity.bruteForceTopK(embeddings, Seq(1f, 0f, 0f, 0f), 5)
       .select("vec_id").as[Long].collect().toSet
