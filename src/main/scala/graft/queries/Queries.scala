@@ -1408,6 +1408,22 @@ object Queries {
       .withColumn("correct", col("pred") === col("lang"))
   }
 
+  /** Incremental LM-perplexity admission — the deployment shape of the
+    * q108 gate (and exactly CCNet's): the model is trained ONCE on the
+    * trusted history corpus (doc_id % 5 != 0 here), and each arriving
+    * batch (doc_id % 5 == 0) is scored and admitted against it.
+    * Per-batch work scales with the batch (one tokenize + model join),
+    * never the history; the history cost is the one-time train, exactly
+    * like q98's segment-df snapshot and q107's posting history.
+    */
+  def q111LmAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lm = TextAnalysis.trainBigramLm(docs.filter(col("doc_id") % 5 =!= 0))
+    TextAnalysis.perplexityScores(docs.filter(col("doc_id") % 5 === 0), lm)
+      .filter(round(col("ppl"), 4) <= lit(33.0))
+      .select(col("doc_id"))
+  }
+
   /** Hard-negative mining over the embedding corpus: per-label anchor
     * exemplars, then each anchor's 10 most-similar WRONG-label vectors
     * (`Similarity.hardNegatives`) — the contrastive-training data op
@@ -1565,7 +1581,8 @@ object Queries {
     "q107_incr_substring" -> (q107IncrementalSubstring _),
     "q108_lm_perplexity" -> (q108LmPerplexity _),
     "q109_nb_langid" -> (q109NbLangid _),
-    "q110_hard_negatives" -> (q110HardNegatives _))
+    "q110_hard_negatives" -> (q110HardNegatives _),
+    "q111_lm_admission" -> (q111LmAdmission _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2533,6 +2550,36 @@ object Queries {
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
          FROM pred p JOIN documents d USING (doc_id)""",
+    "q111_lm_admission" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i ->
+               [t[CAST(i AS INTEGER)], t[CAST(i + 1 AS INTEGER)]])) AS p
+           FROM tok WHERE len(t) >= 2),
+         cb AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+                FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         ch AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY 1),
+         vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+                FROM (SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 <> 0)),
+         lp AS (
+           SELECT b.doc_id,
+             CASE WHEN ch.c1 IS NOT NULL AND cb.c12 IS NOT NULL
+                    THEN ln(cb.c12 + 0.5) - ln(ch.c1 + 0.5 * vv.v)
+                  WHEN ch.c1 IS NOT NULL
+                    THEN ln(0.5) - ln(ch.c1 + 0.5 * vv.v)
+                  ELSE -ln(vv.v) END AS lp
+           FROM bg b
+           LEFT JOIN cb ON b.p[1] = cb.w1 AND b.p[2] = cb.w2
+           LEFT JOIN ch ON b.p[1] = ch.w1
+           CROSS JOIN vv
+           WHERE b.doc_id % 5 = 0)
+         SELECT doc_id FROM (
+           SELECT doc_id, AVG(lp) AS a FROM lp GROUP BY doc_id)
+         WHERE round(exp(-a), 4) <= 33.0""",
     "q110_hard_negatives" ->
       """WITH a AS (
            SELECT label AS anchor_label, MIN(vec_id) AS aid
