@@ -79,8 +79,22 @@ object Bpe {
     * `minPairCount` (merging singletons memorizes the corpus).
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-      minPairCount: Long = 2): (Seq[(String, String)], DataFrame) = {
-    var vocab = charVocab(wordFrequencies(docs, textCol)).localCheckpoint()
+      minPairCount: Long = 2,
+      localMaxWords: Long = bpeLocalMaxWords): (Seq[(String, String)], DataFrame) = {
+    val wf = wordFrequencies(docs, textCol).localCheckpoint()
+    // SIZE-CONDITIONAL local merge loop: the corpus-wide work is the
+    // word-frequency shuffle above; the merge rounds run on the
+    // vocabulary, which for real text saturates in the millions of rows
+    // no matter the corpus size (this is why production BPE trainers are
+    // single-machine programs fed by aggregated word counts). Below the
+    // threshold the driver loop replays the identical deterministic
+    // argmax (cnt desc, then (sym1, sym2)) without paying 2 Spark jobs
+    // of latency per merge; above it, the distributed rounds below run
+    // unchanged. Override via SPARK_GRAFT_BPE_LOCAL_MAX; 0 forces the
+    // distributed path.
+    if (wf.count() <= localMaxWords)
+      return trainLocal(wf, nMerges, minPairCount)
+    var vocab = charVocab(wf).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var i = 0
@@ -101,6 +115,86 @@ object Bpe {
     (merges.toSeq, vocab)
   }
 
+  /** Driver-memory bound for [[train]]'s local merge loop, in distinct
+    * words. 1M words × ~tens of bytes ≈ low tens of MB — far under any
+    * sane driver heap. */
+  private[graft] val bpeLocalMaxWords: Long =
+    sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").map(_.toLong).getOrElse(1L << 20)
+
+  /** The merge loop of [[train]] over a collected word-frequency table:
+    * byte-for-byte the same greedy algorithm (frequency-weighted pair
+    * argmax with (cnt desc, sym1, sym2) tie-break, left-to-right
+    * non-overlapping merge application, `minPairCount` stop), so the
+    * distributed and local paths return identical merges and vocab.
+    */
+  private def trainLocal(wordFreq: DataFrame, nMerges: Int,
+      minPairCount: Long): (Seq[(String, String)], DataFrame) = {
+    val spark = wordFreq.sparkSession
+    val words = wordFreq.collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms = scala.collection.mutable.ArrayBuffer(
+      words.map { case (w, _) => w.split("").filter(_.nonEmpty) }: _*)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val f = words(wi)._2
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          cnt.merge(k, f, (a, b) => a + b)
+          j += 1
+        }
+        wi += 1
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        if (best._2 < minPairCount) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          wi = 0
+          while (wi < syms.length) {
+            val s = syms(wi)
+            if (s.length >= 2) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < s.length) {
+                if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                  out += a + b; j += 2
+                } else { out += s(j); j += 1 }
+              }
+              syms(wi) = out.toArray
+            }
+            wi += 1
+          }
+        }
+      }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = words.indices.map { wi =>
+      org.apache.spark.sql.Row(words(wi)._1, words(wi)._2, syms(wi).toSeq)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("f",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("syms",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    (merges.toSeq, spark.createDataFrame(rows, schema))
+  }
+
   /** Segment a word column by replaying the merge list in training order
     * (one [[applyMerge]] fold per merge). Training-consistent by
     * construction: on corpus words it reproduces the trained `syms`
@@ -111,4 +205,30 @@ object Bpe {
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) {
       case (c, (a, b)) => applyMerge(c, a, b)
     }
+
+  /** Tokenize a corpus under a trained model: per document, the BPE token
+    * count, word count, and OOV-word count. In-vocabulary words read
+    * their segmentation straight off the trained vocab (a broadcast join
+    * on `word` — the vocab is the model, no re-derivation); only OOV
+    * words replay the merge list via [[segment]], and `coalesce`'s
+    * short-circuit means that expression never runs for in-vocab rows.
+    * 100 TB: one corpus scan + explode, a vocabulary-bounded broadcast,
+    * one shuffle on the doc id. Not oracle-expressible (greedy merge
+    * replay has no SQL form) — semantics pinned by `BpeSpec` instead.
+    */
+  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    words
+      .join(broadcast(vocab.select(col("word"), col("syms"))),
+        Seq("word"), "left")
+      .withColumn("_syms", coalesce(col("syms"), segment(col("word"), merges)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(size(col("_syms"))).cast("long").as("n_bpe_tokens"),
+        sum(when(col("syms").isNull, 1L).otherwise(0L)).as("n_oov_words"))
+  }
 }

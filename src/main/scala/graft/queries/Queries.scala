@@ -1444,6 +1444,22 @@ object Queries {
   def q104BpePairs(spark: SparkSession, dir: String): DataFrame =
     Bpe.bpePairCounts(Tables.load(spark, dir, "documents"))
 
+  /** BPE corpus encoding under a model trained on the 80% split
+    * (`Bpe.train` → `Bpe.encodeCorpus`): per-document BPE token / word /
+    * OOV-word counts over the full corpus. The apply-side of the
+    * tokenizer story — trained segmentations ride a broadcast vocab
+    * join; only OOV words (possible only in the held-out 20%) replay
+    * the merge fold. No SQL oracle (greedy merge replay isn't
+    * SQL-expressible) — driver records the rows-only check; semantics
+    * are pinned by `BpeSpec`.
+    */
+  def q112BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (merges, vocab) = Bpe.train(
+      docs.filter(col("doc_id") % 10 < 8), nMerges = 12)
+    Bpe.encodeCorpus(docs, merges, vocab)
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011): 4 subspaces × 8
     * deterministic seed sub-centroids, vectors encoded to 4 codes,
     * ranking by the asymmetric per-query distance lookup table
@@ -1582,7 +1598,8 @@ object Queries {
     "q108_lm_perplexity" -> (q108LmPerplexity _),
     "q109_nb_langid" -> (q109NbLangid _),
     "q110_hard_negatives" -> (q110HardNegatives _),
-    "q111_lm_admission" -> (q111LmAdmission _))
+    "q111_lm_admission" -> (q111LmAdmission _),
+    "q112_bpe_encode" -> (q112BpeEncode _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(

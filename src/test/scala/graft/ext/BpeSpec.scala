@@ -19,6 +19,16 @@ class BpeSpec extends SparkSpecBase {
     assert(top == Seq(("u", "g", 4L), ("h", "u", 3L), ("p", "u", 2L)))
   }
 
+  test("local and distributed train paths agree merge-for-merge") {
+    val (lm, lv) = Bpe.train(docs, nMerges = 5) // 4 words → local path
+    val (dm, dv) = Bpe.train(docs, nMerges = 5, localMaxWords = 0) // forced distributed
+    assert(lm == dm)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("f"), col("syms"))
+        .as[(String, Long, Seq[String])].collect().toSet
+    assert(m(lv) == m(dv))
+  }
+
   test("train reproduces the hand-computed merge sequence and vocab") {
     val (merges, vocab) = Bpe.train(docs, nMerges = 5)
     // round 1: (u,g)=4 → ug; round 2: (h,ug)=3 → hug;
@@ -30,6 +40,19 @@ class BpeSpec extends SparkSpecBase {
     assert(syms("pug") == Seq("p", "ug"))
     assert(syms("pun") == Seq("p", "un"))
     assert(syms("bun") == Seq("b", "un"))
+  }
+
+  test("encodeCorpus counts BPE tokens via the vocab join and segments OOV") {
+    val (merges, vocab) = Bpe.train(docs, nMerges = 5)
+    // "hug pug" all in-vocab: hug→[hug](1), pug→[p,ug](2);
+    // "gugbun hug" has OOV gugbun→segment→[g,ug,b,un](4), hug→[hug](1)
+    val out = Bpe.encodeCorpus(
+      Seq((7L, "hug pug"), (8L, "gugbun hug")).toDF("doc_id", "text"),
+      merges, vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(7L) == ((2L, 3L, 0L)))
+    assert(out(8L) == ((2L, 5L, 1L)))
   }
 
   test("segment replays training order, including overlap greediness") {
