@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Bpe, Chunking, Dedup, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, Drift, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1424,6 +1424,25 @@ object Queries {
       .select(col("doc_id"))
   }
 
+  /** Snapshot diff + distribution drift between two corpus versions
+    * (v1 = doc_id % 7 != 0, v2 = doc_id % 5 != 0 — overlapping slices so
+    * churn flows both ways): per source, content-fingerprint
+    * added/removed/kept counts (`Drift.snapshotDiff` — re-keyed
+    * republications don't count as churn) joined with the add-k-smoothed
+    * token-distribution KL divergence D(v2 ‖ v1)
+    * (`Drift.tokenKlDrift`) — the "did the crawl shift under us" alarm
+    * that gates whether a refreshed snapshot is safe to train on.
+    */
+  def q113SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+    Drift.snapshotDiff(v1, v2)
+      .join(Drift.tokenKlDrift(v1, v2), Seq("source"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_kept"), round(col("kl"), 6).as("kl"))
+  }
+
   /** Hard-negative mining over the embedding corpus: per-label anchor
     * exemplars, then each anchor's 10 most-similar WRONG-label vectors
     * (`Similarity.hardNegatives`) — the contrastive-training data op
@@ -1599,7 +1618,8 @@ object Queries {
     "q109_nb_langid" -> (q109NbLangid _),
     "q110_hard_negatives" -> (q110HardNegatives _),
     "q111_lm_admission" -> (q111LmAdmission _),
-    "q112_bpe_encode" -> (q112BpeEncode _))
+    "q112_bpe_encode" -> (q112BpeEncode _),
+    "q113_snapshot_drift" -> (q113SnapshotDrift _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2567,6 +2587,52 @@ object Queries {
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
          FROM pred p JOIN documents d USING (doc_id)""",
+    "q113_snapshot_drift" ->
+      """WITH f1 AS (
+           SELECT DISTINCT source, md5(LOWER(TRIM(text))) AS fp
+           FROM documents WHERE doc_id % 7 <> 0),
+         f2 AS (
+           SELECT DISTINCT source, md5(LOWER(TRIM(text))) AS fp
+           FROM documents WHERE doc_id % 5 <> 0),
+         diff AS (
+           SELECT COALESCE(f1.source, f2.source) AS source,
+             CAST(SUM(CASE WHEN f1.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN f2.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN f1.fp IS NOT NULL AND f2.fp IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM f1 FULL OUTER JOIN f2
+             ON f1.source = f2.source AND f1.fp = f2.fp
+           GROUP BY 1),
+         t1 AS (
+           SELECT source, w, COUNT(*) AS c FROM (
+             SELECT source, unnest(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS w
+             FROM documents WHERE doc_id % 7 <> 0)
+           GROUP BY 1, 2),
+         t2 AS (
+           SELECT source, w, COUNT(*) AS c FROM (
+             SELECT source, unnest(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS w
+             FROM documents WHERE doc_id % 5 <> 0)
+           GROUP BY 1, 2),
+         j AS (
+           SELECT COALESCE(t1.source, t2.source) AS source,
+             COALESCE(t1.c, 0) AS c1, COALESCE(t2.c, 0) AS c2
+           FROM t1 FULL OUTER JOIN t2
+             ON t1.source = t2.source AND t1.w = t2.w),
+         tot AS (
+           SELECT source, SUM(c1) AS n1, SUM(c2) AS n2,
+             CAST(COUNT(*) AS DOUBLE) AS v
+           FROM j GROUP BY 1),
+         kl AS (
+           SELECT j.source,
+             SUM(((j.c2 + 0.5) / (tot.n2 + 0.5 * tot.v)) *
+                 (ln((j.c2 + 0.5) / (tot.n2 + 0.5 * tot.v)) -
+                  ln((j.c1 + 0.5) / (tot.n1 + 0.5 * tot.v)))) AS kl
+           FROM j JOIN tot USING (source) GROUP BY 1)
+         SELECT d.source, d.n_added, d.n_removed, d.n_kept,
+           round(kl.kl, 6) AS kl
+         FROM diff d JOIN kl USING (source)""",
     "q111_lm_admission" ->
       """WITH tok AS (
            SELECT doc_id,
