@@ -8,8 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QueriesContractSpec extends AnyFunSuite {
 
+  /** Queries deliberately WITHOUT a SQL oracle (driver falls back to the
+    * rows-only check). Every entry must say why here and carry a spec
+    * that pins its semantics instead. Currently:
+    *  - q112_bpe_encode: greedy BPE merge replay has no SQL form;
+    *    segmentation/encode semantics are hand-pinned in `BpeSpec`.
+    */
+  private val rowsOnly = Set("q112_bpe_encode")
+
   test("every query has a DuckDB oracle (and no orphan oracles)") {
-    assert(Queries.oracles.keySet == Queries.all.keySet)
+    assert(Queries.oracles.keySet == Queries.all.keySet -- rowsOnly)
   }
 
   test("query names follow the qNN_snake_case convention") {
