@@ -88,6 +88,38 @@ object Similarity {
         col(idCol), round(col("_sim"), 6).as("sim"))
   }
 
+  /** Prototypicality pruning (Sorscher et al., "Beyond neural scaling
+    * laws", 2022): cluster the embedding space, score every vector by
+    * cosine to its assigned centroid (its prototypicality), and keep
+    * only the hardest — least prototypical — fraction of each cluster.
+    * The data-pruning result this implements: when data is abundant,
+    * dropping the easy/prototypical examples beats random pruning,
+    * because near-centroid vectors are the ones the model learns from
+    * any one of.
+    *
+    * Shape: one scan with the centroid list as literals (same argmax as
+    * [[assignBuckets]], keeping the winning similarity too), then the
+    * exact per-cluster fractional cut via
+    * [[Sampling.topFractionByStratum]] on the NEGATED similarity — which
+    * also inherits its streaming decomposition
+    * ([[Sampling.stratumThresholds]] + stateless admission) unchanged.
+    * Output: (bucket, id, proto) for kept rows.
+    */
+  def prototypicalityPrune(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], keepFrac: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    val assigned = embeddings
+      .withColumn("_asg", array_max(array(scored: _*)))
+      .select(col("_asg").getField("cid").as("bucket"), col(idCol),
+        col("_asg").getField("sim").as("proto"))
+    Sampling.topFractionByStratum(assigned, col("bucket"),
+      -col("proto"), keepFrac, keyCol = idCol)
+  }
+
   /** Deterministic ±1 random-projection sign matrix: entry (j, k) is +1
     * iff the first hex nibble of md5("seed|j|k") is < 8 — an unbiased coin
     * any engine can replay from the same md5, so a reduced-space index

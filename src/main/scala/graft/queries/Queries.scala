@@ -1463,6 +1463,23 @@ object Queries {
   def q104BpePairs(spark: SparkSession, dir: String): DataFrame =
     Bpe.bpePairCounts(Tables.load(spark, dir, "documents"))
 
+  /** Prototypicality pruning over the embedding corpus (Sorscher et al.
+    * 2022, `Similarity.prototypicalityPrune`): 8 deterministic seed
+    * centroids, every vector scored by cosine to its centroid, the
+    * most-prototypical 60% of each cluster dropped — the
+    * data-abundant-regime pruning rule (keep the hard examples). The
+    * per-cluster cut is `Sampling.topFractionByStratum`'s exact
+    * integer-rank cut, so its frozen-threshold streaming admission
+    * applies unchanged.
+    */
+  def q114ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.sampleCentroids(emb, 8)
+    Similarity.prototypicalityPrune(emb, cents, keepFrac = 0.4)
+      .select(col("bucket"), col("vec_id"),
+        round(col("proto"), 6).as("proto"))
+  }
+
   /** BPE corpus encoding under a model trained on the 80% split
     * (`Bpe.train` → `Bpe.encodeCorpus`): per-document BPE token / word /
     * OOV-word counts over the full corpus. The apply-side of the
@@ -1619,7 +1636,8 @@ object Queries {
     "q110_hard_negatives" -> (q110HardNegatives _),
     "q111_lm_admission" -> (q111LmAdmission _),
     "q112_bpe_encode" -> (q112BpeEncode _),
-    "q113_snapshot_drift" -> (q113SnapshotDrift _))
+    "q113_snapshot_drift" -> (q113SnapshotDrift _),
+    "q114_cluster_prune" -> (q114ClusterPrune _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2587,6 +2605,33 @@ object Queries {
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
          FROM pred p JOIN documents d USING (doc_id)""",
+    "q114_cluster_prune" ->
+      """WITH cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
+         en AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM embeddings),
+         asg AS (
+           SELECT e.vec_id, a.cid AS bucket, a.cosv AS proto
+           FROM en e, LATERAL (
+             SELECT c.cid,
+               CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                           CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) /
+                         (e.nrm * c.nrm) END AS cosv
+             FROM cn c ORDER BY cosv DESC, c.cid DESC LIMIT 1) a),
+         sel AS (
+           SELECT bucket, vec_id, proto,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY proto ASC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY bucket) AS n
+           FROM asg)
+         SELECT bucket, vec_id, round(proto, 6) AS proto
+         FROM sel WHERE rn <= ceil(0.4 * n)""",
     "q113_snapshot_drift" ->
       """WITH f1 AS (
            SELECT DISTINCT source, md5(LOWER(TRIM(text))) AS fp

@@ -53,6 +53,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(byAnchor(2).forall(_._4 < 0.1))
   }
 
+  test("prototypicality prune keeps the hardest fraction of each cluster") {
+    val cents = Seq((0, ax.toSeq), (1, ay.toSeq))
+    val kept = Similarity.prototypicalityPrune(embeddings, cents, keepFrac = 0.5)
+      .select("bucket", "vec_id", "proto")
+      .as[(Int, Long, Double)].collect()
+    // brute-force expectation: assign by max cosine (tie → larger cid),
+    // keep ceil(0.5*n) lowest-proto per bucket (ties by id)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    val rows = embeddings.as[(Long, Seq[Float])].collect()
+    val asg = rows.map { case (id, v) =>
+      val scored = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+      val (s, cid) = scored.max
+      (cid, id, s)
+    }
+    val want = asg.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (r._3, r._2)).take(math.ceil(0.5 * g.size).toInt).toSeq
+    }.toSet
+    assert(kept.toSet == want)
+    // the anti-prototype outlier always survives
+    assert(kept.exists(_._2 == 10L))
+  }
+
   test("brute-force top-k returns the query's own cluster first") {
     val top = Similarity.bruteForceTopK(embeddings, Seq(1f, 0f, 0f, 0f), 5)
       .select("vec_id").as[Long].collect().toSet
