@@ -519,12 +519,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("cls"))
       .agg((first(col("prior_lp")) + sum(col("_lp"))).as("_score"))
       .withColumn("_score", round(col("_score"), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("_score").desc, col("cls").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("cls").as("pred"))
+    // argmax as ONE aggregation, not a ranking window: min of
+    // (−score, cls) is exactly "score desc, cls asc, limit 1" — no
+    // second shuffle, and (with the stream-static scoring joins above)
+    // the whole classifier runs unchanged on a stream in update mode
+    scored.groupBy(col(idCol))
+      .agg(min(struct(-col("_score"), col("cls"))).getField("cls").as("pred"))
   }
 
   /** Per-document feature frame over a corpus. */

@@ -73,6 +73,48 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(pred == Map(1L -> "a"))
   }
 
+  test("LM perplexity and NB classify run unchanged on a stream (parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c d c d"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(train)
+    val nb = TextAnalysis.trainNaiveBayes(
+      Seq(("x", "a b a b"), ("y", "c d c d")).toDF("cls", "text"), "cls")
+    val docs = Seq((10L, "a b a"), (11L, "c d"), (12L, "a d q"))
+    implicit val sqlCtx = spark.sqlContext
+    // the classifier chains two aggregations (per-class sum, then
+    // argmax); Spark's multi-stateful-operator check is a heuristic for
+    // watermarked append/update pipelines — in COMPLETE mode the state
+    // is recomputed whole every trigger, so no row can be late-dropped
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = spark.conf.get(checkKey)
+    spark.conf.set(checkKey, "false")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs: _*)
+    val sdf = ms.toDF.toDF("doc_id", "text")
+    val q1 = TextAnalysis.perplexityScores(sdf, lm)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("complete").start()
+    val q2 = TextAnalysis.naiveBayesClassify(sdf, nb)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("complete").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val bdf = docs.toDF("doc_id", "text")
+      val pplBatch = TextAnalysis.perplexityScores(bdf, lm)
+        .select("doc_id", "n_bigrams", "ppl")
+        .as[(Long, Long, Double)].collect().toSet
+      val pplStream = spark.sql("SELECT doc_id, n_bigrams, ppl FROM ppl_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pplStream == pplBatch && pplStream.nonEmpty)
+      val nbBatch = TextAnalysis.naiveBayesClassify(bdf, nb)
+        .as[(Long, String)].collect().toSet
+      val nbStream = spark.sql("SELECT doc_id, pred FROM nb_stream")
+        .as[(Long, String)].collect().toSet
+      assert(nbStream == nbBatch && nbStream.nonEmpty)
+    } finally { q1.stop(); q2.stop(); spark.conf.set(checkKey, prevCheck) }
+  }
+
   test("quality score stays in [0,1]; natural text beats punctuation soup") {
     val df = Seq(
       ("nat", "the quick brown fox is on the hill and it runs to the river for a drink today"),
