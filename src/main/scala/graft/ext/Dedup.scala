@@ -473,6 +473,97 @@ object Dedup {
     * the q98 df-snapshot pattern); both sides are computed in-plan here
     * for gate self-containment.
     */
+  /** Exact-substring SPAN REMOVAL — the rewrite form of the Lee et al.
+    * 2021 family ([[substringDupPairs]] finds duplicated content,
+    * [[incrementalSubstringBatch]] rejects documents carrying it; this
+    * operator keeps every document but CUTS the duplicated spans,
+    * which is what the paper actually does to the training corpus).
+    *
+    * Keep-first semantics: a sampled `gramLen`-char window whose
+    * fingerprint occurs in ≥ 2 documents survives only in the minimum-id
+    * document; every other occurrence's span [pos, pos+gramLen) is cut.
+    * Overlapping cut spans are merged, and the rewrite is a fold over
+    * the merged interval list (one `substring` per kept segment) — never
+    * a per-character explode. Physical shape: one positioned-gram scan
+    * (native `CharGramPosHashes` kernel), one shuffle on the fingerprint
+    * for the (keeper, df) aggregate, a membership join back, and one
+    * shuffle on the id to assemble per-document cut lists; work is
+    * posting-volume linear, no pair join at all. Cut eligibility is
+    * df ∈ [2, `dfCap`] — the same degenerate-key guard as the rest of
+    * the substring family, here bounding the membership join's per-key
+    * fan (the 100× probe found a few boilerplate fingerprints whose df
+    * grows with corpus size turning into straggler keys); runs more
+    * common than the cap are boilerplate, which is [[TextAnalysis
+    * .scrubBoilerplate]]'s job, not span dedup's. The oracle mirrors
+    * the cap.
+    *
+    * Output: (idCol, clean_text, n_cut_chars) for EVERY input document
+    * (uncut documents pass through with n_cut_chars = 0).
+    */
+  def removeSharedSubstrings(docs: DataFrame, gramLen: Int = 100,
+      modP: Int = 4, dfCap: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // materialize the positioned postings ONCE: the keeper aggregate and
+    // the membership join are separate consumers, and without the
+    // checkpoint each re-runs the md5-per-window kernel over the whole
+    // corpus — at 30× that doubled the query (the kernel, not a
+    // shuffle, is the dominant cost here, same finding as q103's
+    // merge-hint note)
+    val posts = docs.select(col(idCol),
+      explode(graft.functions.native.charGramPosHashes(
+        col(textCol), gramLen, modP)).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .localCheckpoint()
+    val keepers = posts.groupBy(col("gh"))
+      .agg(min(col(idCol)).as("_keeper"),
+        countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= dfCap)
+    val cutLists = posts
+      .join(keepers, Seq("gh"))
+      .filter(col(idCol) =!= col("_keeper"))
+      .select(col(idCol), col("pos")).distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+    // merge sorted [p, p+L) spans into disjoint intervals, then rebuild
+    // the text from the gaps — both are folds over the (bounded,
+    // per-document) interval list, evaluated only on documents that
+    // actually have cuts
+    val L = gramLen
+    val ivType = "array<struct<s:int,e:int>>"
+    val merged = aggregate(col("_cuts"), expr(s"CAST(array() AS $ivType)"),
+      (acc, p) => when(
+        size(acc) > 0 && p < element_at(acc, -1).getField("e"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1).getField("s").as("s"),
+            greatest(element_at(acc, -1).getField("e"), p + lit(L)).as("e")))))
+        .otherwise(concat(acc,
+          array(struct(p.as("s"), (p + lit(L)).as("e"))))))
+    val scrubbed = docs
+      .join(cutLists, Seq(idCol))
+      .withColumn("_iv", merged)
+      .select(col(idCol),
+        aggregate(col("_iv"),
+          struct(lit(1).as("p"),
+            expr("CAST(array() AS array<string>)").as("parts")),
+          (acc, iv) => struct(iv.getField("e").as("p"),
+            concat(acc.getField("parts"), array(substring(col(textCol),
+              acc.getField("p"),
+              iv.getField("s") - acc.getField("p")))).as("parts")),
+          acc => concat_ws("",
+            concat(acc.getField("parts"), array(substring(col(textCol),
+              acc.getField("p"),
+              length(col(textCol)) - acc.getField("p") + 1)))))
+          .as("clean_text"),
+        aggregate(col("_iv"), lit(0),
+          (acc, iv) => acc + (iv.getField("e") - iv.getField("s")))
+          .cast("long").as("n_cut_chars"))
+    docs.select(col(idCol), col(textCol))
+      .join(scrubbed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), col(textCol)).as("clean_text"),
+        coalesce(col("n_cut_chars"), lit(0L)).as("n_cut_chars"))
+  }
+
   def incrementalSubstringBatch(history: DataFrame, batch: DataFrame,
       gramLen: Int = 100, modP: Int = 4, minShared: Int = 2, dfCap: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

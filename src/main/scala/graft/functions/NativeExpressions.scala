@@ -643,6 +643,40 @@ object HashKernels {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** [[charGramHashes]] with 1-based window positions and DUPLICATES
+    * KEPT: one (pos, hash) struct per sampled window, in order — the
+    * span-removal primitive (rewriting needs every covered position,
+    * where pair generation needs each fingerprint once). Same hash,
+    * same keep rule, same oracle replay.
+    */
+  def charGramPosHashes(in: UTF8String, gramLen: Int, modP: Int): ArrayData = {
+    val s = in.toString
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = s.length - gramLen + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val rows = new java.util.ArrayList[Any]()
+    if (bytes.length == s.length) {
+      var i = 0
+      while (i < n) {
+        val h = Md5Utils.hash60(bytes, i, gramLen)
+        if (h % modP == 0) rows.add(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1, h)))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        val h = Md5Utils.hash60(s.substring(i, i + gramLen))
+        if (h % modP == 0) rows.add(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1, h)))
+        i += 1
+      }
+    }
+    new GenericArrayData(rows.toArray)
+  }
 }
 
 /** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
@@ -792,6 +826,33 @@ case class CharGramHashes(child: Expression, gramLen: Int, modP: Int)
       s"${ev.value} = graft.functions.HashKernels.charGramHashes($c, $gramLen, $modP);")
 
   override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+/** Positioned content-sampled character-gram fingerprints (see
+  * `HashKernels.charGramPosHashes`): (pos, gh) structs, duplicates
+  * kept — the exact-substring SPAN-REMOVAL primitive.
+  */
+case class CharGramPosHashes(child: Expression, gramLen: Int, modP: Int)
+    extends UnaryExpression {
+  require(gramLen >= 1, s"gramLen must be positive, got $gramLen")
+  require(modP >= 1, s"modP must be positive, got $modP")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gh", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_gram_pos_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.charGramPosHashes(in.asInstanceOf[UTF8String], gramLen, modP)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.charGramPosHashes($c, $gramLen, $modP);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramPosHashes =
     copy(child = newChild)
 }
 
@@ -995,6 +1056,8 @@ object native {
     col(WordShingles(ex(text), n))
   def charGramHashes(text: Column, gramLen: Int, modP: Int): Column =
     col(CharGramHashes(ex(text), gramLen, modP))
+  def charGramPosHashes(text: Column, gramLen: Int, modP: Int): Column =
+    col(CharGramPosHashes(ex(text), gramLen, modP))
   def pqEncodeF(vec: Column, books: Seq[Float], m: Int, k: Int): Column =
     col(PqEncodeF(ex(vec), books, m, k))
   def whitespaceTokens(text: Column): Column =
@@ -1027,6 +1090,8 @@ object native {
     "hyperplane_sign_bits" -> { args => HyperplaneSignBits(args(0), intArg(args(1), "planes")) },
     "word_shingles" -> { args => WordShingles(args(0), intArg(args(1), "n")) },
     "char_gram_hashes" -> { args => CharGramHashes(args(0),
+      intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
+    "char_gram_pos_hashes" -> { args => CharGramPosHashes(args(0),
       intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
     "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },

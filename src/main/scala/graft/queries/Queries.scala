@@ -1454,6 +1454,18 @@ object Queries {
   def q110HardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(Tables.load(spark, dir, "embeddings"), k = 10)
 
+  /** Exact-substring span removal (`Dedup.removeSharedSubstrings`) —
+    * the rewrite the Lee et al. 2021 pipeline actually applies: every
+    * document survives, but any sampled 100-char window shared with
+    * another document is cut except in its minimum-id keeper (shared by
+    * 2..50 docs — past the df cap it's boilerplate, q96's job), with
+    * overlapping spans merged before the fold-based rebuild. The oracle
+    * replays the decision per character (a covered-position set), which
+    * equals the interval-fold rewrite by construction.
+    */
+  def q115SubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeSharedSubstrings(Tables.load(spark, dir, "documents"))
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1637,7 +1649,8 @@ object Queries {
     "q111_lm_admission" -> (q111LmAdmission _),
     "q112_bpe_encode" -> (q112BpeEncode _),
     "q113_snapshot_drift" -> (q113SnapshotDrift _),
-    "q114_cluster_prune" -> (q114ClusterPrune _))
+    "q114_cluster_prune" -> (q114ClusterPrune _),
+    "q115_substring_scrub" -> (q115SubstringScrub _))
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2605,6 +2618,41 @@ object Queries {
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
          FROM pred p JOIN documents d USING (doc_id)""",
+    "q115_substring_scrub" ->
+      """WITH g AS (
+           SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+             SELECT doc_id, unnest(list_filter(list_transform(
+               range(1, greatest(length(text) - 99, 0) + 1),
+               i -> {'pos': CAST(i AS INTEGER),
+                     'gh': ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 100)), 1, 15))::BIGINT}),
+               s -> s.gh % 4 = 0)) AS u
+             FROM documents)),
+         k AS (
+           SELECT gh, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS df
+           FROM g GROUP BY gh),
+         cuts AS (
+           SELECT DISTINCT g.doc_id, g.pos
+           FROM g JOIN k USING (gh)
+           WHERE k.df >= 2 AND k.df <= 50 AND g.doc_id <> k.keeper),
+         covered AS (
+           SELECT DISTINCT doc_id, pos + o AS i FROM (
+             SELECT doc_id, pos, unnest(range(0, 100)) AS o FROM cuts)),
+         chars AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+           FROM documents),
+         clean AS (
+           SELECT c.doc_id,
+             string_agg(CASE WHEN cov.i IS NULL
+               THEN substr(c.text, CAST(c.i AS INTEGER), 1) ELSE '' END,
+               '' ORDER BY c.i) AS clean_text,
+             CAST(SUM(CASE WHEN cov.i IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_cut_chars
+           FROM chars c
+           LEFT JOIN covered cov ON c.doc_id = cov.doc_id AND c.i = cov.i
+           GROUP BY c.doc_id)
+         SELECT d.doc_id,
+           COALESCE(cl.clean_text, d.text) AS clean_text,
+           COALESCE(cl.n_cut_chars, 0) AS n_cut_chars
+         FROM documents d LEFT JOIN clean cl USING (doc_id)""",
     "q114_cluster_prune" ->
       """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding

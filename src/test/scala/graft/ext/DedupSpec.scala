@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("substring span removal cuts shared runs everywhere but the keeper") {
+    val shared = "0123456789ABCDEF" // 16 chars → 7 ten-char windows
+    val corpus = Seq(
+      (1L, shared + "!one"),           // keeper of the shared run
+      (2L, "pre-" + shared + "-post"), // run cut: covered = [5, 21)
+      (3L, "no duplication here at all"),
+      (4L, "abcabcabcabcabc")          // internal repeats only: df = 1, intact
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSubstrings(corpus, gramLen = 10, modP = 1)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((shared + "!one", 0L)))
+    assert(out(2L) == (("pre--post", 16L)))
+    assert(out(3L)._2 == 0L && out(4L)._2 == 0L)
+    assert(out(4L)._1 == "abcabcabcabcabc")
+  }
+
   private val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
