@@ -174,6 +174,7 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
       Seq("adjacent_bigrams", "array_count_in", "char_gram_hashes",
+        "char_gram_pos_hashes",
         "dot_product_d", "dot_product_f", "hyperplane_sign_bits",
         "minhash_sig", "minhash_sig_p", "quantize_int8",
         "random_project_f", "simhash60_p", "simhash64",
