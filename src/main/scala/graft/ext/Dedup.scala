@@ -503,27 +503,40 @@ object Dedup {
   def removeSharedSubstrings(docs: DataFrame, gramLen: Int = 100,
       modP: Int = 4, dfCap: Int = 50, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // materialize the positioned postings ONCE: the keeper aggregate and
-    // the membership join are separate consumers, and without the
-    // checkpoint each re-runs the md5-per-window kernel over the whole
-    // corpus — at 30× that doubled the query (the kernel, not a
-    // shuffle, is the dominant cost here, same finding as q103's
-    // merge-hint note)
+    // Run the md5-per-window kernel ONCE with ZERO materialization: one
+    // explicit exchange on the fingerprint feeds both consumers — the
+    // keeper aggregate and the membership join — via ReusedExchange
+    // (the same one-exchange trick substringDupPairs plays on its
+    // self-join). The round-6 localCheckpoint of the exploded postings
+    // avoided the kernel re-run but pinned 62M deserialized on-heap
+    // rows at the 100× probe — THE superlinear single-node constant
+    // (8× time for 3.33× data); shuffle files are compressed, on disk,
+    // and freed with the stage.
     val posts = docs.select(col(idCol),
       explode(graft.functions.native.charGramPosHashes(
         col(textCol), gramLen, modP)).as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
-      .localCheckpoint()
-    val keepers = posts.groupBy(col("gh"))
-      .agg(min(col(idCol)).as("_keeper"),
-        countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") >= 2 && col("_df") <= dfCap)
+    // Keeper and df ride WINDOW functions over the one gh exchange (the
+    // df-window precedent from substringDupPairs) instead of a separate
+    // keeper aggregate + membership join — a join formulation computes
+    // the kernel once per pruned subtree (column pruning breaks
+    // exchange reuse). countDistinct-over-window is unsupported, so df
+    // is the first-occurrence-marker sum: row_number over (gh, id)
+    // marks each document's first posting, summed over (gh). The
+    // (gh, id, pos) sort the row_number needs also satisfies the
+    // gh-only specs, so this is one exchange + ONE sort, no joins.
+    val wGhDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gh"), col(idCol)).orderBy(col("pos"))
+    val wGh = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
     val cutLists = posts
-      .join(keepers, Seq("gh"))
-      .filter(col(idCol) =!= col("_keeper"))
-      .select(col(idCol), col("pos")).distinct()
+      .withColumn("_first",
+        when(row_number().over(wGhDoc) === 1, 1L).otherwise(0L))
+      .withColumn("_df", sum(col("_first")).over(wGh))
+      .withColumn("_keeper", min(col(idCol)).over(wGh))
+      .filter(col("_df") >= 2 && col("_df") <= dfCap &&
+        col(idCol) =!= col("_keeper"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+      .agg(sort_array(collect_set(col("pos"))).as("_cuts"))
     // merge sorted [p, p+L) spans into disjoint intervals, then rebuild
     // the text from the gaps — both are folds over the (bounded,
     // per-document) interval list, evaluated only on documents that

@@ -602,41 +602,73 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Start offset of each CODE POINT in a UTF-8 byte array, plus a
+    * trailing `bytes.length` sentinel — code point i spans bytes
+    * [off(i), off(i+1)). A UTF-8 continuation byte is (b & 0xC0) ==
+    * 0x80; every other byte starts a code point. One pass, one int per
+    * code point — negligible next to the per-window md5 below.
+    */
+  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    var cp = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    val off = new Array[Int](cp + 1)
+    var j = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { off(j) = i; j += 1 }
+      i += 1
+    }
+    off(cp) = bytes.length
+    off
+  }
+
   /** Content-sampled character L-gram fingerprints: the md5-60 hash of
-    * every length-`gramLen` character window of the string whose hash is
-    * ≡ 0 (mod `modP`), distinct, in first-occurrence order. Selection
-    * depends only on the window's BYTES — never its position — so a
-    * verbatim run shared by two documents contributes identical
+    * every length-`gramLen` CODE-POINT window of the string whose hash
+    * is ≡ 0 (mod `modP`), distinct, in first-occurrence order.
+    * Selection depends only on the window's BYTES — never its position
+    * — so a verbatim run shared by two documents contributes identical
     * fingerprints to both sides. One pass, one md5 per window on a
-    * thread-local digest; windows are `String.substring` slices (UTF-16
-    * units — identical to the oracle's codepoint `substr` on any
-    * BMP-only corpus).
+    * thread-local digest, windows digested in place from the UTF-8
+    * bytes. Windows are counted in CODE POINTS (not UTF-16 units), the
+    * same unit Spark SQL's `substring`/`length` and the DuckDB
+    * oracle's `substr` use — so positions and window contents agree
+    * across all three even on supplementary-plane (emoji) text.
     */
   def charGramHashes(in: UTF8String, gramLen: Int, modP: Int): ArrayData = {
-    val s = in.toString
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = s.length - gramLen + 1
-    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    // ASCII fast path (byte == char): digest byte slices in place — no
-    // per-window substring/encode allocations. Any non-ASCII text falls
-    // back to the codepoint-correct substring path (same semantics; the
-    // oracle's substr is codepoint-based).
-    if (bytes.length == s.length) {
+    val bytes = in.getBytes
+    // ASCII fast path (byte == code point): digest byte slices directly
+    // with no offset table.
+    if (bytes.length == in.numChars()) {
+      val n = bytes.length - gramLen + 1
+      if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i < n) {
         val h = Md5Utils.hash60(bytes, i, gramLen)
         if (h % modP == 0) seen.add(h)
         i += 1
       }
-    } else {
-      var i = 0
-      while (i < n) {
-        val h = Md5Utils.hash60(s.substring(i, i + gramLen))
-        if (h % modP == 0) seen.add(h)
-        i += 1
-      }
+      return hashSetToArray(seen)
     }
+    val off = codePointOffsets(bytes)
+    val n = off.length - gramLen // = numCodePoints - gramLen + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val h = Md5Utils.hash60(bytes, off(i), off(i + gramLen) - off(i))
+      if (h % modP == 0) seen.add(h)
+      i += 1
+    }
+    hashSetToArray(seen)
+  }
+
+  private def hashSetToArray(
+      seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -648,15 +680,17 @@ object HashKernels {
     * KEPT: one (pos, hash) struct per sampled window, in order — the
     * span-removal primitive (rewriting needs every covered position,
     * where pair generation needs each fingerprint once). Same hash,
-    * same keep rule, same oracle replay.
+    * same keep rule, same oracle replay. `pos` is a 1-based CODE-POINT
+    * index — the unit `Dedup.removeSharedSubstrings` consumes via
+    * Spark SQL `substring`/`length` (code-point semantics), so the
+    * rewrite cuts the right spans even on supplementary-plane text.
     */
   def charGramPosHashes(in: UTF8String, gramLen: Int, modP: Int): ArrayData = {
-    val s = in.toString
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = s.length - gramLen + 1
-    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = in.getBytes
     val rows = new java.util.ArrayList[Any]()
-    if (bytes.length == s.length) {
+    if (bytes.length == in.numChars()) {
+      val n = bytes.length - gramLen + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Any])
       var i = 0
       while (i < n) {
         val h = Md5Utils.hash60(bytes, i, gramLen)
@@ -665,15 +699,18 @@ object HashKernels {
             Array[Any](i + 1, h)))
         i += 1
       }
-    } else {
-      var i = 0
-      while (i < n) {
-        val h = Md5Utils.hash60(s.substring(i, i + gramLen))
-        if (h % modP == 0) rows.add(
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](i + 1, h)))
-        i += 1
-      }
+      return new GenericArrayData(rows.toArray)
+    }
+    val off = codePointOffsets(bytes)
+    val n = off.length - gramLen
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    var i = 0
+    while (i < n) {
+      val h = Md5Utils.hash60(bytes, off(i), off(i + gramLen) - off(i))
+      if (h % modP == 0) rows.add(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i + 1, h)))
+      i += 1
     }
     new GenericArrayData(rows.toArray)
   }

@@ -23,6 +23,23 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L)._1 == "abcabcabcabcabc")
   }
 
+  test("span removal cuts the right spans behind supplementary-plane chars") {
+    // Each 🦀 is ONE code point but TWO UTF-16 units: a kernel emitting
+    // UTF-16 positions would shift every cut in doc 2 right by 2 and
+    // slice non-duplicate text. pos must be the code-point index Spark
+    // SQL substring uses.
+    val shared = "0123456789ABCDEF" // 16 chars → 7 ten-char windows
+    val corpus = Seq(
+      (1L, shared + "!one"),
+      (2L, "🦀🦀" + shared + "-post")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSubstrings(corpus, gramLen = 10, modP = 1)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((shared + "!one", 0L)))
+    assert(out(2L) == (("🦀🦀-post", 16L)))
+  }
+
   private val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
