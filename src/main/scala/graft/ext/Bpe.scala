@@ -121,18 +121,53 @@ object Bpe {
   private[graft] val bpeLocalMaxWords: Long =
     sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").map(_.toLong).getOrElse(1L << 20)
 
+  /** Code-point string comparison — the order Spark's `orderBy` applies
+    * to strings (UTF8String compares UTF-8 bytes, and UTF-8 byte order
+    * IS code-point order). Java's `String` `<`/`compareTo` would differ:
+    * it compares UTF-16 units, which rank supplementary-plane symbols
+    * (surrogates 0xD800–0xDFFF) BELOW [U+E000, U+FFFF] characters.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** The merge loop of [[train]] over a collected word-frequency table:
     * byte-for-byte the same greedy algorithm (frequency-weighted pair
-    * argmax with (cnt desc, sym1, sym2) tie-break, left-to-right
-    * non-overlapping merge application, `minPairCount` stop), so the
-    * distributed and local paths return identical merges and vocab.
+    * argmax with the distributed path's (cnt desc, sym1, sym2) tie-break
+    * in the same code-point collation, left-to-right non-overlapping
+    * merge application, `minPairCount` stop), so the distributed and
+    * local paths return identical merges and vocab.
     */
   private def trainLocal(wordFreq: DataFrame, nMerges: Int,
       minPairCount: Long): (Seq[(String, String)], DataFrame) = {
     val spark = wordFreq.sparkSession
     val words = wordFreq.collect().map(r => (r.getString(0), r.getLong(1)))
+    // CODE-POINT character init: Java's String.split("") splits between
+    // UTF-16 units and tears a supplementary-plane char into two lone
+    // surrogates; regex-based split (what charVocab's Spark `split`
+    // compiles to) keeps the pair whole. Walk code points explicitly so
+    // both paths see identical initial symbols.
+    def cpSplit(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
     val syms = scala.collection.mutable.ArrayBuffer(
-      words.map { case (w, _) => w.split("").filter(_.nonEmpty) }: _*)
+      words.map { case (w, _) => cpSplit(w) }: _*)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var i = 0
@@ -154,8 +189,10 @@ object Bpe {
         var best: ((String, String), Long) = null
         cnt.forEach { (k, v) =>
           if (best == null || v > best._2 ||
-            (v == best._2 && (k._1 < best._1._1 ||
-              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+            (v == best._2 && {
+              val c1 = cpCompare(k._1, best._1._1)
+              c1 < 0 || (c1 == 0 && cpCompare(k._2, best._1._2) < 0)
+            })) best = (k, v)
         }
         if (best._2 < minPairCount) done = true
         else {
@@ -212,16 +249,20 @@ object Bpe {
     * on `word` — the vocab is the model, no re-derivation); only OOV
     * words replay the merge list via [[segment]], and `coalesce`'s
     * short-circuit means that expression never runs for in-vocab rows.
-    * 100 TB: one corpus scan + explode, a vocabulary-bounded broadcast,
-    * one shuffle on the doc id. Not oracle-expressible (greedy merge
-    * replay has no SQL form) — semantics pinned by `BpeSpec` instead.
+    * Every input document gets an output row — a document whose text has
+    * no whitespace tokens (explode emits nothing for it) comes back with
+    * zero counts via the left join onto the id column, so downstream
+    * per-doc joins never lose rows. 100 TB: one corpus scan + explode, a
+    * vocabulary-bounded broadcast, one shuffle on the doc id, plus the
+    * id-side join (broadcast-shaped whenever the aggregate is small,
+    * shuffle-on-id otherwise — either way no new wide shuffle).
     */
   def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)],
       vocab: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("word"))
-    words
+    val perDoc = words
       .join(broadcast(vocab.select(col("word"), col("syms"))),
         Seq("word"), "left")
       .withColumn("_syms", coalesce(col("syms"), segment(col("word"), merges)))
@@ -230,5 +271,10 @@ object Bpe {
         count(lit(1)).cast("long").as("n_words"),
         sum(size(col("_syms"))).cast("long").as("n_bpe_tokens"),
         sum(when(col("syms").isNull, 1L).otherwise(0L)).as("n_oov_words"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_oov_words"), lit(0L)).as("n_oov_words"))
   }
 }

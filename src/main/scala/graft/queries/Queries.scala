@@ -1497,9 +1497,9 @@ object Queries {
     * OOV-word counts over the full corpus. The apply-side of the
     * tokenizer story — trained segmentations ride a broadcast vocab
     * join; only OOV words (possible only in the held-out 20%) replay
-    * the merge fold. No SQL oracle (greedy merge replay isn't
-    * SQL-expressible) — driver records the rows-only check; semantics
-    * are pinned by `BpeSpec`.
+    * the merge fold. Oracle: the full train+encode pipeline replayed in
+    * DuckDB via [[bpeEncodeOracle]] (greedy merge = boundary-wrapped
+    * `replace()`, training rounds unrolled to materialized CTEs).
     */
   def q112BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -1652,8 +1652,90 @@ object Queries {
     "q114_cluster_prune" -> (q114ClusterPrune _),
     "q115_substring_scrub" -> (q115SubstringScrub _))
 
+  /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
+    * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
+    * observations make greedy BPE SQL-expressible:
+    *
+    *  - ONE merge applied greedily left-to-right without overlap is
+    *    exactly SQL `replace()` over a separator-wrapped symbol string:
+    *    each symbol is wrapped `chr(31)sym chr(31)` so the pair pattern
+    *    `ab` can only match whole-symbol
+    *    boundaries, and a replacement's trailing wrapper cannot seed an
+    *    overlapping follow-on match ("a a a a" under (a,a) → [aa, aa],
+    *    not [aa, a, a]).
+    *  - the `nMerges` training rounds are data-dependent but FIXED in
+    *    count, so they unroll to chained MATERIALIZED CTEs (materialized
+    *    is load-bearing: round i is referenced by round i+1 AND the
+    *    encode chain, so inlining would re-derive the prefix 2^n times).
+    *
+    * The per-round argmax mirrors the trainer's deterministic cut
+    * (cnt DESC, then (sym1, sym2) in binary collation on both engines)
+    * and `minPairCount = 2` is the `cnt >= 2 … LIMIT 1` filter — an
+    * empty best-row leaves the vocab unchanged, so every later round is
+    * a no-op, exactly the trainer's early stop. The encode side applies
+    * the same merge chain to every corpus word directly (training-
+    * consistent segmentation: on in-vocab words this reproduces the
+    * trained `syms` exactly, and OOV words ARE the merge replay), then
+    * left-joins the per-doc aggregate back onto `documents` so empty
+    * documents keep a zero row, matching `Bpe.encodeCorpus`.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val S = "chr(31)"
+    val wrap = (w: String) =>
+      s"$S || array_to_string(string_split($w, ''), $S || $S) || $S"
+    val mergeStep = (src: String, i: Int, cols: String) =>
+      s"""  SELECT $cols,
+    CASE WHEN b.sym1 IS NULL THEN s
+    ELSE replace(s, $S || b.sym1 || $S || $S || b.sym2 || $S,
+                    $S || b.sym1 || b.sym2 || $S) END AS s
+  FROM $src LEFT JOIN b$i b ON TRUE"""
+    val head = s"""w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents WHERE doc_id % 10 < 8),
+wf AS MATERIALIZED (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+v0 AS MATERIALIZED (SELECT word, f, ${wrap("word")} AS s FROM wf)"""
+    val rounds = (0 until nMerges).map { i =>
+      s"""pc$i AS (
+  SELECT L[CAST(i AS INTEGER)] AS sym1, L[CAST(i AS INTEGER)+1] AS sym2,
+    SUM(f) AS cnt
+  FROM (SELECT f, L, unnest(range(1, length(L))) AS i FROM
+    (SELECT f, string_split(trim(s, $S), $S || $S) AS L FROM v$i)
+    WHERE length(L) >= 2)
+  GROUP BY 1, 2),
+b$i AS MATERIALIZED (SELECT sym1, sym2 FROM pc$i WHERE cnt >= 2
+  ORDER BY cnt DESC, sym1 ASC, sym2 ASC LIMIT 1),
+v${i + 1} AS MATERIALIZED (
+${mergeStep(s"v$i", i, "word, f")})"""
+    }
+    val encHead = s"""e0 AS MATERIALIZED (
+  SELECT doc_id, word, ${wrap("word")} AS s
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents))"""
+    val encRounds = (0 until nMerges).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (
+${mergeStep(s"e$i", i, "doc_id, word")})"""
+    }
+    (Seq(head) ++ rounds ++ Seq(encHead) ++ encRounds).mkString(
+      "WITH ", ",\n", "") + s""",
+enc AS (
+  SELECT e.doc_id,
+    length(string_split(trim(e.s, $S), $S || $S)) AS ntok,
+    (wf.word IS NULL) AS oov
+  FROM e$nMerges e LEFT JOIN wf ON e.word = wf.word),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+    CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words
+  FROM enc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+  COALESCE(a.n_oov_words, 0) AS n_oov_words
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
+  }
+
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
+    "q112_bpe_encode" -> bpeEncodeOracle(12),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

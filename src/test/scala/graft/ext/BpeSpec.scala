@@ -42,6 +42,34 @@ class BpeSpec extends SparkSpecBase {
     assert(syms("bun") == Seq("b", "un"))
   }
 
+  test("local and distributed tie-breaks agree on supplementary-plane symbols") {
+    // U+E000 (private use, one UTF-16 unit) vs U+1F980 🦀 (two units).
+    // Code-point / UTF-8 order: U+E000 < U+1F980 — what Spark's orderBy
+    // applies. Java String '<' compares UTF-16 units, where the 🦀 high
+    // surrogate (0xD83E) sorts BELOW 0xE000 — a local argmax using it
+    // would pick the crab pair first and the paths would diverge.
+    val astral = Seq(
+      (0L, "🦀a a"),
+      (1L, "🦀a a")
+    ).toDF("doc_id", "text")
+    val (lm, _) = Bpe.train(astral, nMerges = 2) // 2 words → local path
+    val (dm, _) = Bpe.train(astral, nMerges = 2, localMaxWords = 0)
+    assert(lm == dm)
+    assert(lm.head == (("", "a")))
+  }
+
+  test("encodeCorpus keeps zero-token documents with zero counts") {
+    val (merges, vocab) = Bpe.train(docs, nMerges = 5)
+    val out = Bpe.encodeCorpus(
+      Seq((7L, "hug"), (8L, "   "), (9L, "")).toDF("doc_id", "text"),
+      merges, vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(7L) == ((1L, 1L, 0L)))
+    assert(out(8L) == ((0L, 0L, 0L)))
+    assert(out(9L) == ((0L, 0L, 0L)))
+  }
+
   test("encodeCorpus counts BPE tokens via the vocab join and segments OOV") {
     val (merges, vocab) = Bpe.train(docs, nMerges = 5)
     // "hug pug" all in-vocab: hug→[hug](1), pug→[p,ug](2);

@@ -10,11 +10,12 @@ class QueriesContractSpec extends AnyFunSuite {
 
   /** Queries deliberately WITHOUT a SQL oracle (driver falls back to the
     * rows-only check). Every entry must say why here and carry a spec
-    * that pins its semantics instead. Currently:
-    *  - q112_bpe_encode: greedy BPE merge replay has no SQL form;
-    *    segmentation/encode semantics are hand-pinned in `BpeSpec`.
+    * that pins its semantics instead. Currently empty: even q112's BPE
+    * train+encode replay turned out to be SQL-expressible (greedy merge
+    * = boundary-wrapped `replace()`, rounds unrolled to materialized
+    * CTEs — `Queries.bpeEncodeOracle`).
     */
-  private val rowsOnly = Set("q112_bpe_encode")
+  private val rowsOnly = Set.empty[String]
 
   test("every query has a DuckDB oracle (and no orphan oracles)") {
     assert(Queries.oracles.keySet == Queries.all.keySet -- rowsOnly)
