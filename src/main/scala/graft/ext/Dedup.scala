@@ -537,10 +537,18 @@ object Dedup {
         col(idCol) =!= col("_keeper"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("_cuts"))
-    // merge sorted [p, p+L) spans into disjoint intervals, then rebuild
-    // the text from the gaps — both are folds over the (bounded,
-    // per-document) interval list, evaluated only on documents that
-    // actually have cuts
+    rewriteFromCutLists(docs, cutLists, gramLen, textCol, idCol)
+  }
+
+  /** Rebuild documents from per-document sorted cut-position lists (the
+    * shared tail of [[removeSharedSubstrings]] and its incremental form):
+    * merge sorted [p, p+L) spans into disjoint intervals, then rebuild
+    * the text from the gaps — both are folds over the (bounded,
+    * per-document) interval list, evaluated only on documents that
+    * actually have cuts. `cutLists` is (idCol, _cuts: sorted array<int>).
+    */
+  private def rewriteFromCutLists(docs: DataFrame, cutLists: DataFrame,
+      gramLen: Int, textCol: String, idCol: String): DataFrame = {
     val L = gramLen
     val ivType = "array<struct<s:int,e:int>>"
     val merged = aggregate(col("_cuts"), expr(s"CAST(array() AS $ivType)"),
@@ -575,6 +583,74 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("clean_text"), col(textCol)).as("clean_text"),
         coalesce(col("n_cut_chars"), lit(0L)).as("n_cut_chars"))
+  }
+
+  /** Fingerprint snapshot of a (scrubbed, published) corpus — the
+    * materialized side-input [[removeSharedSubstringsIncremental]] scrubs
+    * refresh batches against: per sampled gram fingerprint, how many
+    * history documents carry it (`df`) and the minimum carrier id
+    * (`keeper`). `charGramFingerprints` already emits each fingerprint
+    * once per document, so a plain count IS the document frequency — no
+    * distinct expand. One kernel scan + one shuffle on the fingerprint;
+    * at scale this is written once per admitted batch (the q98 df-
+    * snapshot pattern) and read back as a bucketed table, so a refresh
+    * never rescans history text.
+    */
+  def substringFingerprintSnapshot(docs: DataFrame, gramLen: Int = 100,
+      modP: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      explode(charGramFingerprints(col(textCol), gramLen, modP)).as("gh"))
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("keeper"))
+
+  /** Incremental exact-substring SPAN REMOVAL — the corpus-refresh form
+    * of [[removeSharedSubstrings]], completing the q107/q98 pattern for
+    * the rewrite family: scrub a refresh batch against a HISTORY
+    * fingerprint snapshot ([[substringFingerprintSnapshot]]) without
+    * rescanning history text. A batch span [pos, pos+gramLen) is cut
+    * when its fingerprint's COMBINED document frequency (history df +
+    * batch df — disjoint corpora, so the sum is the union df) lands in
+    * [2, `dfCap`] and the document is not the union-wide keeper
+    * (min id across history and batch). That reproduces, decision for
+    * decision, what a whole-corpus [[removeSharedSubstrings]] run over
+    * history ∪ batch does to the batch documents — the oracle replays
+    * exactly that — while history documents stay untouched (they are
+    * published; re-cutting them is a compaction job, not a refresh).
+    *
+    * Scale shape: the positioned-gram kernel runs over the BATCH only;
+    * batch per-fingerprint stats ride the same one-exchange window trick
+    * as the batch operator; the snapshot join is an equality join on the
+    * fingerprint (shuffle on the batch side, bucket-pruned on a
+    * materialized snapshot). Per-refresh work is batch-sized plus one
+    * snapshot join — never corpus-sized.
+    */
+  def removeSharedSubstringsIncremental(batch: DataFrame,
+      snapshot: DataFrame, gramLen: Int = 100, modP: Int = 4,
+      dfCap: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val posts = batch.select(col(idCol),
+      explode(graft.functions.native.charGramPosHashes(
+        col(textCol), gramLen, modP)).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val wGhDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gh"), col(idCol)).orderBy(col("pos"))
+    val wGh = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val cutLists = posts
+      .withColumn("_first",
+        when(row_number().over(wGhDoc) === 1, 1L).otherwise(0L))
+      .withColumn("_bdf", sum(col("_first")).over(wGh))
+      .withColumn("_bmin", min(col(idCol)).over(wGh))
+      .join(snapshot.select(col("gh"), col("df").as("_hdf"),
+        col("keeper").as("_hkeeper")), Seq("gh"), "left")
+      .withColumn("_df", col("_bdf") + coalesce(col("_hdf"), lit(0L)))
+      .withColumn("_keeper",
+        least(col("_bmin"), coalesce(col("_hkeeper"), col("_bmin"))))
+      .filter(col("_df") >= 2 && col("_df") <= dfCap &&
+        col(idCol) =!= col("_keeper"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("_cuts"))
+    rewriteFromCutLists(batch, cutLists, gramLen, textCol, idCol)
   }
 
   def incrementalSubstringBatch(history: DataFrame, batch: DataFrame,

@@ -1466,6 +1466,23 @@ object Queries {
   def q115SubstringScrub(spark: SparkSession, dir: String): DataFrame =
     Dedup.removeSharedSubstrings(Tables.load(spark, dir, "documents"))
 
+  /** Incremental span removal (`Dedup.removeSharedSubstringsIncremental`):
+    * the 20% refresh slice scrubbed against the 80% history's
+    * materialized fingerprint snapshot — q107's corpus-refresh contract
+    * for the REWRITE form. Work is batch-sized (the positioned-gram
+    * kernel never touches history text; history contributes only its
+    * (gh, df, keeper) aggregate, computed in-plan here for gate
+    * self-containment, a write-once bucketed table in production). The
+    * oracle replays the equivalent whole-corpus keeper computation
+    * restricted to batch documents.
+    */
+  def q116IncrementalScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.removeSharedSubstringsIncremental(
+      docs.filter(col("doc_id") % 5 === 0),
+      Dedup.substringFingerprintSnapshot(docs.filter(col("doc_id") % 5 =!= 0)))
+  }
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1650,7 +1667,8 @@ object Queries {
     "q112_bpe_encode" -> (q112BpeEncode _),
     "q113_snapshot_drift" -> (q113SnapshotDrift _),
     "q114_cluster_prune" -> (q114ClusterPrune _),
-    "q115_substring_scrub" -> (q115SubstringScrub _))
+    "q115_substring_scrub" -> (q115SubstringScrub _),
+    "q116_incremental_scrub" -> (q116IncrementalScrub _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2735,6 +2753,43 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
            COALESCE(cl.clean_text, d.text) AS clean_text,
            COALESCE(cl.n_cut_chars, 0) AS n_cut_chars
          FROM documents d LEFT JOIN clean cl USING (doc_id)""",
+    "q116_incremental_scrub" ->
+      """WITH g AS (
+           SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+             SELECT doc_id, unnest(list_filter(list_transform(
+               range(1, greatest(length(text) - 99, 0) + 1),
+               i -> {'pos': CAST(i AS INTEGER),
+                     'gh': ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 100)), 1, 15))::BIGINT}),
+               s -> s.gh % 4 = 0)) AS u
+             FROM documents)),
+         k AS (
+           SELECT gh, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS df
+           FROM g GROUP BY gh),
+         cuts AS (
+           SELECT DISTINCT g.doc_id, g.pos
+           FROM g JOIN k USING (gh)
+           WHERE k.df >= 2 AND k.df <= 50 AND g.doc_id <> k.keeper
+             AND g.doc_id % 5 = 0),
+         covered AS (
+           SELECT DISTINCT doc_id, pos + o AS i FROM (
+             SELECT doc_id, pos, unnest(range(0, 100)) AS o FROM cuts)),
+         chars AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+           FROM documents WHERE doc_id % 5 = 0),
+         clean AS (
+           SELECT c.doc_id,
+             string_agg(CASE WHEN cov.i IS NULL
+               THEN substr(c.text, CAST(c.i AS INTEGER), 1) ELSE '' END,
+               '' ORDER BY c.i) AS clean_text,
+             CAST(SUM(CASE WHEN cov.i IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_cut_chars
+           FROM chars c
+           LEFT JOIN covered cov ON c.doc_id = cov.doc_id AND c.i = cov.i
+           GROUP BY c.doc_id)
+         SELECT d.doc_id,
+           COALESCE(cl.clean_text, d.text) AS clean_text,
+           COALESCE(cl.n_cut_chars, 0) AS n_cut_chars
+         FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) d
+         LEFT JOIN clean cl USING (doc_id)""",
     "q114_cluster_prune" ->
       """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding

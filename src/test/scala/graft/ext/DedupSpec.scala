@@ -23,6 +23,34 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L)._1 == "abcabcabcabcabc")
   }
 
+  test("incremental span removal matches the whole-corpus run on the batch") {
+    val sAB = "0123456789ABCDEF"  // shared hist↔batch, hist keeper (id 1)
+    val sBB = "QRSTUVWXYZqrstuv"  // shared batch↔batch, batch keeper (id 2)
+    val sBH = "ghijklmnopGHIJKL"  // shared batch↔hist, BATCH keeper (id 0)
+    val corpus = Seq(
+      (0L, sBH + "!b0"),             // batch: union keeper of sBH → uncut
+      (1L, sAB + "!h1"),             // hist:  keeper of sAB
+      (2L, "x-" + sAB + "-y " + sBB), // batch: sAB cut (hist keeper), sBB kept (batch keeper)
+      (3L, "hh-" + sBH + "-hh"),     // hist:  would be cut by a full run — but published
+      (4L, "z" + sBB + "z")          // batch: sBB cut (earlier batch keeper)
+    ).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 2 === 0
+    val inc = Dedup.removeSharedSubstringsIncremental(
+      corpus.filter(isBatch),
+      Dedup.substringFingerprintSnapshot(
+        corpus.filter(!isBatch), gramLen = 10, modP = 1),
+      gramLen = 10, modP = 1)
+      .as[(Long, String, Long)].collect().toSet
+    val full = Dedup.removeSharedSubstrings(corpus, gramLen = 10, modP = 1)
+      .filter(isBatch)
+      .as[(Long, String, Long)].collect().toSet
+    assert(inc == full)
+    val m = inc.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L) == ((sBH + "!b0", 0L)))       // batch doc IS the keeper
+    assert(m(2L)._2 == 16L)                    // sAB span cut, sBB kept
+    assert(m(4L) == (("zz", 16L)))             // batch-internal dup cut
+  }
+
   test("span removal cuts the right spans behind supplementary-plane chars") {
     // Each 🦀 is ONE code point but TWO UTF-16 units: a kernel emitting
     // UTF-16 positions would shift every cut in doc 2 right by 2 and
