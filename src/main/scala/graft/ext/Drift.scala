@@ -50,13 +50,36 @@ object Drift {
     * on a source is the canonical "this crawl shifted under us" alarm.
     */
   def tokenKlDrift(v1: DataFrame, v2: DataFrame, k: Double = 0.5,
-      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame) = df
-      .select(col(sourceCol),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
-      .groupBy(col(sourceCol), col("w")).agg(count(lit(1)).as("c"))
-    val joined = counts(v1).withColumnRenamed("c", "c1")
-      .join(counts(v2).withColumnRenamed("c", "c2"),
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    klFromCounts(tokenCountSnapshot(v1, sourceCol, textCol),
+      tokenCountSnapshot(v2, sourceCol, textCol), k, sourceCol)
+
+  /** Per-source token counts (source, w, c) — [[tokenKlDrift]]'s per-side
+    * aggregate, exposed as the materialized side-input of the STREAMING
+    * drift monitor: freeze it once for the published history snapshot
+    * (one corpus shuffle, write-once), then every refresh batch KL-scores
+    * against the frozen table with batch-sized work — history text is
+    * never rescanned. The same decomposition q111's LM gate uses (frozen
+    * model, stream-static scoring); see `DriftSpec`'s parity test for
+    * the per-micro-batch `foreachBatch` wiring.
+    */
+  def tokenCountSnapshot(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = docs
+    .select(col(sourceCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+    .groupBy(col(sourceCol), col("w")).agg(count(lit(1)).as("c"))
+
+  /** KL divergence D(p2 ‖ p1) from two pre-aggregated token-count frames
+    * ([[tokenCountSnapshot]] outputs) — the shared tail of the batch and
+    * streaming forms. The union vocabulary, totals, and smoothing are
+    * computed from the full-outer-joined counts exactly as documented on
+    * [[tokenKlDrift]]; because the inputs are already aggregates, this is
+    * vocabulary-sized work, independent of either corpus's size.
+    */
+  def klFromCounts(counts1: DataFrame, counts2: DataFrame, k: Double = 0.5,
+      sourceCol: String = "source"): DataFrame = {
+    val joined = counts1.withColumnRenamed("c", "c1")
+      .join(counts2.withColumnRenamed("c", "c2"),
         Seq(sourceCol, "w"), "full_outer")
       .select(col(sourceCol),
         coalesce(col("c1"), lit(0L)).as("c1"),

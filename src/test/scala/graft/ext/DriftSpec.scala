@@ -23,6 +23,29 @@ class DriftSpec extends SparkSpecBase {
     assert(got("s2") == ((0L, 0L, 1L)))
   }
 
+  test("streaming KL monitor against a frozen snapshot matches the batch drift") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(("s1", "a a b"), ("s2", "x y")).toDF("source", "text")
+    // the write-once side-input: history token counts, never rescanned
+    val snapshot = Drift.tokenCountSnapshot(history).cache()
+    val batchDocs = Seq(("s1", "b b b"), ("s2", "x y"))
+    val ms = MemoryStream[(String, String)]
+    ms.addData(batchDocs: _*)
+    val got = scala.collection.mutable.Map.empty[String, Double]
+    val q = ms.toDF.toDF("source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Drift.klFromCounts(snapshot, Drift.tokenCountSnapshot(batch))
+          .collect().foreach(r => got(r.getString(0)) = r.getDouble(1))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expect = Drift.tokenKlDrift(history, batchDocs.toDF("source", "text"))
+      .as[(String, Double)].collect().toMap
+    assert(got.toMap == expect)
+    assert(got("s1") > 0.01 && math.abs(got("s2")) < 1e-12)
+  }
+
   test("tokenKlDrift is zero on identical snapshots and positive under shift") {
     val v1 = Seq(("s1", "a a b"), ("s2", "x y")).toDF("source", "text")
     val same = Drift.tokenKlDrift(v1, v1)
