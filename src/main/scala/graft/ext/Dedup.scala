@@ -457,6 +457,41 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** WINNOWED exact-substring duplicate pairs (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003) — [[substringDupPairs]] with the mod-p content
+    * sampler swapped for winnowing: in every run of `w` consecutive
+    * `k`-gram hashes the minimum is selected (rightmost on ties), which
+    * GUARANTEES two documents sharing a verbatim run of ≥ w + k − 1
+    * code points share at least one fingerprint, at ~2/(w+1) density.
+    * The mod-p sampler is position-independent too but can miss a
+    * shared run of any length outright; winnowing trades that residual
+    * false-negative mass for a per-window min pass. Selection happens
+    * INSIDE the native kernel (`CharGramWinnow`, O(w) space) — the
+    * unwinnowed hash sequence never exists in the plan, so posting
+    * volume is winnowed-density from the scan down. Same posting-join
+    * machinery as the rest of the family: per-doc distinct
+    * fingerprints, df-capped, one exchange reused across the self-join.
+    */
+  def winnowedDupPairs(docs: DataFrame, k: Int = 40, w: Int = 10,
+      minShared: Int = 2, dfCap: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val posts = docs.select(col(idCol),
+      explode(array_distinct(transform(
+        graft.functions.native.charGramWinnow(col(textCol), k, w),
+        g => g.getField("gh")))).as("gh"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gh")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    posts.select(col("gh"), col(idCol).as("id1"))
+      .join(posts.select(col("gh"), col(idCol).as("id2")).hint("merge"), Seq("gh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Incremental exact-substring admission — the corpus-refresh form of
     * [[substringDupPairs]], mirroring [[incrementalDedupBatch]]'s
     * contract: a batch document is rejected when it shares ≥ `minShared`

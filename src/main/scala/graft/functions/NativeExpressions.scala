@@ -714,6 +714,69 @@ object HashKernels {
     }
     new GenericArrayData(rows.toArray)
   }
+
+  /** WINNOWED character-gram fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): the md5-60 hash of every length-`k` code-point window,
+    * winnowed with window size `w` — each run of `w` consecutive window
+    * hashes selects its MINIMUM, rightmost occurrence on ties;
+    * consecutive runs selecting the same position record it once.
+    *
+    * The point vs the mod-p sampler ([[charGramHashes]]): winnowing
+    * GUARANTEES that two documents sharing a verbatim run of
+    * ≥ w + k − 1 code points share at least one selected fingerprint,
+    * at expected density 2/(w+1) — the mod-p sampler is cheaper and
+    * position-independent too, but misses any single shared run with
+    * probability (1−1/p)^windows. Documents with fewer than `w` windows
+    * winnow over the single window of all their hashes, so short
+    * documents still fingerprint.
+    *
+    * One pass over the text: a monotonic deque (ring buffers of size
+    * w+1) yields O(n) time and O(w) space — the unwinnowed hash
+    * sequence is never materialized, here or anywhere in the plan.
+    * Output: (pos, gh) structs, strictly increasing 1-based code-point
+    * positions (deque fronts only move forward, so per-window winners
+    * arrive pre-deduplicated and ordered).
+    */
+  def charGramWinnow(in: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = in.getBytes
+    val ascii = bytes.length == in.numChars()
+    val off = if (ascii) null else codePointOffsets(bytes)
+    val nWin = (if (ascii) bytes.length else off.length - 1) - k + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    val we = math.min(w, nWin)
+    val cap = we + 1
+    val dqIdx = new Array[Int](cap)
+    val dqHash = new Array[Long](cap)
+    var head = 0
+    var tail = 0 // deque is [head, tail), ring-indexed mod cap
+    var lastSel = -1
+    val rows = new java.util.ArrayList[Any]()
+    var j = 0
+    while (j < nWin) {
+      val h =
+        if (ascii) Md5Utils.hash60(bytes, j, k)
+        else Md5Utils.hash60(bytes, off(j), off(j + k) - off(j))
+      // `>=` pop: equal minima are superseded by the newer (righter) index
+      while (tail > head && dqHash((tail - 1) % cap) >= h) tail -= 1
+      dqIdx(tail % cap) = j
+      dqHash(tail % cap) = h
+      tail += 1
+      val t = j - we + 1
+      if (t >= 0) {
+        while (dqIdx(head % cap) < t) head += 1
+        val sel = dqIdx(head % cap)
+        if (sel != lastSel) {
+          rows.add(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](sel + 1, dqHash(head % cap))))
+          lastSel = sel
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
 }
 
 /** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
@@ -890,6 +953,33 @@ case class CharGramPosHashes(child: Expression, gramLen: Int, modP: Int)
       s"${ev.value} = graft.functions.HashKernels.charGramPosHashes($c, $gramLen, $modP);")
 
   override protected def withNewChildInternal(newChild: Expression): CharGramPosHashes =
+    copy(child = newChild)
+}
+
+/** Winnowed character-gram fingerprints (see
+  * `HashKernels.charGramWinnow`): rightmost-min-per-window selection
+  * with the w+k−1 shared-run detection guarantee, O(w) space.
+  */
+case class CharGramWinnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be positive, got $k")
+  require(w >= 1, s"w must be positive, got $w")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gh", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_gram_winnow"
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.charGramWinnow(in.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.charGramWinnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramWinnow =
     copy(child = newChild)
 }
 
@@ -1095,6 +1185,8 @@ object native {
     col(CharGramHashes(ex(text), gramLen, modP))
   def charGramPosHashes(text: Column, gramLen: Int, modP: Int): Column =
     col(CharGramPosHashes(ex(text), gramLen, modP))
+  def charGramWinnow(text: Column, k: Int, w: Int): Column =
+    col(CharGramWinnow(ex(text), k, w))
   def pqEncodeF(vec: Column, books: Seq[Float], m: Int, k: Int): Column =
     col(PqEncodeF(ex(vec), books, m, k))
   def whitespaceTokens(text: Column): Column =
@@ -1130,6 +1222,8 @@ object native {
       intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
     "char_gram_pos_hashes" -> { args => CharGramPosHashes(args(0),
       intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
+    "char_gram_winnow" -> { args => CharGramWinnow(args(0),
+      intArg(args(1), "k"), intArg(args(2), "w")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
     "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },
     "token_freq_stats" -> { args => TokenFreqStats(args(0)) },

@@ -1483,6 +1483,17 @@ object Queries {
       Dedup.substringFingerprintSnapshot(docs.filter(col("doc_id") % 5 =!= 0)))
   }
 
+  /** Winnowed exact-substring duplicate pairs
+    * (`Dedup.winnowedDupPairs`, Schleimer et al. 2003): k = 40, w = 10,
+    * so any verbatim shared run of ≥ 49 code points is DETECTED BY
+    * CONSTRUCTION — the guarantee the mod-p sampled q103 family trades
+    * away. The oracle replays the rightmost-min-per-window selection
+    * relationally (window-min + rightmost-argmin join) and then the
+    * family's standard df-capped pair join.
+    */
+  def q117WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedDupPairs(Tables.load(spark, dir, "documents"))
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1668,7 +1679,8 @@ object Queries {
     "q113_snapshot_drift" -> (q113SnapshotDrift _),
     "q114_cluster_prune" -> (q114ClusterPrune _),
     "q115_substring_scrub" -> (q115SubstringScrub _),
-    "q116_incremental_scrub" -> (q116IncrementalScrub _))
+    "q116_incremental_scrub" -> (q116IncrementalScrub _),
+    "q117_winnow_pairs" -> (q117WinnowPairs _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2621,6 +2633,33 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
              i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 100)), 1, 15))::BIGINT),
              h -> h % 4 = 0))) AS gh
            FROM documents),
+         d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+         FROM g a JOIN g b USING (gh) JOIN d USING (gh)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 2""",
+    "q117_winnow_pairs" ->
+      """WITH allg AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15))::BIGINT AS gh
+           FROM (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - 39, 0) + 1)) AS i
+                 FROM documents)),
+         nw AS (SELECT doc_id, COUNT(*) AS n FROM allg GROUP BY doc_id),
+         wmin AS (
+           SELECT g1.doc_id, g1.pos AS t, LEAST(10, nw.n) AS we, MIN(g2.gh) AS mg
+           FROM allg g1 JOIN nw USING (doc_id)
+           JOIN allg g2 ON g2.doc_id = g1.doc_id
+             AND g2.pos BETWEEN g1.pos AND g1.pos + LEAST(10, nw.n) - 1
+           WHERE g1.pos <= nw.n - LEAST(10, nw.n) + 1
+           GROUP BY 1, 2, 3),
+         sel AS (
+           SELECT w.doc_id, MAX(g2.pos) AS pos, w.mg AS gh
+           FROM wmin w JOIN allg g2 ON g2.doc_id = w.doc_id AND g2.gh = w.mg
+             AND g2.pos BETWEEN w.t AND w.t + w.we - 1
+           GROUP BY w.doc_id, w.t, w.mg),
+         g AS (SELECT DISTINCT doc_id, gh FROM sel),
          d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50)
          SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
          FROM g a JOIN g b USING (gh) JOIN d USING (gh)

@@ -23,6 +23,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L)._1 == "abcabcabcabcabc")
   }
 
+  test("winnowed pairs detect a shared run of exactly w+k-1 chars by construction") {
+    // k=40, w=10 → any verbatim shared run of ≥ 49 code points MUST
+    // yield a shared fingerprint (the mod-p sampler can miss it). The
+    // planted run is exactly 49 chars — the guarantee's lower edge —
+    // embedded at different offsets with disjoint surroundings.
+    val run = (0 until 49).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    assert(run.length == 49)
+    val corpus = Seq(
+      (1L, "left-pad-one-" + run + "-tail-one-xxxxxxx"),
+      (2L, "a different and longer left padding " + run + " other tail"),
+      (3L, "totally unrelated content with no shared window of that size " +
+        "and some more filler words to cross the window count")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedDupPairs(corpus, k = 40, w = 10, minShared = 1)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("incremental span removal matches the whole-corpus run on the batch") {
     val sAB = "0123456789ABCDEF"  // shared hist↔batch, hist keeper (id 1)
     val sBB = "QRSTUVWXYZqrstuv"  // shared batch↔batch, batch keeper (id 2)

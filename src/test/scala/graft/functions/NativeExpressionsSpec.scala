@@ -174,11 +174,57 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // unit-level: the extension registers every sqlFunctions entry
     assert(native.sqlFunctions.map(_._1).sorted ==
       Seq("adjacent_bigrams", "array_count_in", "char_gram_hashes",
-        "char_gram_pos_hashes",
+        "char_gram_pos_hashes", "char_gram_winnow",
         "dot_product_d", "dot_product_f", "hyperplane_sign_bits",
         "minhash_sig", "minhash_sig_p", "quantize_int8",
         "random_project_f", "simhash60_p", "simhash64",
         "token_freq_stats", "whitespace_tokens", "word_shingles"))
+  }
+
+  test("charGramWinnow matches a brute-force rightmost-min replay") {
+    // brute reference: rightmost argmin per window of w consecutive
+    // k-gram hashes, consecutive repeats collapsed; short docs winnow
+    // the single window of all their hashes
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    }
+    def brute(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
+      val cps = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < text.length) {
+          val n = Character.charCount(text.codePointAt(i))
+          b += text.substring(i, i + n); i += n
+        }
+        b.toSeq
+      }
+      val n = cps.length - k + 1
+      if (n <= 0) return Seq.empty
+      val hs = (0 until n).map(i => h60(cps.slice(i, i + k).mkString))
+      val we = math.min(w, n)
+      var last = -1
+      (0 to n - we).flatMap { t =>
+        val m = (t until t + we).map(hs).min
+        val p = (t until t + we).filter(i => hs(i) == m).max
+        if (p != last) { last = p; Some((p + 1, hs(p))) } else None
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val periodic = "ab" * 40                       // equal hashes → tie path
+    val astral = "🦀🦀" + ("ab" * 10) + "🦀" + ("cd" * 10)
+    val texts = Seq(periodic, astral, "tiny", "",
+      ("x" * 7) + "SHARED-RUN-SHARED-RUN-SHARED" + ("y" * 5)) ++
+      Seq.fill(10)(rnd.alphanumeric.take(3 + rnd.nextInt(90)).mkString)
+    for (k <- Seq(5, 10); w <- Seq(1, 4, 8)) {
+      val got = texts.toDF("text")
+        .select(native.charGramWinnow(col("text"), k, w).as("g"))
+        .as[Seq[(Int, Long)]].collect().toSeq
+      val want = texts.map(brute(_, k, w))
+      assert(got == want, s"k=$k w=$w")
+    }
   }
 
   test("randomProjectF matches the composed per-plane literal dot products") {
