@@ -185,4 +185,40 @@ object Sampling {
       .filter(score > col("_cut_score") ||
         (score === col("_cut_score") && col(keyCol) <= col("_cut_key")))
       .drop("_stratum", "_cut_score", "_cut_key")
+
+  /** Per-stratum integer weight totals (_stratum, _wsum) — the tiny
+    * side-input of [[weightedBernoulliSample]]. The weight is cast to
+    * long BEFORE summing so the total is exact and partition-order
+    * independent (a double sum would vary run to run); freeze the table
+    * from a published history snapshot to make the weighted gate
+    * stateless over a stream, exactly the [[stratumThresholds]] pattern.
+    */
+  def weightedTotals(df: DataFrame, stratum: Column,
+      weight: Column): DataFrame =
+    df.groupBy(stratum.as("_stratum"))
+      .agg(sum(weight.cast("long")).as("_wsum"))
+
+  /** Expected-k weighted Bernoulli sample per stratum (probability-
+    * proportional-to-size curation — sample longer/higher-quality
+    * documents proportionally more): each row is kept independently iff
+    * uniformHash(key) < k·w / ΣW_stratum, so inclusion probability is
+    * min(1, k·w/ΣW) and the expected kept count per stratum is ≈ k
+    * (exactly k minus the saturated mass of rows with w ≥ ΣW/k — the
+    * heavy-row cap every PPS scheme has). Deterministic cross-engine:
+    * the weight and ΣW are exact longs, long→double casts are exact
+    * below 2^53, and the decision's one multiply + one divide are IEEE
+    * operations every engine rounds identically — no transcendentals,
+    * so the DuckDB oracle replays the decision bit-for-bit.
+    * Physical shape: one tiny aggregate broadcast back onto a
+    * scan-shaped filter; with a frozen `totals` table the gate is
+    * stateless and runs unchanged on a stream.
+    */
+  def weightedBernoulliSample(df: DataFrame, stratum: Column,
+      weight: Column, k: Int, totals: DataFrame,
+      keyCol: String = "doc_id", salt: String = "wsamp"): DataFrame =
+    df.join(broadcast(totals), stratum === col("_stratum"))
+      .filter(uniformHash(col(keyCol), salt) <
+        lit(k) * weight.cast("long").cast("double") /
+          col("_wsum").cast("double"))
+      .drop("_stratum", "_wsum")
 }

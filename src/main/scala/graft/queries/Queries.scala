@@ -1494,6 +1494,21 @@ object Queries {
   def q117WinnowPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowedDupPairs(Tables.load(spark, dir, "documents"))
 
+  /** Expected-k weighted Bernoulli sample
+    * (`Sampling.weightedBernoulliSample`): per language, documents kept
+    * with probability proportional to length (k = 50 expected per
+    * stratum) — the PPS curation gate. The keep decision is
+    * hash < k·w/ΣW with exact-long weights and one IEEE divide, so the
+    * oracle replays it bit-for-bit; with a frozen ΣW table the same
+    * gate is stateless over a stream.
+    */
+  def q118WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Sampling.weightedBernoulliSample(docs, col("lang"), col("n_chars"),
+      k = 50, Sampling.weightedTotals(docs, col("lang"), col("n_chars")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1680,7 +1695,8 @@ object Queries {
     "q114_cluster_prune" -> (q114ClusterPrune _),
     "q115_substring_scrub" -> (q115SubstringScrub _),
     "q116_incremental_scrub" -> (q116IncrementalScrub _),
-    "q117_winnow_pairs" -> (q117WinnowPairs _))
+    "q117_winnow_pairs" -> (q117WinnowPairs _),
+    "q118_weighted_sample" -> (q118WeightedSample _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2639,6 +2655,14 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
          WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2
          HAVING COUNT(*) >= 2""",
+    "q118_weighted_sample" ->
+      """WITH t AS (
+           SELECT lang, SUM(n_chars) AS wsum FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN t USING (lang)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':wsamp'), 1, 15))::BIGINT
+               / 1152921504606846976.0 <
+           50 * CAST(d.n_chars AS DOUBLE) / CAST(t.wsum AS DOUBLE)""",
     "q117_winnow_pairs" ->
       """WITH allg AS (
            SELECT doc_id, CAST(i AS INTEGER) AS pos,

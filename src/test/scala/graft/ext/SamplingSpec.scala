@@ -185,6 +185,61 @@ class SamplingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("weighted Bernoulli sample matches an independent MD5 replay, p ∝ weight") {
+    val corpus = (0L until 600L)
+      .map(i => (i, if (i % 4 == 0) "en" else "de", 10L + (i * 13) % 400))
+      .toDF("doc_id", "stratum", "w")
+    val totals = Sampling.weightedTotals(corpus, col("stratum"), col("w"))
+    val kept = Sampling.weightedBernoulliSample(corpus, col("stratum"),
+      col("w"), k = 20, totals, salt = "spec")
+      .select("doc_id").as[Long].collect().toSet
+    // independent replay: same decision recomputed outside Spark
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:spec".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18
+    }
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 4 == 0) "en" else "de", 10L + (i * 13) % 400))
+    val wsum = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val expect = rows.filter { case (id, s, w) =>
+      u(id) < 20 * w.toDouble / wsum(s).toDouble
+    }.map(_._1).toSet
+    assert(kept == expect && kept.nonEmpty)
+    // inclusion mass is weight-proportional: expected count ≈ k per stratum
+    val bySt = rows.filter(r => kept(r._1)).groupBy(_._2).view.mapValues(_.size)
+    bySt.foreach { case (s, n) => assert(n > 5 && n < 40, s"$s kept $n") }
+  }
+
+  test("weighted gate is stateless over a stream against frozen totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val history = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de", 5L + i % 50))
+      .toDF("doc_id", "stratum", "w")
+    val totals = Sampling.weightedTotals(history, col("stratum"), col("w"))
+      .cache()
+    val batchRows = (1000L until 1300L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", 5L + i % 50))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Sampling.weightedBernoulliSample(
+      input.toDF().toDF("doc_id", "stratum", "w"),
+      col("stratum"), col("w"), k = 30, totals)
+      .writeStream.format("memory").queryName("wsamp_stream")
+      .outputMode("append").start()
+    try {
+      batchRows.grouped(100).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT doc_id FROM wsamp_stream")
+        .as[Long].collect().sorted.toSeq
+      val batch = Sampling.weightedBernoulliSample(
+        batchRows.toDF("doc_id", "stratum", "w"),
+        col("stratum"), col("w"), k = 30, totals)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quality-budget admission equals the stateless lex-gate at the boundary") {
     // the q91 manifest's budget cut (cum_tokens <= B over quality-desc
     // order) is equivalent to a per-row (quality, id) threshold gate:
