@@ -715,6 +715,40 @@ object HashKernels {
     new GenericArrayData(rows.toArray)
   }
 
+  /** Hilbert-curve key of a 2-D point (the xy→d walk of the classic
+    * per-bit rotate-and-reflect algorithm): both coordinates are masked
+    * to their low `bits` bits, then each level contributes s²·((3·rx)⊕ry)
+    * and rotates the sub-square. Pure integer arithmetic — any engine
+    * replays the identical key (the DuckDB oracle unrolls the same loop
+    * as per-bit CTE stages). vs the Morton/z-order key: consecutive
+    * Hilbert keys are always ADJACENT cells (Morton jumps at power-of-2
+    * boundaries), so range-partitioned files cover tighter rectangles
+    * for the same key math.
+    */
+  def hilbertKey2(xIn: Long, yIn: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = xIn & (n - 1)
+    var y = yIn & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = n - 1 - x
+          y = n - 1 - y
+        }
+        val t = x
+        x = y
+        y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** WINNOWED character-gram fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003): the md5-60 hash of every length-`k` code-point window,
@@ -956,6 +990,33 @@ case class CharGramPosHashes(child: Expression, gramLen: Int, modP: Int)
     copy(child = newChild)
 }
 
+/** Hilbert-curve 2-D key (see `HashKernels.hilbertKey2`): integer-exact
+  * rotate-and-reflect walk; adjacent keys are adjacent cells.
+  */
+case class HilbertKey2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_key2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.hilbertKey2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.hilbertKey2($a, $b, $bits);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertKey2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Winnowed character-gram fingerprints (see
   * `HashKernels.charGramWinnow`): rightmost-min-per-window selection
   * with the w+k−1 shared-run detection guarantee, O(w) space.
@@ -1187,6 +1248,8 @@ object native {
     col(CharGramPosHashes(ex(text), gramLen, modP))
   def charGramWinnow(text: Column, k: Int, w: Int): Column =
     col(CharGramWinnow(ex(text), k, w))
+  def hilbertKey2(x: Column, y: Column, bits: Int): Column =
+    col(HilbertKey2(ex(x), ex(y), bits))
   def pqEncodeF(vec: Column, books: Seq[Float], m: Int, k: Int): Column =
     col(PqEncodeF(ex(vec), books, m, k))
   def whitespaceTokens(text: Column): Column =
@@ -1224,6 +1287,8 @@ object native {
       intArg(args(1), "gramLen"), intArg(args(2), "modP")) },
     "char_gram_winnow" -> { args => CharGramWinnow(args(0),
       intArg(args(1), "k"), intArg(args(2), "w")) },
+    "hilbert_key2" -> { args => HilbertKey2(args(0), args(1),
+      intArg(args(2), "bits")) },
     "whitespace_tokens" -> { args => WhitespaceTokens(args(0)) },
     "adjacent_bigrams" -> { args => AdjacentBigrams(args(0)) },
     "token_freq_stats" -> { args => TokenFreqStats(args(0)) },

@@ -1509,6 +1509,43 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Hilbert-curve layout key (`Layout.hilbertKey2`) over the same
+    * (part, supplier) pair as the Morton q101 — the locality-tighter
+    * space-filling curve (consecutive keys are always adjacent cells;
+    * Morton jumps at power-of-2 boundaries). Pure integer rotate-and-
+    * reflect in a codegen'd native expression; the oracle unrolls the
+    * identical per-bit walk as 16 chained CTE stages.
+    */
+  def q119HilbertKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.hilbertKey2(
+          col("l_partkey"), col("l_suppkey")).as("hkey"))
+
+  /** DuckDB replay of [[q119HilbertKey]]'s per-bit rotate-and-reflect
+    * walk, unrolled to one CTE stage per bit (a LINEAR chain — each
+    * stage is referenced exactly once, so no materialization is needed,
+    * unlike the doubly-referenced BPE rounds). Integer arithmetic only.
+    */
+  private def hilbertOracle(bits: Int): String = {
+    val n = 1L << bits
+    val head = s"""h0 AS (
+  SELECT l_orderkey, l_linenumber,
+    l_partkey % $n AS x, l_suppkey % $n AS y, CAST(0 AS BIGINT) AS d
+  FROM lineitem)"""
+    val stages = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""h${i + 1} AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END ELSE x END AS x,
+    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END ELSE y END AS y,
+    d + ${s * s} * xor(3 * rx, ry) AS d
+  FROM (SELECT *, (x // $s) % 2 AS rx, (y // $s) % 2 AS ry FROM h$i))"""
+    }
+    (head +: stages).mkString("WITH ", ",\n", "") +
+      s"\nSELECT l_orderkey, l_linenumber, d AS hkey FROM h$bits"
+  }
+
   /** BPE tokenizer-training pair statistics (round 1 of `Bpe.train`):
     * top-30 frequency-weighted adjacent character pairs over the
     * word-frequency table — one corpus shuffle, then vocabulary-sized
@@ -1696,7 +1733,8 @@ object Queries {
     "q115_substring_scrub" -> (q115SubstringScrub _),
     "q116_incremental_scrub" -> (q116IncrementalScrub _),
     "q117_winnow_pairs" -> (q117WinnowPairs _),
-    "q118_weighted_sample" -> (q118WeightedSample _))
+    "q118_weighted_sample" -> (q118WeightedSample _),
+    "q119_hilbert_key" -> (q119HilbertKey _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2655,6 +2693,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
          WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2
          HAVING COUNT(*) >= 2""",
+    "q119_hilbert_key" -> hilbertOracle(16),
     "q118_weighted_sample" ->
       """WITH t AS (
            SELECT lang, SUM(n_chars) AS wsum FROM documents GROUP BY lang)

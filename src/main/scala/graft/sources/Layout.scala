@@ -39,6 +39,29 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve key of two columns' low `bits` bits — the
+    * locality-tighter alternative to [[zorderKey2]]: consecutive Hilbert
+    * keys are always ADJACENT grid cells, where consecutive Morton keys
+    * jump across power-of-2 boundaries (the z-shape's long diagonal), so
+    * range-partitioned files cover tighter rectangles for the same key
+    * width. The per-bit rotate-and-reflect walk runs in a codegen'd
+    * native expression (`HilbertKey2`) — pure integer arithmetic, no
+    * floating point, replayed exactly by the DuckDB oracle as unrolled
+    * per-bit CTE stages.
+    */
+  def hilbertKey2(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.native.hilbertKey2(x.cast("long"), y.cast("long"), bits)
+
+  /** [[writeZOrdered]] with the Hilbert key: same range-partition +
+    * within-file sort, tighter per-file rectangles. */
+  def writeHilbertOrdered(df: DataFrame, path: String, xCol: String,
+      yCol: String, numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_h", hilbertKey2(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` clustered by the z-order of (xCol, yCol): range-partition
     * on the z-key (each output file covers a contiguous z-range = a small
     * key-space rectangle) and sort within partitions so parquet row-group

@@ -581,6 +581,37 @@ class DedupSpec extends SparkSpecBase {
     assert(est >= 0.0 && est <= 1.0 && math.abs(est - exact) < 0.45)
   }
 
+  test("ingest-time span scrub: incremental form runs per micro-batch against a frozen snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "0123456789ABCDEF"
+    val history = Seq(
+      (1L, shared + "!hist"),
+      (3L, "other history content entirely")).toDF("doc_id", "text")
+    // the write-once side-input: history (gh, df, keeper), text never rescanned
+    val snap = Dedup.substringFingerprintSnapshot(
+      history, gramLen = 10, modP = 1).cache()
+    val arrivals = Seq(
+      (10L, "pre-" + shared + "-post"),  // carries the history run → cut
+      (11L, "clean refresh document"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (String, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.removeSharedSubstringsIncremental(
+            batch, snap, gramLen = 10, modP = 1)
+          .as[(Long, String, Long)].collect()
+          .foreach(r => got.synchronized { got(r._1) = (r._2, r._3) })
+        ()
+      }.start()
+    try {
+      arrivals.grouped(1).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got(10L) == (("pre--post", 16L)))
+    assert(got(11L) == (("clean refresh document", 0L)))
+  }
+
   test("ingest-time decontamination: the gate applies per micro-batch via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -175,7 +175,8 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(native.sqlFunctions.map(_._1).sorted ==
       Seq("adjacent_bigrams", "array_count_in", "char_gram_hashes",
         "char_gram_pos_hashes", "char_gram_winnow",
-        "dot_product_d", "dot_product_f", "hyperplane_sign_bits",
+        "dot_product_d", "dot_product_f", "hilbert_key2",
+        "hyperplane_sign_bits",
         "minhash_sig", "minhash_sig_p", "quantize_int8",
         "random_project_f", "simhash60_p", "simhash64",
         "token_freq_stats", "whitespace_tokens", "word_shingles"))

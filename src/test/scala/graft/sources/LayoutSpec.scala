@@ -28,6 +28,36 @@ class LayoutSpec extends SparkSpecBase {
     assert(wide == morton(3L, 5L, 8))
   }
 
+  test("hilbert key is a bijection whose consecutive keys are ADJACENT cells") {
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbertKey2($"x", $"y", bits = 4).as("h"))
+      .as[(Long, Long, Long)].collect()
+    // bijection onto [0, 256)
+    assert(got.map(_._3).toSet == (0L until 256L).toSet)
+    // the locality claim, exactly: every step of the curve moves to a
+    // 4-neighbor cell — no jumps. Morton, by contrast, jumps at every
+    // power-of-2 boundary (e.g. z=3→4 goes (1,1)→(0,2)... diagonal, and
+    // z=15→16 crosses the quadrant seam entirely).
+    val walk = got.sortBy(_._3)
+    walk.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"jump at d=${a._3}: (${a._1},${a._2}) -> (${b._1},${b._2})")
+    }
+    val mortonWalk = pts.map { case (x, y) => (x, y, morton(x, y, 4)) }
+      .sortBy(_._3)
+    val mortonJumps = mortonWalk.sliding(2).count { case Seq(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) != 1
+    }
+    assert(mortonJumps > 0)
+    // masking wraps like the low bits, same as zorderKey2
+    val wide = Seq((16L + 3L, 32L + 5L)).toDF("x", "y")
+      .select(Layout.hilbertKey2($"x", $"y", bits = 4)).as[Long].head()
+    val narrow = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.hilbertKey2($"x", $"y", bits = 4)).as[Long].head()
+    assert(wide == narrow)
+  }
+
   test("z-ordered files cover small rectangles in BOTH dimensions") {
     val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
       .toDF("x", "y")
