@@ -73,6 +73,34 @@ object Packing {
     * [[graft.operators.PrefixSum]] — no parallelism-1 window at any
     * corpus size; the md5 key is computed in the scan projection.
     */
+  /** Length-bucketed batch manifest with a padding audit — the
+    * sequence-bucketing every padded-batch training loader runs: sort by
+    * (length, key), cut the global order into fixed-size batches of
+    * `batchSize` documents, and report each batch's padding waste
+    * (n_docs · max_len − sum_len — the slots a padded batch burns on pad
+    * tokens). Length-sorted batching makes co-batched documents near-
+    * equal length, collapsing that waste vs arrival-order batching; the
+    * audit quantifies it per batch. The global rank is the two-phase
+    * [[graft.operators.PrefixSum]] (no parallelism-1 window at any
+    * corpus size); everything after is one integer aggregate on the
+    * batch id, so every engine replays it exactly.
+    */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int,
+      lenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    graft.operators.PrefixSum
+      .withGlobalCumSum(docs.select(col(idCol), col(lenCol)),
+        Seq(col(lenCol).asc, col(idCol).asc), lit(0L), "_cum",
+        rankCol = Some("_rank"))
+      .withColumn("batch_id", expr(s"CAST((_rank - 1) DIV $batchSize AS BIGINT)"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(lenCol)).as("max_len"),
+        sum(col(lenCol)).as("sum_len"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   def shuffledExportManifest(docs: DataFrame, shardTokens: Long,
       salt: String = "export", tokenCol: String = "n_tokens",
       idCol: String = "doc_id"): DataFrame = {

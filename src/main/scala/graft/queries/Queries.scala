@@ -1509,6 +1509,17 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Length-bucketed batch manifest (`Packing.lengthBucketedBatches`):
+    * documents sorted by (n_chars, doc_id), cut into 64-doc batches,
+    * per-batch padding-waste audit — the sequence-bucketing gain every
+    * padded-batch loader banks. Global rank rides the two-phase prefix
+    * sum; the oracle replays the same rank arithmetic.
+    */
+  def q120LengthBatches(spark: SparkSession, dir: String): DataFrame =
+    Packing.lengthBucketedBatches(
+      Tables.load(spark, dir, "documents"), batchSize = 64,
+      lenCol = "n_chars")
+
   /** Hilbert-curve layout key (`Layout.hilbertKey2`) over the same
     * (part, supplier) pair as the Morton q101 — the locality-tighter
     * space-filling curve (consecutive keys are always adjacent cells;
@@ -1734,7 +1745,8 @@ object Queries {
     "q116_incremental_scrub" -> (q116IncrementalScrub _),
     "q117_winnow_pairs" -> (q117WinnowPairs _),
     "q118_weighted_sample" -> (q118WeightedSample _),
-    "q119_hilbert_key" -> (q119HilbertKey _))
+    "q119_hilbert_key" -> (q119HilbertKey _),
+    "q120_length_batches" -> (q120LengthBatches _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2694,6 +2706,16 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
          GROUP BY 1, 2
          HAVING COUNT(*) >= 2""",
     "q119_hilbert_key" -> hilbertOracle(16),
+    "q120_length_batches" ->
+      """WITH r AS (
+           SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+         SELECT (rn - 1) // 64 AS batch_id,
+           COUNT(*) AS n_docs, MAX(n_chars) AS max_len,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+           COUNT(*) * MAX(n_chars) - CAST(SUM(n_chars) AS BIGINT) AS pad_waste
+         FROM r GROUP BY 1""",
     "q118_weighted_sample" ->
       """WITH t AS (
            SELECT lang, SUM(n_chars) AS wsum FROM documents GROUP BY lang)

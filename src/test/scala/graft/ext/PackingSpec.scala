@@ -61,6 +61,33 @@ class PackingSpec extends SparkSpecBase {
     assert(m == Seq((0L, 2L, 8L)))
   }
 
+  test("length-bucketed batches: exact shape, and padding beats arrival order") {
+    // mixed lengths with deliberate spread: arrival-order batches mix
+    // short and long docs and pay max-len padding for every short one
+    val r = new scala.util.Random(13)
+    val rows = (0L until 500L).map(i => (i, 5L + r.nextInt(400)))
+    val docs = rows.toDF("doc_id", "n_tokens").repartition(7)
+    val got = Packing.lengthBucketedBatches(docs, batchSize = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // exact replay: rank by (len, id), cut into 64s
+    val ranked = rows.sortBy { case (id, len) => (len, id) }
+    val want = ranked.grouped(64).zipWithIndex.map { case (b, i) =>
+      val lens = b.map(_._2)
+      (i.toLong, b.size.toLong, lens.max, lens.sum,
+        b.size * lens.max - lens.sum)
+    }.toSeq
+    assert(got == want)
+    // every batch except the last is full
+    assert(got.dropRight(1).forall(_._2 == 64L))
+    // the audit's point: bucketing collapses padding vs arrival order
+    val arrivalWaste = rows.grouped(64).map { b =>
+      val lens = b.map(_._2); b.size * lens.max - lens.sum
+    }.sum
+    val bucketedWaste = got.map(_._5).sum
+    assert(bucketedWaste < arrivalWaste / 4,
+      s"bucketed $bucketedWaste vs arrival $arrivalWaste")
+  }
+
   test("shuffled export: deterministic, salt-sensitive, token-contiguous shards") {
     val docs = (0L until 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "n_tokens")
     def run(d: org.apache.spark.sql.DataFrame, salt: String) =
