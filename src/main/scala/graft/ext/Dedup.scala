@@ -1094,6 +1094,42 @@ object Dedup {
         .select(col("id1"), col("id2")),
       idCol, pairsCanonical = true)
 
+  /** Leakage-safe train/valid/test split: the split decision hashes the
+    * document's near-dup COMPONENT ROOT, not the document itself, so
+    * every member of a transitive near-dup cluster lands in the SAME
+    * split — the standard defence against train→eval contamination
+    * through near-duplicates, which a per-document hash split cannot
+    * give (a pair split across train and test leaks the answer).
+    * `pairs` is any canonical (id1 < id2) near-dup pair table from this
+    * file's generators; isolated documents are their own group and
+    * split independently. Decision: uniformHash(root) < trainCut →
+    * train, < validCut → valid, else test — the thresholds are passed
+    * as ABSOLUTE cuts, never summed (0.8 + 0.1 is 0.9000000000000001
+    * in doubles, which an external replay comparing against the
+    * literal 0.9 would miss), so the md5 decision replays exactly and
+    * is FROZEN under corpus growth for unchanged groups (append-only
+    * refreshes don't reshuffle splits unless a new edge merges two
+    * groups). Physical shape: the CC contraction on the (tiny) pair
+    * graph, one left join onto docs, a scan-shaped hash decision.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainCut: Double = 0.8, validCut: Double = 0.9,
+      salt: String = "split", idCol: String = "doc_id"): DataFrame = {
+    require(trainCut > 0 && trainCut <= validCut && validCut < 1,
+      s"bad cuts: train=$trainCut valid=$validCut")
+    val roots = ccConvergedStars(pairs, canonicalMemberRoot = true)
+    docs
+      .join(roots.select(col("u").as(idCol), col("v").as("_root")),
+        Seq(idCol), "left")
+      .withColumn("split_group", coalesce(col("_root"), col(idCol)))
+      .withColumn("_h", Sampling.uniformHash(col("split_group"), salt))
+      .withColumn("split",
+        when(col("_h") < trainCut, "train")
+          .when(col("_h") < validCut, "valid")
+          .otherwise("test"))
+      .select(col(idCol), col("split_group"), col("split"))
+  }
+
   /** Incremental near-dup admission for a corpus-refresh batch: returns
     * the subset of `batch` to ADMIT into an already-curated `history` —
     * a batch doc is rejected when it is a verified near-dup (exact

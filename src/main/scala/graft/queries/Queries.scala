@@ -715,6 +715,20 @@ object Queries {
     Dedup.dropNearDupsCC(Tables.load(spark, dir, "documents"), threshold = 0.5)
       .select(col("doc_id"))
 
+  /** Leakage-safe 80/10/10 split (`Dedup.leakageSafeSplit`): the split
+    * hashes each document's near-dup COMPONENT ROOT (same verified-pair
+    * graph as q60), so transitive near-dup clusters land whole in one
+    * split — the contamination defence a per-doc hash split can't give.
+    * Oracle: q60's recursive-closure components + the q65 md5 decision
+    * idiom on the root.
+    */
+  def q121LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.leakageSafeSplit(docs,
+      Dedup.verifiedNearDups(docs, threshold = 0.5)
+        .select(col("id1"), col("id2")))
+  }
+
   /** Rolling-hash document fingerprints (order-sensitive). */
   def q35RollingHash(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -1746,7 +1760,8 @@ object Queries {
     "q117_winnow_pairs" -> (q117WinnowPairs _),
     "q118_weighted_sample" -> (q118WeightedSample _),
     "q119_hilbert_key" -> (q119HilbertKey _),
-    "q120_length_batches" -> (q120LengthBatches _))
+    "q120_length_batches" -> (q120LengthBatches _),
+    "q121_leakage_split" -> (q121LeakageSplit _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2343,6 +2358,26 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
                   FROM reach GROUP BY u)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"""),
+    "q121_leakage_split" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
+      """,
+         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
+               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+         reach(u, v) AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+         comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+                  FROM reach GROUP BY u),
+         r AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         h AS (SELECT doc_id, split_group,
+           ('0x' || substr(md5(split_group::VARCHAR || ':split'), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u
+           FROM r)
+         SELECT doc_id, split_group,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split
+         FROM h"""),
     "q77_est_calibration" -> (MinHashOracleCtes +
       """
          SELECT p.id1, p.id2,

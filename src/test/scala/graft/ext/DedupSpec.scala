@@ -23,6 +23,31 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L)._1 == "abcabcabcabcabc")
   }
 
+  test("leakage-safe split keeps near-dup clusters whole and replays the md5 decision") {
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a transitive chain 0-1-2, a pair 5-6, everything else isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.leakageSafeSplit(docs, pairs)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // clusters land whole: one group, one split, rooted at the min id
+    assert(Seq(0L, 1L, 2L).map(got).distinct.size == 1 && got(0L)._1 == 0L)
+    assert(got(5L) == got(6L) && got(5L)._1 == 5L)
+    // independent replay of every decision (the q118-style external MD5)
+    def u(g: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$g:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18
+    }
+    got.foreach { case (id, (g, split)) =>
+      val want = if (u(g) < 0.8) "train" else if (u(g) < 0.9) "valid" else "test"
+      assert(split == want, s"doc $id group $g")
+    }
+    // all three splits are populated on 300 groups
+    assert(got.values.map(_._2).toSet == Set("train", "valid", "test"))
+  }
+
   test("winnowed pairs detect a shared run of exactly w+k-1 chars by construction") {
     // k=40, w=10 → any verbatim shared run of ≥ 49 code points MUST
     // yield a shared fingerprint (the mod-p sampler can miss it). The
