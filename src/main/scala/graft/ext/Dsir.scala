@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR — Xie et al., NeurIPS
+  * 2023): rank raw documents by how target-like they are under cheap
+  * hashed n-gram bag-of-words models, then sample the training subset in
+  * proportion to the importance weight. The reference pipeline has no
+  * model-based selection at all; this is the standard pretraining-corpus
+  * curation step the brief's LLM-pipeline surface calls for, and every
+  * stage is engine-replayable (md5-derived hashing, closed-form counts)
+  * so the DuckDB oracle reproduces the selection bit-for-bit.
+  *
+  * Method: each document's feature bag is its unigrams + adjacent-word
+  * bigrams hashed into `buckets` buckets. Two multinomial models are
+  * fitted by counting bucket mass — `p` over the TARGET slice (the
+  * domain to match, e.g. one language or a quality-gated subset) and `q`
+  * over the full RAW corpus — with add-one smoothing. A document's
+  * importance log-weight is Σ_features [ln p(b) − ln q(b)], the
+  * log-likelihood ratio under the bag models. Selection is k docs
+  * WITHOUT replacement with probability ∝ exp(logw) via the Gumbel
+  * top-k trick (Efraimidis–Spirakis order sampling): key = logw + G
+  * where G = −ln(−ln u) and u is the md5 uniform of the doc id — so the
+  * "randomness" is a pure function of the id, reproducible across runs,
+  * partitionings, and engines.
+  *
+  * Scale shape (the part that must survive 100 TB): ONE tokenize-explode
+  * scan feeds a `buckets`-row conditional aggregate (map-side combined —
+  * raw and target counts in one pass, no second scan for the target
+  * model); the bucket→log-ratio table is bounded by `buckets` (fixed,
+  * paper uses 10k) so it broadcasts; scoring is the same explode joined
+  * to that broadcast plus one shuffle on the doc id; selection is the
+  * two-phase per-partition top-k (`operators.TopK`), never a global
+  * sort. Nothing grows with corpus size except the scans.
+  */
+object Dsir {
+
+  /** Hashed unigram+bigram feature-bucket stream: (idCol, bkt) one row
+    * per feature OCCURRENCE (bag semantics — DSIR counts, not sets).
+    * Bucket = md5-60(feature) mod `buckets`; bigrams are joined with
+    * '_' so "a b_c" and "a_b c" cannot collide as strings.
+    */
+  def featureBuckets(docs: DataFrame, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    val toks = filter(words, w => w =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+      .otherwise(array())
+    docs.select(col(idCol), explode(concat(toks, bigrams)).as("_f"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+  }
+
+  /** Per-bucket importance log-ratio table (bkt, lr): ln of the
+    * add-one-smoothed target bucket probability over the raw one. One
+    * conditional aggregate over the feature stream computes BOTH models
+    * (`isTarget` marks the target slice — no second scan), and the
+    * 1-row totals ride a broadcast scalar cross, the same shape as
+    * [[Sampling.temperatureRates]]. Output is ≤ `buckets` rows —
+    * broadcastable at any corpus size.
+    */
+  def bucketLogRatios(feats: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val counts = feats.groupBy(col("bkt")).agg(
+      count(lit(1)).as("raw_n"),
+      count(when(isTarget, 1)).as("tgt_n"))
+    val totals = counts.agg(
+      sum(col("raw_n")).as("_rtot"), sum(col("tgt_n")).as("_ttot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((col("tgt_n") + lit(1.0)) / (col("_ttot") + lit(buckets.toDouble)))
+          - log((col("raw_n") + lit(1.0)) / (col("_rtot") + lit(buckets.toDouble))))
+          .as("lr"))
+  }
+
+  /** DSIR selection: importance-score every document against the
+    * `isTarget` slice and keep `k` docs sampled without replacement with
+    * probability ∝ exp(score), deterministically (Gumbel keys from the
+    * md5 uniform of the id). Returns (idCol, dsir_logw rounded to 6dp)
+    * — the log-weight is the auditable artifact (it IS the selection
+    * score); rounding keeps the external-replay compare exact while the
+    * ranking itself uses the raw double.
+    */
+  def resample(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id", salt: String = "dsir"): DataFrame = {
+    // isTarget references doc columns (e.g. lang), so evaluate it into
+    // the feature stream before column pruning drops its inputs
+    val withFlag = docs.withColumn("_is_tgt", isTarget)
+      .select(col(idCol), col("_is_tgt"), col(textCol))
+    val fb = featureBucketsWithFlag(withFlag, buckets, textCol, idCol)
+    val ratios = bucketLogRatios(fb, col("_is_tgt"), buckets)
+    val scores = fb
+      .join(broadcast(ratios), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lr")).as("_logw"))
+    val keyed = scores.withColumn("_gkey",
+      col("_logw") - log(-log(Sampling.uniformHash(col(idCol), salt))))
+    graft.operators.TopK.topKPerKey(keyed, Seq.empty,
+      Seq(col("_gkey").desc, col(idCol)), k)
+      .select(col(idCol), round(col("_logw"), 6).as("dsir_logw"))
+  }
+
+  /** [[featureBuckets]] carrying the `_is_tgt` flag through the explode
+    * so both models come out of one aggregate.
+    */
+  private def featureBucketsWithFlag(docs: DataFrame, buckets: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    val toks = filter(words, w => w =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
+      .otherwise(array())
+    docs.select(col(idCol), col("_is_tgt"),
+        explode(concat(toks, bigrams)).as("_f"))
+      .select(col(idCol), col("_is_tgt"),
+        pmod(conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Bpe, Chunking, Dedup, Drift, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -727,6 +727,97 @@ object Queries {
     Dedup.leakageSafeSplit(docs,
       Dedup.verifiedNearDups(docs, threshold = 0.5)
         .select(col("id1"), col("id2")))
+  }
+
+  /** DSIR importance resampling (Xie et al., NeurIPS 2023): select 100
+    * docs without replacement with probability ∝ the hashed-ngram
+    * importance weight against the English slice as the target domain
+    * ([[graft.ext.Dsir.resample]] — bag models in one conditional
+    * aggregate, broadcast bucket table, Gumbel top-k selection keyed on
+    * the md5 uniform so the oracle replays the draw exactly).
+    */
+  def q122DsirSample(spark: SparkSession, dir: String): DataFrame =
+    Dsir.resample(Tables.load(spark, dir, "documents"),
+      col("lang") === "en", k = 100, buckets = 1024)
+
+  /** Tokenizer-fertility audit per source — the "is this tokenizer fit
+    * for this corpus slice" scorecard (fertility = BPE tokens per word,
+    * compression = chars per BPE token, OOV-word rate), computed from
+    * the q112 encode under the 80%-split-trained 12-merge model. The
+    * encode is scan-shaped (broadcast vocab join); the audit adds one
+    * #sources-row aggregate on top. Oracle: the q112 merge-replay CTE
+    * chain with a per-source final aggregate.
+    */
+  def q123FertilityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (merges, vocab) = Bpe.train(
+      docs.filter(col("doc_id") % 10 < 8), nMerges = 12)
+    Bpe.encodeCorpus(docs, merges, vocab)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double") /
+          sum(col("n_words")).cast("double"), 6).as("fertility"),
+        round(sum(col("n_chars")).cast("double") /
+          sum(col("n_bpe_tokens")).cast("double"), 6).as("chars_per_token"),
+        round(sum(col("n_oov_words")).cast("double") /
+          sum(col("n_words")).cast("double"), 6).as("oov_rate"))
+  }
+
+  /** Cross-source near-dup overlap matrix — which source pairs share
+    * near-duplicate content (the near-dup counterpart of q95's exact
+    * overlap): verified MinHash/LSH pairs at Jaccard ≥ 0.5 rolled up to
+    * unordered (src_a, src_b) cells with pair count and mean verified
+    * Jaccard. The matrix is the standard cross-contamination audit run
+    * before mixing sources into a training corpus. Physical shape: the
+    * q30 pair pipeline (bucketed candidates + verify joins) plus two
+    * broadcastable id→source joins and a #sources²-bounded aggregate.
+    */
+  def q124CrossdupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.verifiedNearDups(docs, threshold = 0.5)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("_s1")), Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("_s2")), Seq("id2"))
+      .groupBy(least(col("_s1"), col("_s2")).as("src_a"),
+        greatest(col("_s1"), col("_s2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+  }
+
+  /** Token-budget epoch plan (the data-constrained-scaling audit of
+    * Muennighoff et al. 2023): given a total training budget of 2× the
+    * corpus' whitespace tokens and a temperature-0.5 mixture over
+    * sources, how many epochs (repeats) of each source does its share
+    * require, and which sources cross the ~4-epoch mark past which
+    * repeated data stops paying. One #sources-row aggregate + a scalar
+    * cross — a planning table, not a resample (q71 does the resample).
+    */
+  def q125EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(size(TextAnalysis.tokens(col("text")))).as("avail_tokens"))
+    val totals = perSrc.agg(
+      sum(col("avail_tokens")).as("_tot"),
+      sum(sqrt(col("avail_tokens").cast("double"))).as("_wtot"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("avail_tokens"),
+        round(sqrt(col("avail_tokens").cast("double")) / col("_wtot"), 6)
+          .as("mix_weight"),
+        round(lit(2.0) * col("_tot") *
+          sqrt(col("avail_tokens").cast("double")) / col("_wtot"), 2)
+          .as("target_tokens"),
+        round(lit(2.0) * col("_tot") *
+          sqrt(col("avail_tokens").cast("double")) /
+          (col("_wtot") * col("avail_tokens").cast("double")), 6).as("epochs"),
+        (lit(2.0) * col("_tot") *
+          sqrt(col("avail_tokens").cast("double")) /
+          (col("_wtot") * col("avail_tokens").cast("double")) > lit(4.0))
+          .as("over_repeat_cliff"))
   }
 
   /** Rolling-hash document fingerprints (order-sensitive). */
@@ -1761,7 +1852,11 @@ object Queries {
     "q118_weighted_sample" -> (q118WeightedSample _),
     "q119_hilbert_key" -> (q119HilbertKey _),
     "q120_length_batches" -> (q120LengthBatches _),
-    "q121_leakage_split" -> (q121LeakageSplit _))
+    "q121_leakage_split" -> (q121LeakageSplit _),
+    "q122_dsir_sample" -> (q122DsirSample _),
+    "q123_fertility_audit" -> (q123FertilityAudit _),
+    "q124_crossdup_matrix" -> (q124CrossdupMatrix _),
+    "q125_epoch_plan" -> (q125EpochPlan _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -1790,7 +1885,7 @@ object Queries {
     * left-joins the per-doc aggregate back onto `documents` so empty
     * documents keep a zero row, matching `Bpe.encodeCorpus`.
     */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  private def bpeOracleCtes(nMerges: Int): String = {
     val S = "chr(31)"
     val wrap = (w: String) =>
       s"$S || array_to_string(string_split($w, ''), $S || $S) || $S"
@@ -1838,11 +1933,34 @@ agg AS (
     CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
     CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words
   FROM enc GROUP BY doc_id)
+"""
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges) + """
 SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
   COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
   COALESCE(a.n_oov_words, 0) AS n_oov_words
 FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
-  }
+
+  /** Per-source roll-up of the q112 merge-replay chain — the q123 oracle.
+    * Every doc in the corpus has ≥ 1 word, so the inner join against
+    * `agg` is total; sums stay integral until the two ROUND(…, 6)
+    * ratios, mirroring the Spark aggregate exactly.
+    */
+  private def bpeFertilityOracle(nMerges: Int): String =
+    bpeOracleCtes(nMerges) + """
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(a.n_words) AS BIGINT) AS n_words,
+  CAST(SUM(a.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+  ROUND(CAST(SUM(a.n_bpe_tokens) AS DOUBLE) / CAST(SUM(a.n_words) AS DOUBLE), 6)
+    AS fertility,
+  ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(a.n_bpe_tokens) AS DOUBLE), 6)
+    AS chars_per_token,
+  ROUND(CAST(SUM(a.n_oov_words) AS DOUBLE) / CAST(SUM(a.n_words) AS DOUBLE), 6)
+    AS oov_rate
+FROM documents d JOIN agg a USING (doc_id)
+GROUP BY d.source"""
 
   /** DuckDB oracle SQL per query (omitted keys → driver rows-only check). */
   val oracles: Map[String, String] = Map(
@@ -2378,6 +2496,71 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"""
            CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split
          FROM h"""),
+    "q122_dsir_sample" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         feat AS (
+           SELECT doc_id, lang, unnest(list_concat(toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i ->
+                 toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i AS INTEGER) + 1])
+             ELSE CAST([] AS VARCHAR[]) END)) AS f
+           FROM tok),
+         fb AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bkt
+           FROM feat),
+         cnt AS (
+           SELECT bkt, COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+           FROM fb GROUP BY bkt),
+         tot AS (SELECT SUM(raw_n) AS rtot, SUM(tgt_n) AS ttot FROM cnt),
+         lr AS (
+           SELECT bkt,
+             ln((tgt_n + 1.0) / (ttot + 1024.0))
+               - ln((raw_n + 1.0) / (rtot + 1024.0)) AS lr
+           FROM cnt, tot),
+         score AS (
+           SELECT doc_id, SUM(lr) AS logw
+           FROM fb JOIN lr USING (bkt) GROUP BY doc_id),
+         sel AS (
+           SELECT doc_id, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 15))::BIGINT)
+                 / 1152921504606846976.0)) AS gkey
+           FROM score)
+         SELECT doc_id, ROUND(logw, 6) AS dsir_logw
+         FROM sel ORDER BY gkey DESC, doc_id LIMIT 100""",
+    "q123_fertility_audit" -> bpeFertilityOracle(12),
+    "q124_crossdup_matrix" -> (MinHashOracleCtes +
+      """SELECT LEAST(d1.source, d2.source) AS src_a,
+           GREATEST(d1.source, d2.source) AS src_b,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(ROUND(jaccard, 6)), 6) AS avg_jaccard
+         FROM pairs p
+         JOIN documents d1 ON p.id1 = d1.doc_id
+         JOIN documents d2 ON p.id2 = d2.doc_id
+         WHERE jaccard >= 0.5
+         GROUP BY 1, 2"""),
+    "q125_epoch_plan" ->
+      """WITH s AS (
+           SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '),
+             x -> x <> ''))) AS BIGINT) AS avail_tokens
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot,
+                      SUM(sqrt(CAST(avail_tokens AS DOUBLE))) AS wtot
+               FROM s)
+         SELECT source, avail_tokens,
+           ROUND(sqrt(CAST(avail_tokens AS DOUBLE)) / wtot, 6) AS mix_weight,
+           ROUND(2.0 * tot * sqrt(CAST(avail_tokens AS DOUBLE)) / wtot, 2)
+             AS target_tokens,
+           ROUND(2.0 * tot * sqrt(CAST(avail_tokens AS DOUBLE))
+             / (wtot * CAST(avail_tokens AS DOUBLE)), 6) AS epochs,
+           (2.0 * tot * sqrt(CAST(avail_tokens AS DOUBLE))
+             / (wtot * CAST(avail_tokens AS DOUBLE)) > 4.0) AS over_repeat_cliff
+         FROM s, t""",
     "q77_est_calibration" -> (MinHashOracleCtes +
       """
          SELECT p.id1, p.id2,
