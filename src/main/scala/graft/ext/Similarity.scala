@@ -489,6 +489,29 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame =
     pqTopKFromCodes(spark.read.parquet(indexPath), codebooks, queryVec, k, idCol)
 
+  /** Two-stage PQ search with exact re-ranking — the production ANN
+    * shape (Jégou et al. 2011 §V): the ADC scan produces a `shortlist`-
+    * sized candidate set from m-int codes (cheap, lossy), then ONLY
+    * those candidates' full float vectors are fetched and re-scored with
+    * exact cosine to produce the final `k`. Recovers the exact-ranking
+    * quality the codes lose while still never scanning the float corpus:
+    * the shortlist ids broadcast into a join against the embedding table
+    * (a keyed semi-join a columnar source turns into id-pushdown), so
+    * the float read is `shortlist` rows, not N.
+    */
+  def pqRerankTopK(embeddings: DataFrame, codebooks: Seq[Seq[(Int, Seq[Float])]],
+      queryVec: Seq[Float], k: Int = 10, shortlist: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val short = pqTopK(embeddings, codebooks, queryVec, shortlist, idCol, vecCol)
+    val q = array(queryVec.map(v => lit(v)): _*)
+    embeddings
+      .join(broadcast(short), Seq(idCol), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|v_i| / 127,
     * q_i = trunc(v_i / scale) ∈ [-127, 127]. At 100 TB of float32
     * embeddings this is the standard 4× storage/IO lever (the IVF index

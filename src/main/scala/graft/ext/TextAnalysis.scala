@@ -540,4 +540,59 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       langId(t).as("lang_pred"))
   }
+
+  /** Intra-document de-repetition — the REWRITE counterpart of
+    * [[repetitionSignals]] (which only measures): cut every repeated
+    * word `n`-gram occurrence WITHIN a document, keeping the first.
+    * A word index is cut when it is covered by an n-gram occurrence
+    * whose start is strictly after the gram's first start in that doc;
+    * the kept words are re-joined with single spaces. This is the
+    * within-doc analogue of [[Dedup.removeSharedSubstrings]] (which cuts
+    * ACROSS documents) and handles the "same paragraph pasted five
+    * times" failure mode that cross-doc dedup and df-based boilerplate
+    * scrubs both miss by construction (df counts documents, not
+    * occurrences).
+    *
+    * Scale shape: one word-gram explode (n rows per word), one window
+    * exchange on (id, gram) — the doc id is IN the partition key, so no
+    * key grows with corpus size, unlike corpus-wide df shuffles — and
+    * one groupBy on the id to assemble cut sets. The rebuild is pure
+    * array algebra in the projection (flatten cut starts → covered
+    * index set → indexed filter), never a per-word explode. Work is
+    * words × n; documents shorter than `n` words pass through untouched
+    * on the left-join's null branch.
+    *
+    * Output: (idCol, clean_text, n_cut_words) for every input document.
+    */
+  def scrubRepeatedNgrams(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val grams = docs
+      .select(col(idCol), ws.as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(1), size(col("_ws")) - (n - 1))).as("s"))
+      .select(col(idCol), col("s"),
+        concat_ws(" ", slice(col("_ws"), col("s"), lit(n))).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("gram"))
+    val cutSets = grams
+      .withColumn("_m", min(col("s")).over(w))
+      .filter(col("s") > col("_m"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("s")).as("_ss"))
+      // covered 1-based word indexes, deduped across overlapping cuts
+      .select(col(idCol), array_sort(array_distinct(flatten(transform(
+        col("_ss"), s => sequence(s, s + (n - 1)))))).as("_cut_idx"))
+    docs.select(col(idCol), col(textCol))
+      .join(cutSets, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_cut_idx").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(ws, (word, i) =>
+              !array_contains(col("_cut_idx"), i + 1))))
+          .as("clean_text"),
+        coalesce(size(col("_cut_idx")), lit(0)).cast("long")
+          .as("n_cut_words"))
+  }
 }

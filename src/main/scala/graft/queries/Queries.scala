@@ -789,6 +789,17 @@ object Queries {
         round(avg(col("jaccard")), 6).as("avg_jaccard"))
   }
 
+  /** Intra-document de-repetition: cut repeated word 5-grams within each
+    * doc, keeping the first occurrence
+    * ([[graft.ext.TextAnalysis.scrubRepeatedNgrams]] — the rewrite
+    * counterpart of q69's repetition signals, covering the pasted-
+    * paragraph failure mode that cross-doc dedup (q115) and df-based
+    * boilerplate scrubbing (q96) both miss by construction).
+    */
+  def q126RepetitionScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrubRepeatedNgrams(
+      Tables.load(spark, dir, "documents"), n = 5)
+
   /** Token-budget epoch plan (the data-constrained-scaling audit of
     * Muennighoff et al. 2023): given a total training budget of 2× the
     * corpus' whitespace tokens and a temperature-0.5 mixture over
@@ -1729,6 +1740,19 @@ object Queries {
     Similarity.pqTopKIndexed(spark, idx, books, Similarity.probeVector(emb), k = 10)
   }
 
+  /** Two-stage PQ + exact rerank (the production ANN query shape): ADC
+    * shortlist of 100 from the 4×8 code space, exact cosine over just
+    * those 100 floats, final top-10 ([[graft.ext.Similarity
+    * .pqRerankTopK]]). Oracle: the q105 ADC chain cut at 100 feeding the
+    * q25 exact-cosine ranking.
+    */
+  def q127PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb, m = 4, k = 8)
+    Similarity.pqRerankTopK(emb, books, Similarity.probeVector(emb),
+      k = 10, shortlist = 100)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1856,7 +1880,9 @@ object Queries {
     "q122_dsir_sample" -> (q122DsirSample _),
     "q123_fertility_audit" -> (q123FertilityAudit _),
     "q124_crossdup_matrix" -> (q124CrossdupMatrix _),
-    "q125_epoch_plan" -> (q125EpochPlan _))
+    "q125_epoch_plan" -> (q125EpochPlan _),
+    "q126_repetition_scrub" -> (q126RepetitionScrub _),
+    "q127_pq_rerank" -> (q127PqRerank _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2365,6 +2391,20 @@ GROUP BY d.source"""
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.
     "q106_pq_indexed" -> PqTopKOracle,
+    "q127_pq_rerank" -> (PqAdcCtes + """,
+         short AS (
+           SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 100),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id FROM (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               k -> CAST(e.embedding[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE))) /
+             (NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(qv.qe) + 1),
+                 k -> CAST(qv.qe[k] AS DOUBLE) * CAST(qv.qe[k] AS DOUBLE)))), 0)) AS sim
+           FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qv)
+         ORDER BY sim DESC, vec_id ASC LIMIT 10"""),
     "q69_repetition_signals" ->
       """WITH t AS (
            SELECT doc_id,
@@ -2534,6 +2574,34 @@ GROUP BY d.source"""
          SELECT doc_id, ROUND(logw, 6) AS dsir_logw
          FROM sel ORDER BY gkey DESC, doc_id LIMIT 100""",
     "q123_fertility_audit" -> bpeFertilityOracle(12),
+    "q126_repetition_scrub" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS s,
+             array_to_string(list_slice(ws, CAST(i AS INTEGER),
+               CAST(i AS INTEGER) + 4), ' ') AS gram
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+                 FROM w WHERE len(ws) >= 5)),
+         d AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s,
+               MIN(s) OVER (PARTITION BY doc_id, gram) AS m FROM g)
+           WHERE s > m),
+         cuts AS (
+           SELECT doc_id,
+             list_sort(list_distinct(flatten(list(rng)))) AS cut_idx
+           FROM (SELECT doc_id, range(s, s + 5) AS rng FROM d)
+           GROUP BY doc_id)
+         SELECT w.doc_id,
+           CASE WHEN c.cut_idx IS NULL THEN w.text
+             ELSE array_to_string(list_filter(w.ws,
+               (x, i) -> NOT list_contains(c.cut_idx, i)), ' ')
+           END AS clean_text,
+           CAST(COALESCE(len(c.cut_idx), 0) AS BIGINT) AS n_cut_words
+         FROM w LEFT JOIN cuts c USING (doc_id)""",
     "q124_crossdup_matrix" -> (MinHashOracleCtes +
       """SELECT LEAST(d1.source, d2.source) AS src_a,
            GREATEST(d1.source, d2.source) AS src_b,
@@ -3607,6 +3675,14 @@ GROUP BY d.source"""
     * sides, so the ranking replays exactly.
     */
   private def PqTopKOracle: String =
+    PqAdcCtes + """
+         SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+
+  /** The q105 ADC chain ending at the per-vector approximate distances
+    * (`adc`), shared by the plain top-k (q105/q106) and the exact-rerank
+    * final (q127).
+    */
+  private def PqAdcCtes: String =
     """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
@@ -3641,8 +3717,7 @@ GROUP BY d.source"""
          adc AS (
            SELECT enc.vec_id, SUM(l.d) AS dist
            FROM enc JOIN lut l ON l.s = enc.s AND l.cid = enc.code
-           GROUP BY enc.vec_id)
-         SELECT vec_id FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10"""
+           GROUP BY enc.vec_id)"""
 
   /** DuckDB replay of the md5-parity ±1 random projection (q72/q76): the
     * 16×64 sign matrix from md5('rp|j|k'), both sides projected, reduced-

@@ -238,6 +238,28 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("PQ rerank: exact cosine order within the shortlist; full shortlist equals brute force") {
+    val pqData = (
+      Seq((0L, vec(ax, 0.1f, 0)), (1L, vec(ax, 0.1f, 1)),
+        (2L, vec(ay, 0.1f, 2)), (3L, vec(ay, 0.1f, 3))) ++
+      (4L until 8L).map(i => (i, vec(ax, 0.1f, i.toInt))) ++
+      (8L until 12L).map(i => (i, vec(ay, 0.1f, i.toInt)))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(pqData, m = 2, k = 4)
+    val q = Seq(1f, 0f, 0f, 0f)
+    // shortlist covering the whole corpus → rerank IS brute force
+    val reranked = Similarity.pqRerankTopK(pqData, books, q, k = 5,
+      shortlist = 12).as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(pqData, q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(reranked == brute)
+    // a tight shortlist still yields results drawn from the ADC candidates
+    val short = Similarity.pqTopK(pqData, books, q, 6).as[Long].collect().toSet
+    val tight = Similarity.pqRerankTopK(pqData, books, q, k = 3,
+      shortlist = 6).as[Long].collect().toSeq
+    assert(tight.length == 3 && tight.forall(short.contains))
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)

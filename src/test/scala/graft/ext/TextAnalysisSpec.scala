@@ -346,4 +346,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.keySet == Set(4L))
     assert(out(4L) == "unique one two")
   }
+
+  test("repeated-ngram scrub cuts later occurrences and keeps the first") {
+    val rep = "a b c d e" // the repeated 5-gram
+    val df = Seq(
+      (1L, s"$rep x y z w v $rep"),          // exact repeat at the tail
+      (2L, "p q r s t u"),                    // no repeats → untouched
+      (3L, "one two three"),                  // < 5 words → untouched
+      (4L, s"$rep $rep $rep")                 // back-to-back repeats
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubRepeatedNgrams(df, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (s"$rep x y z w v", 5L))
+    assert(out(2L) == ("p q r s t u", 0L))
+    assert(out(3L) == ("one two three", 0L))
+    // doc 4: starts 6 and 11 repeat gram(1); overlapping interior grams
+    // (e.g. "b c d e a") also first-occur at start 2 and repeat at 7 —
+    // every index from 6..15 is covered, so only the first copy survives
+    assert(out(4L) == (rep, 10L))
+  }
+
+  test("repeated-ngram scrub covers overlapping repeat windows exactly once") {
+    // "a a a a a a a": gram "a a a a a" occurs at starts 1,2,3; starts
+    // 2,3 are repeats covering indexes 2..7 → keep index 1 only
+    val df = Seq((1L, "a a a a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubRepeatedNgrams(df, n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(out == ("a", 6L))
+  }
 }
