@@ -39,21 +39,17 @@ object Dsir {
   /** Hashed unigram+bigram feature-bucket stream: (idCol, bkt) one row
     * per feature OCCURRENCE (bag semantics — DSIR counts, not sets).
     * Bucket = md5-60(feature) mod `buckets`; bigrams are joined with
-    * '_' so "a b_c" and "a_b c" cannot collide as strings.
+    * '_' so "a b_c" and "a_b c" cannot collide as strings. The whole
+    * extractor (lowercase → split → ngrams → md5 → mod) is ONE
+    * codegen'd kernel pass (`NgramBuckets`) — the equivalent
+    * split/transform/concat/md5/conv column chain cost ~5× more wall
+    * clock on the 30× probe, almost all of it hex-string churn.
     */
   def featureBuckets(docs: DataFrame, buckets: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = split(lower(col(textCol)), " ")
-    val toks = filter(words, w => w =!= "")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
-      .otherwise(array())
-    docs.select(col(idCol), explode(concat(toks, bigrams)).as("_f"))
-      .select(col(idCol),
-        pmod(conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bkt"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.native.ngramBuckets(col(textCol), buckets))
+        .as("bkt"))
 
   /** Per-bucket importance log-ratio table (bkt, lr): ln of the
     * add-one-smoothed target bucket probability over the raw one. One
@@ -94,32 +90,35 @@ object Dsir {
       .select(col(idCol), col("_is_tgt"), col(textCol))
     val fb = featureBucketsWithFlag(withFlag, buckets, textCol, idCol)
     val ratios = bucketLogRatios(fb, col("_is_tgt"), buckets)
-    val scores = fb
-      .join(broadcast(ratios), Seq("bkt"))
-      .groupBy(col(idCol))
-      .agg(sum(col("lr")).as("_logw"))
-    val keyed = scores.withColumn("_gkey",
-      col("_logw") - log(-log(Sampling.uniformHash(col(idCol), salt))))
+    val keyed = scoreAgainst(docs, ratios, buckets, textCol, idCol)
+      .withColumn("_gkey",
+        col("_logw") - log(-log(Sampling.uniformHash(col(idCol), salt))))
     graft.operators.TopK.topKPerKey(keyed, Seq.empty,
       Seq(col("_gkey").desc, col(idCol)), k)
       .select(col(idCol), round(col("_logw"), 6).as("dsir_logw"))
   }
 
+  /** Score documents against a PRE-COMPUTED bucket log-ratio table:
+    * (idCol, _logw). This is the apply side of the compute-on-reference
+    * / apply-on-batch split ([[Sampling.applyRates]]' pattern): the
+    * ratio table is derived once from a reference corpus and each
+    * refresh batch — or STREAM; the scoring plan is a broadcast
+    * stream-static join plus one per-doc aggregate, parity-pinned in
+    * `DsirSpec` — is scored without touching the reference again.
+    */
+  def scoreAgainst(docs: DataFrame, ratios: DataFrame, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    featureBuckets(docs, buckets, textCol, idCol)
+      .join(broadcast(ratios), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lr")).as("_logw"))
+
   /** [[featureBuckets]] carrying the `_is_tgt` flag through the explode
     * so both models come out of one aggregate.
     */
   private def featureBucketsWithFlag(docs: DataFrame, buckets: Int,
-      textCol: String, idCol: String): DataFrame = {
-    val words = split(lower(col(textCol)), " ")
-    val toks = filter(words, w => w =!= "")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit("_"), element_at(toks, i + 1))))
-      .otherwise(array())
+      textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), col("_is_tgt"),
-        explode(concat(toks, bigrams)).as("_f"))
-      .select(col(idCol), col("_is_tgt"),
-        pmod(conv(substring(md5(col("_f")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bkt"))
-  }
+      explode(graft.functions.native.ngramBuckets(col(textCol), buckets))
+        .as("bkt"))
 }

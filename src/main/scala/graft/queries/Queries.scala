@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1753,6 +1753,15 @@ object Queries {
       k = 10, shortlist = 100)
   }
 
+  /** BM25 lexical retrieval ([[graft.ext.Retrieval.bm25TopK]]): top-10
+    * docs for a three-term query — the sparse-retrieval counterpart of
+    * the embedding ANN family (q25/q33/q72/q105), used to pull topical
+    * slices without an embedding model in the loop.
+    */
+  def q128Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.load(spark, dir, "documents"),
+      Seq("spark", "stream", "window"), k = 10)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1882,7 +1891,8 @@ object Queries {
     "q124_crossdup_matrix" -> (q124CrossdupMatrix _),
     "q125_epoch_plan" -> (q125EpochPlan _),
     "q126_repetition_scrub" -> (q126RepetitionScrub _),
-    "q127_pq_rerank" -> (q127PqRerank _))
+    "q127_pq_rerank" -> (q127PqRerank _),
+    "q128_bm25_topk" -> (q128Bm25TopK _))
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2574,6 +2584,31 @@ GROUP BY d.source"""
          SELECT doc_id, ROUND(logw, 6) AS dsir_logw
          FROM sel ORDER BY gkey DESC, doc_id LIMIT 100""",
     "q123_fertility_audit" -> bpeFertilityOracle(12),
+    "q128_bm25_topk" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         base AS (SELECT doc_id, len(toks) AS dl, toks FROM w),
+         fp AS (
+           SELECT doc_id, dl, term FROM (
+             SELECT doc_id, dl, unnest(toks) AS term FROM base)
+           WHERE term IN ('spark', 'stream', 'window')),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM fp GROUP BY 1, 2),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT t.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS bm25
+           FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+           GROUP BY t.doc_id)
+         SELECT doc_id, ROUND(bm25, 6) AS bm25
+         FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
     "q126_repetition_scrub" ->
       """WITH w AS (
            SELECT doc_id, text,

@@ -51,4 +51,30 @@ class DsirSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect()
     assert(sel.length == 25 && sel.distinct.length == 25)
   }
+
+  test("scoring a stream against frozen ratios matches the batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // ratios frozen from the reference corpus (the compute-on-reference /
+    // apply-on-stream split); the stream carries a fresh refresh batch
+    val ratios = Dsir.bucketLogRatios(
+      Dsir.featureBuckets(docs, 256).join(
+        docs.select(col("doc_id"), col("is_tgt").as("_is_tgt")), "doc_id"),
+      col("_is_tgt"), 256)
+    val batch = (300L until 320L)
+      .map(i => (i, text(if (i % 2 == 0) aWords else bWords, i)))
+    val expected = Dsir.scoreAgainst(batch.toDF("doc_id", "text"), ratios, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(batch: _*)
+    val q = Dsir.scoreAgainst(ms.toDF.toDF("doc_id", "text"), ratios, 256)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM dsir_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == expected && expected.size == 20)
+    } finally q.stop()
+  }
 }

@@ -177,9 +177,38 @@ class NativeExpressionsSpec extends SparkSpecBase {
         "char_gram_pos_hashes", "char_gram_winnow",
         "dot_product_d", "dot_product_f", "hilbert_key2",
         "hyperplane_sign_bits",
-        "minhash_sig", "minhash_sig_p", "quantize_int8",
+        "minhash_sig", "minhash_sig_p", "ngram_buckets", "quantize_int8",
         "random_project_f", "simhash60_p", "simhash64",
         "token_freq_stats", "whitespace_tokens", "word_shingles"))
+  }
+
+  test("ngramBuckets matches the column-chain formulation exactly") {
+    // reference: split(lower(text), ' ') minus empties; unigrams then
+    // '_'-joined bigrams; md5-60 % buckets — the replaced column chain
+    // and the DuckDB oracle formula
+    val texts = Seq(
+      "Spark Makes  Plans",        // double space → empty token dropped
+      "one",                        // single token: no bigrams
+      "",                           // empty: no features
+      "  ",                         // only spaces: no features
+      "a b a b a",                  // repeated features keep duplicates
+      "Émile zoé ça Émile zoé")     // non-ASCII lowercase path
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    }
+    def ref(text: String, b: Int): Seq[Long] = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString("_"))
+      feats.map(f => h60(f) % b)
+    }
+    val got = texts.toDF("text")
+      .select(native.ngramBuckets(col("text"), 64).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == texts.map(ref(_, 64)))
   }
 
   test("charGramWinnow matches a brute-force rightmost-min replay") {
