@@ -730,6 +730,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Dedup-threshold sensitivity curve — the audit run before PICKING a
+    * near-dup threshold: for each candidate threshold, how many verified
+    * pairs still qualify and how many documents keep-first dedup would
+    * drop. One pair-pipeline pass at the LOOSEST threshold feeds every
+    * curve point (the pair set at a tighter threshold is a subset, so a
+    * per-pair threshold explode + filter replays all cuts without
+    * re-running LSH); the curve aggregate is |thresholds|×pairs rows,
+    * pair-bounded, never corpus-bounded. Thresholds compare against the
+    * ROUNDED verified Jaccard `verifiedNearDups` emits, so an external
+    * replayer cuts identically.
+    */
+  def dedupThresholdCurve(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = verifiedNearDups(docs, thresholds.min, textCol, idCol)
+    pairs
+      .select(col("jaccard"), col("id2"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_dropped"))
+  }
+
   /** Near-dup removal over the exact n-gram Jaccard pair graph (keep-first,
     * mirroring `dropNearDups`' policy; compose with `dropByComponents` for
     * the transitive variant).

@@ -81,21 +81,58 @@ object Dsir {
     * score); rounding keeps the external-replay compare exact while the
     * ranking itself uses the raw double.
     */
-  def resample(docs: DataFrame, isTarget: Column, k: Int,
-      buckets: Int = 1024, textCol: String = "text",
-      idCol: String = "doc_id", salt: String = "dsir"): DataFrame = {
+  /** Per-document importance log-weights against the `isTarget` slice:
+    * (idCol, _logw) for every doc with ≥ 1 feature — the scoring stage
+    * of [[resample]], exposed for the diagnostics ([[essAudit]]) and
+    * for selection-free use.
+    */
+  def scores(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // isTarget references doc columns (e.g. lang), so evaluate it into
     // the feature stream before column pruning drops its inputs
     val withFlag = docs.withColumn("_is_tgt", isTarget)
       .select(col(idCol), col("_is_tgt"), col(textCol))
     val fb = featureBucketsWithFlag(withFlag, buckets, textCol, idCol)
     val ratios = bucketLogRatios(fb, col("_is_tgt"), buckets)
-    val keyed = scoreAgainst(docs, ratios, buckets, textCol, idCol)
+    scoreAgainst(docs, ratios, buckets, textCol, idCol)
+  }
+
+  def resample(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id", salt: String = "dsir"): DataFrame = {
+    val keyed = scores(docs, isTarget, buckets, textCol, idCol)
       .withColumn("_gkey",
         col("_logw") - log(-log(Sampling.uniformHash(col(idCol), salt))))
     graft.operators.TopK.topKPerKey(keyed, Seq.empty,
       Seq(col("_gkey").desc, col(idCol)), k)
       .select(col(idCol), round(col("_logw"), 6).as("dsir_logw"))
+  }
+
+  /** Importance-weight health diagnostics — the audit run BEFORE
+    * trusting any importance-resampled corpus (a collapsed weight
+    * distribution silently turns "resample toward the target" into
+    * "keep 12 documents"): effective sample size
+    * ESS = (Σw)²/Σw² (Kong 1992), its fraction of n, and the largest
+    * single weight's share of the total mass. Weights are normalized by
+    * the max in log space (w̃ = exp(logw − max)) so the sums never
+    * overflow; ESS and the shares are scale-invariant so the
+    * normalization cancels. Two scalar aggregates (max, then the sums
+    * against the broadcast max) — nothing wider than the score table is
+    * ever shuffled.
+    */
+  def essAudit(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sc = scores(docs, isTarget, buckets, textCol, idCol)
+    val mx = sc.agg(max(col("_logw")).as("_mx"))
+    sc.crossJoin(broadcast(mx))
+      .select(exp(col("_logw") - col("_mx")).as("_w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("_s1"), sum(col("_w") * col("_w")).as("_s2"))
+      .select(col("n_docs"),
+        round(col("_s1") * col("_s1") / col("_s2"), 6).as("ess"),
+        round(col("_s1") * col("_s1") / (col("_s2") * col("n_docs")), 6)
+          .as("ess_frac"),
+        round(lit(1.0) / col("_s1"), 6).as("max_weight_share"))
   }
 
   /** Score documents against a PRE-COMPUTED bucket log-ratio table:

@@ -221,4 +221,23 @@ object Sampling {
         lit(k) * weight.cast("long").cast("double") /
           col("_wsum").cast("double"))
       .drop("_stratum", "_wsum")
+
+  /** EXACT-k deterministic per-stratum sample (the eval-holdout
+    * constructor): rank each stratum's rows by the md5 uniform of the
+    * key and keep the first `k` — a distributed reservoir whose
+    * "random" order is a pure function of the key, so the holdout is
+    * stable under reruns, repartitioning, AND corpus growth (a new doc
+    * displaces at most one row of its stratum, it never reshuffles the
+    * whole holdout the way rate-based sampling re-draws do). Strata
+    * smaller than `k` keep everything. Ranking is the two-phase
+    * bounded `operators.TopK` — per-input-partition pre-prune, never a
+    * stratum-wide single-task sort.
+    */
+  def exactKPerStratum(df: DataFrame, stratum: Column, k: Int,
+      keyCol: String = "doc_id", salt: String = "hold"): DataFrame = {
+    val u = uniformHash(col(keyCol), salt)
+    graft.operators.TopK.topKPerKey(
+      df.withColumn("_u", u), Seq(stratum), Seq(col("_u"), col(keyCol)), k)
+      .drop("_u")
+  }
 }

@@ -1429,7 +1429,7 @@ object native {
   * functions are available in every new session's SQL dialect.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     native.sqlFunctions.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -1437,4 +1437,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
+  }
 }

@@ -1762,6 +1762,35 @@ object Queries {
     Retrieval.bm25TopK(Tables.load(spark, dir, "documents"),
       Seq("spark", "stream", "window"), k = 10)
 
+  /** Importance-weight health audit for the q122 DSIR weights
+    * ([[graft.ext.Dsir.essAudit]]): effective sample size, its fraction
+    * of n, and the max single-weight share — the "did the weights
+    * collapse onto a handful of documents" check run before trusting
+    * any importance-resampled corpus.
+    */
+  def q129DsirEss(spark: SparkSession, dir: String): DataFrame =
+    Dsir.essAudit(Tables.load(spark, dir, "documents"),
+      col("lang") === "en", buckets = 1024)
+
+  /** Exact-k deterministic per-language holdout
+    * ([[graft.ext.Sampling.exactKPerStratum]]): 10 docs per language
+    * ranked by the md5 uniform — the stable eval-set constructor
+    * (rate-based q65 re-draws under growth; this displaces at most one
+    * row per new arrival).
+    */
+  def q130StratifiedHoldout(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerStratum(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      col("lang"), k = 10)
+
+  /** Dedup-threshold sensitivity curve
+    * ([[graft.ext.Dedup.dedupThresholdCurve]]): verified pair count and
+    * keep-first docs-dropped at each candidate Jaccard threshold, from
+    * ONE pair-pipeline pass at the loosest point.
+    */
+  def q131ThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupThresholdCurve(Tables.load(spark, dir, "documents"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1892,7 +1921,45 @@ object Queries {
     "q125_epoch_plan" -> (q125EpochPlan _),
     "q126_repetition_scrub" -> (q126RepetitionScrub _),
     "q127_pq_rerank" -> (q127PqRerank _),
-    "q128_bm25_topk" -> (q128Bm25TopK _))
+    "q128_bm25_topk" -> (q128Bm25TopK _),
+    "q129_dsir_ess" -> (q129DsirEss _),
+    "q130_stratified_holdout" -> (q130StratifiedHoldout _),
+    "q131_threshold_curve" -> (q131ThresholdCurve _))
+
+  /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
+    * two smoothed bag models from one conditional aggregate, per-doc
+    * importance log-weights — shared by the selection final (q122) and
+    * the ESS diagnostics final (q129).
+    */
+  private def DsirScoreCtes: String =
+    """WITH tok AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         feat AS (
+           SELECT doc_id, lang, unnest(list_concat(toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i ->
+                 toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i AS INTEGER) + 1])
+             ELSE CAST([] AS VARCHAR[]) END)) AS f
+           FROM tok),
+         fb AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bkt
+           FROM feat),
+         cnt AS (
+           SELECT bkt, COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+           FROM fb GROUP BY bkt),
+         tot AS (SELECT SUM(raw_n) AS rtot, SUM(tgt_n) AS ttot FROM cnt),
+         lr AS (
+           SELECT bkt,
+             ln((tgt_n + 1.0) / (ttot + 1024.0))
+               - ln((raw_n + 1.0) / (rtot + 1024.0)) AS lr
+           FROM cnt, tot),
+         score AS (
+           SELECT doc_id, SUM(lr) AS logw
+           FROM fb JOIN lr USING (bkt) GROUP BY doc_id)"""
 
   /** DuckDB replay of the whole q112 BPE pipeline (`Bpe.train` on the 80%
     * split → `Bpe.encodeCorpus` over the full corpus) as plain SQL. Two
@@ -2546,35 +2613,7 @@ GROUP BY d.source"""
            CASE WHEN u < 0.8 THEN 'train'
                 WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split
          FROM h"""),
-    "q122_dsir_sample" ->
-      """WITH tok AS (
-           SELECT doc_id, lang,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-           FROM documents),
-         feat AS (
-           SELECT doc_id, lang, unnest(list_concat(toks,
-             CASE WHEN len(toks) >= 2 THEN
-               list_transform(range(1, len(toks)), i ->
-                 toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i AS INTEGER) + 1])
-             ELSE CAST([] AS VARCHAR[]) END)) AS f
-           FROM tok),
-         fb AS (
-           SELECT doc_id, lang,
-             ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bkt
-           FROM feat),
-         cnt AS (
-           SELECT bkt, COUNT(*) AS raw_n,
-             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
-           FROM fb GROUP BY bkt),
-         tot AS (SELECT SUM(raw_n) AS rtot, SUM(tgt_n) AS ttot FROM cnt),
-         lr AS (
-           SELECT bkt,
-             ln((tgt_n + 1.0) / (ttot + 1024.0))
-               - ln((raw_n + 1.0) / (rtot + 1024.0)) AS lr
-           FROM cnt, tot),
-         score AS (
-           SELECT doc_id, SUM(lr) AS logw
-           FROM fb JOIN lr USING (bkt) GROUP BY doc_id),
+    "q122_dsir_sample" -> (DsirScoreCtes + """,
          sel AS (
            SELECT doc_id, logw,
              logw - ln(-ln(
@@ -2582,7 +2621,33 @@ GROUP BY d.source"""
                  / 1152921504606846976.0)) AS gkey
            FROM score)
          SELECT doc_id, ROUND(logw, 6) AS dsir_logw
-         FROM sel ORDER BY gkey DESC, doc_id LIMIT 100""",
+         FROM sel ORDER BY gkey DESC, doc_id LIMIT 100"""),
+    "q129_dsir_ess" -> (DsirScoreCtes + """,
+         mx AS (SELECT MAX(logw) AS mx FROM score),
+         w AS (SELECT exp(logw - mx) AS w FROM score, mx),
+         s AS (SELECT COUNT(*) AS n_docs, SUM(w) AS s1, SUM(w * w) AS s2
+               FROM w)
+         SELECT n_docs, ROUND(s1 * s1 / s2, 6) AS ess,
+           ROUND(s1 * s1 / (s2 * n_docs), 6) AS ess_frac,
+           ROUND(1.0 / s1, 6) AS max_weight_share
+         FROM s"""),
+    "q130_stratified_holdout" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':hold'), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT doc_id, lang FROM h
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 10""",
+    "q131_threshold_curve" -> (MinHashOracleCtes +
+      """SELECT tt.t AS threshold, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.id2) AS n_docs_dropped
+         FROM (SELECT ROUND(jaccard, 6) AS j, id2 FROM pairs
+               WHERE jaccard >= 0.5) p
+         CROSS JOIN (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9]
+           AS DOUBLE[])) AS t) tt
+         WHERE p.j >= tt.t
+         GROUP BY 1"""),
     "q123_fertility_audit" -> bpeFertilityOracle(12),
     "q128_bm25_topk" ->
       """WITH w AS (

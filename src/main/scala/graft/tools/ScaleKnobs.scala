@@ -14,10 +14,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleKnobs {
   def apply(builder: SparkSession.Builder): SparkSession.Builder = {
-    val b2 = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(builder)(n =>
-      builder.config(
+    val b1 = builder.config("spark.sql.extensions",
+      "graft.functions.GraftExtensions")
+    val b2 = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(b1)(n =>
+      b1.config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
-    sys.env.get("SPARK_GRAFT_ADVISORY").fold(b2)(s =>
+    val b3 = sys.env.get("SPARK_GRAFT_ADVISORY").fold(b2)(s =>
       b2.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s))
+    // A/B lever for injected optimizer rules (comma-separated rule names)
+    sys.env.get("SPARK_GRAFT_EXCLUDED_RULES").fold(b3)(r =>
+      b3.config("spark.sql.optimizer.excludedRules", r))
   }
 }

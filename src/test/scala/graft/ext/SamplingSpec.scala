@@ -17,6 +17,26 @@ class SamplingSpec extends SparkSpecBase {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("exact-k holdout: exact size, determinism, and one-displacement stability") {
+    val hold = Sampling.exactKPerStratum(df, col("stratum"), k = 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hold.size == 50) // 25 per stratum, 2 strata
+    val again = Sampling.exactKPerStratum(df.repartition(11), col("stratum"),
+      k = 25).select("doc_id").as[Long].collect().toSet
+    assert(again == hold)
+    // growth stability: adding one doc displaces AT MOST one holdout row
+    // of its stratum (the defining advantage over rate-based sampling)
+    val grown = Sampling.exactKPerStratum(
+      df.unionByName(Seq((5000L, "en")).toDF("doc_id", "stratum")),
+      col("stratum"), k = 25).select("doc_id").as[Long].collect().toSet
+    assert((hold -- grown).size <= 1 && (grown -- hold).size <= 1)
+    // small strata keep everything
+    val tiny = Sampling.exactKPerStratum(
+      Seq((1L, "x"), (2L, "x")).toDF("doc_id", "stratum"),
+      col("stratum"), k = 25).count()
+    assert(tiny == 2L)
+  }
+
   test("per-stratum keep rates land near their targets") {
     val kept = Sampling.stratifiedSample(df, col("stratum"),
       Map("en" -> 0.5, "de" -> 0.2), defaultRate = 1.0)
