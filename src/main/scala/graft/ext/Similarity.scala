@@ -592,6 +592,103 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Incremental embedding near-dup admission — the q90 contract in
+    * embedding space, completing the incremental family across
+    * modalities (text shingles: `Dedup.incrementalDedupBatch`;
+    * char-grams: `Dedup.incrementalSubstringBatch`; this: hyperplane-LSH
+    * cosine): a batch vector is REJECTED when its cosine with a HISTORY
+    * vector, or an earlier (smaller-id) batch vector, reaches
+    * `threshold`. Candidate generation joins batch band keys against the
+    * combined band stream, so history×history pairs are never generated
+    * and per-refresh work scales with the batch; the degenerate-bucket
+    * cap runs over the COMBINED population — exactly what a whole-corpus
+    * banding applies, so an external whole-corpus replay (the DuckDB
+    * oracle) reproduces the admission decisions. Returns the admitted
+    * batch rows.
+    */
+  def incrementalCosineDedupBatch(history: DataFrame, batch: DataFrame,
+      threshold: Double = 0.95, planes: Int = 64, bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val perBand = planes / bands
+    require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sigbits"), b * perBand)
+          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
+    }
+    def banded(df: DataFrame, isNew: Boolean): DataFrame = df
+      .select(col(idCol),
+        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
+          .as("sigbits"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bits"),
+        lit(isNew).as("is_new"))
+    val all = banded(history, isNew = false)
+      .unionByName(banded(batch, isNew = true))
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bits")))
+      .filter(col("bucket_size") <= maxBucketSize)
+    val newSide = all.filter(col("is_new"))
+      .select(col("band"), col("bits"), col(idCol).as("bid"))
+    val partners = all.select(col("band"), col("bits"),
+      col(idCol).as("pid"), col("is_new").as("p_new"))
+    val cands = newSide.join(partners, Seq("band", "bits"))
+      .filter(col("pid") =!= col("bid"))
+      .filter(!col("p_new") || col("pid") < col("bid"))
+      .select(col("bid"), col("pid")).distinct()
+    val withNorm = history.unionByName(batch).select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val rejected = cands
+      .join(withNorm.select(col(idCol).as("bid"), col(vecCol).as("v1"),
+        col("nrm").as("n1")), "bid")
+      .join(withNorm.select(col(idCol).as("pid"), col(vecCol).as("v2"),
+        col("nrm").as("n2")), "pid")
+      .withColumn("cos",
+        when(col("n1") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
+  /** Batched-probe IVF search — the production retrieval workload shape
+    * (per-query loops don't exist at scale; a batch of probes rides ONE
+    * plan): each query is assigned its `nprobe` nearest coarse
+    * centroids (a literal-array argsort in the projection — no shuffle),
+    * the (query, bucket) probe table BROADCASTS into an equality join
+    * against the bucketed corpus — on the physically partitioned index
+    * this is a partition-pruned scan of only the probed directories —
+    * and per-query exact top-k rides the two-phase bounded
+    * `operators.TopK` ranking. Returns (qidCol, idCol) for the k best
+    * per query.
+    */
+  def ivfTopKBatch(bucketed: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "qvec"): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(cosine(col(qvecCol), array(cvec.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    // per-query probe list: sort the (sim, cid) structs descending —
+    // ties to the larger cid, the same argmax tie-break assignBuckets
+    // uses — and keep nprobe
+    val probes = queries
+      .withColumn("_pb",
+        slice(reverse(array_sort(array(scored: _*))), 1, nprobe))
+      .select(col(qidCol), col(qvecCol),
+        explode(col("_pb").getField("cid")).as("bucket"))
+    val cands = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col(qvecCol)).as("sim"))
+    graft.operators.TopK.topKPerKey(cands, Seq(col(qidCol)),
+      Seq(col("sim").desc, col(idCol).asc), k)
+      .select(col(qidCol), col(idCol))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: vectors are coarsely
     * clustered (the same broadcast-centroid argmax assignment IVF uses)
     * and pairwise cosine runs only WITHIN a cluster — the quadratic work

@@ -1791,6 +1791,39 @@ object Queries {
   def q131ThresholdCurve(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupThresholdCurve(Tables.load(spark, dir, "documents"))
 
+  /** Batched-probe IVF search ([[graft.ext.Similarity.ivfTopKBatch]]):
+    * every 500th vector is a probe; all probes ride ONE plan — probe
+    * table broadcast into the bucket join, per-query top-10 via the
+    * two-phase bounded ranking. The production retrieval shape (q33 is
+    * the single-probe form).
+    */
+  def q132IvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val queries = emb.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKBatch(Similarity.assignBuckets(emb, centroids),
+      centroids, queries, k = 10, nprobe = 3)
+  }
+
+  /** Incremental embedding near-dup admission
+    * ([[graft.ext.Similarity.incrementalCosineDedupBatch]]): vectors
+    * with vec_id % 5 == 0 stand in for the refresh batch (mirroring
+    * q90's split); a batch vector is admitted unless it cosine-matches
+    * (≥ 0.35) a history vector or an earlier batch vector through the
+    * 8-bit hyperplane-LSH bands. Completes the incremental-admission
+    * family across modalities (q90 shingles, q107 char-grams, this:
+    * embeddings).
+    */
+  def q133IncrCosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.incrementalCosineDedupBatch(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0),
+      threshold = 0.35, planes = 64, bands = 8)
+      .select(col("vec_id"), col("label"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1924,7 +1957,9 @@ object Queries {
     "q128_bm25_topk" -> (q128Bm25TopK _),
     "q129_dsir_ess" -> (q129DsirEss _),
     "q130_stratified_holdout" -> (q130StratifiedHoldout _),
-    "q131_threshold_curve" -> (q131ThresholdCurve _))
+    "q131_threshold_curve" -> (q131ThresholdCurve _),
+    "q132_ivf_batch" -> (q132IvfBatch _),
+    "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2464,6 +2499,66 @@ GROUP BY d.source"""
     // against the identical oracle.
     "q61_ivf_indexed" -> IvfTopKOracle,
     "q68_ivf_sq8" -> IvfSq8Oracle,
+    "q132_ivf_batch" -> (IvfAsgCtes + """,
+         qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+                FROM en WHERE vec_id % 500 = 0),
+         probe AS (
+           SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN c.nrm * q.qnrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
+                             CAST(c.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                           / (c.nrm * q.qnrm) END DESC,
+                 c.cid DESC) AS rn
+             FROM cn c, qs q) WHERE rn <= 3)
+         SELECT query_id, vec_id FROM (
+           SELECT p.query_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+               CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                           CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                         / (e.nrm * q.qnrm) END DESC,
+               e.vec_id ASC) AS rn
+           FROM asg e JOIN probe p ON e.bucket = p.cid
+           JOIN qs q ON q.query_id = p.query_id)
+         WHERE rn <= 10"""),
+    "q133_incr_cosine_dedup" ->
+      """WITH planes AS (
+           SELECT p, list_transform(range(0, 64), k ->
+             CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
+           FROM range(0, 64) t(p)),
+         sb AS (
+           SELECT e.vec_id, p.p,
+             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), k ->
+                    p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM embeddings e, planes p),
+         bandkeys AS (
+           SELECT vec_id, p // 8 AS band,
+             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
+           FROM sb GROUP BY vec_id, p // 8
+           QUALIFY COUNT(*) OVER (PARTITION BY (p // 8),
+             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT)) <= 10000),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS bid, r.vec_id AS pid
+           FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
+           WHERE l.vec_id % 5 = 0 AND r.vec_id <> l.vec_id
+             AND (r.vec_id % 5 <> 0 OR r.vec_id < l.vec_id)),
+         wn AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+               CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         rej AS (
+           SELECT DISTINCT c.bid
+           FROM cand c JOIN wn a ON c.bid = a.vec_id JOIN wn b ON c.pid = b.vec_id
+           WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                 ELSE list_sum(list_transform(range(1, len(a.embedding)+1), k ->
+                        CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+                      / (a.nrm * b.nrm) END >= 0.35)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT bid FROM rej)""",
     "q105_pq_topk" -> PqTopKOracle,
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.
@@ -3729,14 +3824,16 @@ GROUP BY d.source"""
     * and q61 (parquet-partitioned index) — the physical layout differs, the
     * algebra and therefore the oracle are identical.
     */
-  private def IvfTopKOracle: String =
+  /** The IVF coarse-quantizer CTEs shared by the single-probe oracle
+    * (q33/q61), the batched-probe oracle (q132): seed centroids = the 8
+    * smallest-id vectors, norms, and the per-vector bucket assignment
+    * (argmax cosine, ties to the LARGER cid — `assignBuckets`'
+    * struct-max tie-break).
+    */
+  private def IvfAsgCtes: String =
     """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-         qv AS (SELECT embedding AS qe,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
-                FROM embeddings WHERE vec_id = 0),
          cn AS (SELECT cid, embedding,
                  sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
                    CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
@@ -3751,7 +3848,14 @@ GROUP BY d.source"""
                               CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
                        c.cid DESC
               LIMIT 1) AS bucket
-           FROM en e),
+           FROM en e)"""
+
+  private def IvfTopKOracle: String =
+    IvfAsgCtes + """,
+         qv AS (SELECT embedding AS qe,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE vec_id = 0),
          probe AS (
            SELECT c.cid FROM cn c, qv
            ORDER BY CASE WHEN c.nrm * qv.nrm = 0 THEN 0.0

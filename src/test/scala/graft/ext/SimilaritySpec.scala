@@ -260,6 +260,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tight.length == 3 && tight.forall(short.contains))
   }
 
+  test("batched IVF equals the single-probe search run per query") {
+    val emb = (0L until 40L).map(i =>
+      (i, vec(if (i % 2 == 0) ax else ay, 0.1f, i.toInt))).toDF("vec_id", "embedding")
+    val centroids = Similarity.sampleCentroids(emb, m = 4)
+    val bucketed = Similarity.assignBuckets(emb, centroids)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfTopKBatch(bucketed, centroids, queries,
+      k = 5, nprobe = 2)
+      .as[(Long, Long)].collect().toSet
+    val single = queries.as[(Long, Seq[Float])].collect().flatMap {
+      case (qid, qv) =>
+        Similarity.ivfTopK(bucketed, centroids, qv, k = 5, nprobe = 2)
+          .select("vec_id").as[Long].collect().map(qid -> _)
+    }.toSet
+    // same probe tie-break? ivfTopK breaks centroid ties cid ASC and the
+    // batch struct-sort cid DESC — on this data centroid sims are
+    // distinct, so both probe sets agree and results must match exactly
+    assert(batch == single && batch.nonEmpty)
+    assert(batch.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("incremental cosine admission rejects batch echoes of history, admits novel") {
+    val hist = (0L until 20L).map(i => (i * 2 + 1, vec(ax, 0.02f, i.toInt)))
+      .toDF("vec_id", "embedding")
+    // batch: 100 is a near-verbatim echo of history's direction, 102 is
+    // (near-)orthogonal novel content
+    val batch = Seq(
+      (100L, vec(ax, 0.01f, 3)),
+      (102L, vec(ay, 0.01f, 7))
+    ).toDF("vec_id", "embedding")
+    val admitted = Similarity.incrementalCosineDedupBatch(hist, batch,
+      threshold = 0.9, planes = 64, bands = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!admitted.contains(100L), "history echo must be rejected")
+    assert(admitted.contains(102L), "novel direction must be admitted")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found via banded LSH, none with outlier-orthogonal") {
     val pairs = Similarity.cosineNearDupPairs(embeddings, threshold = 0.9,
       planes = 8, bands = 4, dim = 4)
