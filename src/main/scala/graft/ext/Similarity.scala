@@ -684,6 +684,13 @@ object Similarity {
       .join(broadcast(probes), Seq("bucket"))
       .select(col(qidCol), col(idCol),
         cosine(col(vecCol), col(qvecCol)).as("sim"))
+      // the broadcast join preserves the corpus scan's (narrow)
+      // partitioning, so the Q×N/nlist candidate stream would land in a
+      // handful of partitions and the ranking pre-phase becomes a
+      // single-task sort (observed as a 450 s straggler at 100×);
+      // redistributing the NARROW (qid, id, sim) rows by query costs one
+      // cheap shuffle and makes every pre-phase sort balanced
+      .repartition(col(qidCol))
     graft.operators.TopK.topKPerKey(cands, Seq(col(qidCol)),
       Seq(col("sim").desc, col(idCol).asc), k)
       .select(col(qidCol), col(idCol))

@@ -367,6 +367,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4L) == (rep, 10L))
   }
 
+  test("repeated-ngram scrub streams via foreachBatch: per-batch equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rep = "a b c d e"
+    val docs = Seq((1L, s"$rep x $rep"), (2L, "p q r s t u"),
+      (3L, s"$rep $rep"))
+    val expected = TextAnalysis.scrubRepeatedNgrams(
+      docs.toDF("doc_id", "text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the cut decision reads only the row's own document (the window key
+    // includes doc_id), so applying the scrub per micro-batch — the
+    // standard foreachBatch deployment — IS the batch semantics as long
+    // as each document arrives whole
+    val out = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs: _*)
+    val q = ms.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.scrubRepeatedNgrams(batch, n = 5).collect()
+          .foreach(r => out.synchronized {
+            out += ((r.getLong(0), r.getString(1), r.getLong(2))) })
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(out.synchronized(out.toSet) == expected && expected.size == 3)
+    } finally q.stop()
+  }
+
   test("repeated-ngram scrub covers overlapping repeat windows exactly once") {
     // "a a a a a a a": gram "a a a a a" occurs at starts 1,2,3; starts
     // 2,3 are repeats covering indexes 2..7 → keep index 1 only
