@@ -23,30 +23,34 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.Map.empty[String, String]
-    // three timed runs per query; min over SUCCESSFUL runs is the score and
-    // (max - min) is reported as the per-query spread, so round-over-round
-    // comparisons can separate real regressions from JIT/GC jitter (sub-100ms
-    // deltas on sub-300ms queries showed up as phantom 1.4x "regressions"
-    // under single-number reporting). A flaky single failure neither poisons
-    // the measurement nor marks the query errored — only all runs failing does.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            // surface failures instead of letting a broken query look fast
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            None
-        }
+    // Three timed runs per query, taken as three FULL PASSES over the
+    // suite rather than three back-to-back runs: a query's runs are then
+    // separated by the whole suite, so position-dependent JVM/GC state
+    // (end-of-run heap pressure made alphabetically-last q99 look 3×
+    // slower in BENCH_r07 — warm A/B adjudicated it an order-of-run
+    // artifact, not a plan change) decorrelates across runs. Min over
+    // SUCCESSFUL runs is the score and (max - min) the per-query spread,
+    // so round-over-round comparisons can separate real regressions from
+    // jitter. A flaky single failure neither poisons the measurement nor
+    // marks the query errored — only all runs failing does.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          // surface failures instead of letting a broken query look fast
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      val good = runs.flatten
-      if (good.nonEmpty) {
+    }
+    val results = names.flatMap { case (name, _) =>
+      times.get(name).filter(_.nonEmpty).map { good =>
         errors.remove(name)
-        Some((name, good.min, good.max - good.min))
-      } else None
+        (name, good.min, good.max - good.min)
+      }
     }
     // 3-decimal rounding keeps the full-map queries line compact, and the
     // metric/value/unit summary goes LAST in the object: the driver stores

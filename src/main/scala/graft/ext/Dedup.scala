@@ -746,13 +746,22 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val pairs = verifiedNearDups(docs, thresholds.min, textCol, idCol)
-    pairs
+    val curve = pairs
       .select(col("jaccard"), col("id2"),
         explode(array(thresholds.map(lit): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("id2")).as("n_docs_dropped"))
+    // every REQUESTED threshold gets an explicit row — a point with no
+    // qualifying pairs reports 0/0 rather than silently vanishing from
+    // the audit (curve consumers iterate the thresholds they asked for)
+    docs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .join(curve, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
   }
 
   /** Near-dup removal over the exact n-gram Jaccard pair graph (keep-first,

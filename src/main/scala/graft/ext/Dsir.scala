@@ -56,8 +56,20 @@ object Dsir {
     * conditional aggregate over the feature stream computes BOTH models
     * (`isTarget` marks the target slice — no second scan), and the
     * 1-row totals ride a broadcast scalar cross, the same shape as
-    * [[Sampling.temperatureRates]]. Output is ≤ `buckets` rows —
-    * broadcastable at any corpus size.
+    * [[Sampling.temperatureRates]].
+    *
+    * The table covers the FULL hash domain — exactly `buckets` rows
+    * (still broadcastable at any corpus size: the domain is fixed, the
+    * paper uses 10k) — with zero-count buckets carrying the smoothed
+    * unseen-bucket ratio ln(1/(ttot+B)) − ln(1/(rtot+B)) that add-one
+    * smoothing implies. This is what makes [[scoreAgainst]]'s join
+    * total on the compute-on-reference / apply-on-stream path: a
+    * refresh-batch feature hashing to a bucket the reference corpus
+    * never produced gets the smoothed ratio instead of being silently
+    * dropped (the previous seen-buckets-only table treated such
+    * features as lr = 0 and lost all-unseen documents entirely).
+    * In-corpus scoring (q122/q129) is unchanged — every in-corpus
+    * feature is by construction a seen bucket.
     */
   def bucketLogRatios(feats: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
@@ -65,22 +77,19 @@ object Dsir {
       count(lit(1)).as("raw_n"),
       count(when(isTarget, 1)).as("tgt_n"))
     val totals = counts.agg(
-      sum(col("raw_n")).as("_rtot"), sum(col("tgt_n")).as("_ttot"))
-    counts.crossJoin(broadcast(totals))
+      coalesce(sum(col("raw_n")), lit(0L)).as("_rtot"),
+      coalesce(sum(col("tgt_n")), lit(0L)).as("_ttot"))
+    feats.sparkSession.range(buckets).select(col("id").as("bkt"))
+      .join(counts, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("bkt"),
-        (log((col("tgt_n") + lit(1.0)) / (col("_ttot") + lit(buckets.toDouble)))
-          - log((col("raw_n") + lit(1.0)) / (col("_rtot") + lit(buckets.toDouble))))
+        (log((coalesce(col("tgt_n"), lit(0L)) + lit(1.0))
+            / (col("_ttot") + lit(buckets.toDouble)))
+          - log((coalesce(col("raw_n"), lit(0L)) + lit(1.0))
+            / (col("_rtot") + lit(buckets.toDouble))))
           .as("lr"))
   }
 
-  /** DSIR selection: importance-score every document against the
-    * `isTarget` slice and keep `k` docs sampled without replacement with
-    * probability ∝ exp(score), deterministically (Gumbel keys from the
-    * md5 uniform of the id). Returns (idCol, dsir_logw rounded to 6dp)
-    * — the log-weight is the auditable artifact (it IS the selection
-    * score); rounding keeps the external-replay compare exact while the
-    * ranking itself uses the raw double.
-    */
   /** Per-document importance log-weights against the `isTarget` slice:
     * (idCol, _logw) for every doc with ≥ 1 feature — the scoring stage
     * of [[resample]], exposed for the diagnostics ([[essAudit]]) and
@@ -97,6 +106,14 @@ object Dsir {
     scoreAgainst(docs, ratios, buckets, textCol, idCol)
   }
 
+  /** DSIR selection: importance-score every document against the
+    * `isTarget` slice and keep `k` docs sampled without replacement with
+    * probability ∝ exp(score), deterministically (Gumbel keys from the
+    * md5 uniform of the id). Returns (idCol, dsir_logw rounded to 6dp)
+    * — the log-weight is the auditable artifact (it IS the selection
+    * score); rounding keeps the external-replay compare exact while the
+    * ranking itself uses the raw double.
+    */
   def resample(docs: DataFrame, isTarget: Column, k: Int,
       buckets: Int = 1024, textCol: String = "text",
       idCol: String = "doc_id", salt: String = "dsir"): DataFrame = {
@@ -141,7 +158,11 @@ object Dsir {
     * ratio table is derived once from a reference corpus and each
     * refresh batch — or STREAM; the scoring plan is a broadcast
     * stream-static join plus one per-doc aggregate, parity-pinned in
-    * `DsirSpec` — is scored without touching the reference again.
+    * `DsirSpec` — is scored without touching the reference again. The
+    * join is TOTAL because [[bucketLogRatios]] emits the full hash
+    * domain: features the reference corpus never produced score the
+    * smoothed unseen-bucket ratio, so no refresh document is dropped
+    * for hashing off the reference's support.
     */
   def scoreAgainst(docs: DataFrame, ratios: DataFrame, buckets: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =

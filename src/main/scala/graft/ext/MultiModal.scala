@@ -12,11 +12,17 @@ import org.apache.spark.sql.types._
   * (`ReadSchema` excludes it), and per-record processing is batched per
   * partition, never per-row round-trips.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) requires native libraries that are NOT in this container, so
-  * the decode kernels are deliberately STUBBED with deterministic fakes —
-  * clearly marked below — while everything Spark-side (schema, partitioning,
-  * batch iteration shape, pruning behavior) is real and tested.
+  * IMAGE decode is REAL: the JDK ships `javax.imageio` (PNG/JPEG/GIF/BMP)
+  * with zero extra dependencies, so [[decodeImageStats]] /
+  * [[decodeImageFeatures]] do actual pixel work — dimensions, band count,
+  * per-channel means — in the same partition-batched shape a native codec
+  * would use, and q134 oracles the round-trip (PNG is lossless, so the
+  * decoded stats of a generated image are exactly predictable). Audio
+  * resample and video frame extraction still require native libraries NOT
+  * in this container, so those kernels remain deliberately STUBBED with
+  * deterministic fakes — clearly marked below — while everything
+  * Spark-side (schema, partitioning, batch iteration shape, pruning
+  * behavior) is real and tested.
   */
 object MultiModal {
 
@@ -47,6 +53,126 @@ object MultiModal {
 
   /** Payload size without decoding — pure column arithmetic, prunable. */
   def payloadBytes(payload: Column): Column = octet_length(payload)
+
+  // ------------------------------------------------ real image decode
+
+  /** Decoded-image statistics: dimensions, raster band count, and the
+    * per-channel (R, G, B) pixel means.
+    */
+  final case class ImageStats(width: Int, height: Int, bands: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * no native libraries needed): width/height, raster band count, and
+    * exact per-channel means over every pixel. Returns None for a null,
+    * empty, or undecodable payload (`ImageIO.read` yields null when no
+    * registered reader claims the bytes) — the caller keeps such rows
+    * visible as decode failures rather than dropping them.
+    */
+  def decodeImageStats(payload: Array[Byte]): Option[ImageStats] = {
+    if (payload == null || payload.isEmpty) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            sr += (p >> 16) & 0xFF
+            sg += (p >> 8) & 0xFF
+            sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageStats(w, h, im.getRaster.getNumBands,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /** Deterministic PNG encoder for fixtures and the q134 oracle: a solid
+    * `(r, g, b)` image of `width`×`height`. PNG is lossless, so a decode
+    * of this payload must reproduce the dimensions and color EXACTLY —
+    * which is what makes the decode oracle-checkable without a reference
+    * image library on the oracle side.
+    */
+  def encodeSolidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG media table derived from a keyed table: each id
+    * becomes a small solid-color PNG whose dimensions and color are pure
+    * functions of the id (width 1+id%7, height 1+id%5, channel c =
+    * (id·k_c) mod 256) — so an external oracle predicts the decoded
+    * stats from the id alone. The encode runs partition-batched like
+    * every media kernel here.
+    */
+  def syntheticPngMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (1 + id % 7).toInt
+          val h = (1 + id % 5).toInt
+          (id, encodeSolidPng(w, h,
+            ((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+            ((id * 83) % 256).toInt), w, h)
+        }
+      }
+      .toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("mime"),
+          col("w").as("width"), col("h").as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** REAL decode pass over a media table — the formerly-stubbed half of
+    * the multimodal surface: `javax.imageio` pixel decode per record,
+    * partition-batched via mapPartitions (readers are created inside the
+    * partition — `ImageIO` plugin lookup and buffer reuse amortize the
+    * way a native codec's init would). Undecodable payloads yield null
+    * stats columns, keeping failures auditable. Output: (media_id,
+    * width, height, bands, mean_r, mean_g, mean_b).
+    */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeImageStats(payload) match {
+            case Some(s) => (id, Some(s.width), Some(s.height), Some(s.bands),
+              Some(s.meanR), Some(s.meanG), Some(s.meanB))
+            case None => (id, Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Double], Option.empty[Double],
+              Option.empty[Double])
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "bands",
+        "mean_r", "mean_g", "mean_b")
+  }
 
   /** ======================== STUB ========================
     * Deterministic fake "decode + feature extraction": an 8-bin byte

@@ -18,6 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Corpus-size-derived similarity-index parameters — the sizing rules
+    * the scale notes prescribe, as code instead of prose, so the
+    * defaults are safe at any N rather than safe-at-test-scale:
+    *
+    *  - `nlist ≈ ⌈√N⌉` IVF lists (FAISS's standard rule): probed work per
+    *    query is N·nprobe/nlist, so a FIXED nlist is quadratic when the
+    *    corpus and the query batch grow together, while √N keeps both
+    *    the centroid table and the per-probe bucket at √N.
+    *  - LSH band width `perBand ≥ max(16, ⌈log₂N⌉)` bits: random
+    *    same-band collisions grow as N²/2^perBand, so the band key must
+    *    keep 2^perBand ≳ N or candidate generation turns quadratic (an
+    *    8-bit key was measurably superlinear at 150k vectors). The
+    *    signature is one 64-bit word, so the width is realized by
+    *    DROPPING bands: 4×16 up to 2¹⁶ vectors, 2×32 up to 2³², 1×64
+    *    beyond — fewer bands trade recall (the banding S-curve steepens),
+    *    the documented price of a single-word signature; a corpus needing
+    *    more than 64-bit keys wants a multi-word signature, not wider
+    *    bands.
+    *
+    * `nlist` is capped at 65536: past that the flat centroid matrix
+    * stops being a sane driver/broadcast object and a production build
+    * shards the coarse quantizer (IVF-HNSW territory) instead of growing
+    * a flat one.
+    */
+  final case class IndexParams(nlist: Int, planes: Int, bands: Int) {
+    def perBand: Int = planes / bands
+  }
+
+  def indexParams(n: Long): IndexParams = {
+    require(n >= 0, s"corpus size must be >= 0, got $n")
+    val nlist = math.min(65536L,
+      math.max(1L, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong)).toInt
+    // ceil(log2 n), via the bit length of n-1
+    val lg = if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val needBits = math.max(16, lg)
+    var bands = 4
+    while (bands > 1 && 64 / bands < needBits) bands /= 2
+    IndexParams(nlist, planes = 64, bands = bands)
+  }
+
   /** Dot product of two float-array columns, accumulated in double.
     * Native codegen'd expression (graft.functions.DotProductF) — a tight
     * primitive loop inside whole-stage codegen, no per-element lambda cost.
@@ -224,17 +264,43 @@ object Similarity {
 
   /** Assign each vector to its nearest coarse centroid (IVF list).
     * Centroids come from a deterministic sample at build time; assignment
-    * is a broadcast of the (tiny) centroid table + argmax — one narrow
-    * stage, then an optional repartition by bucket for co-located probes.
+    * is one narrow stage (the centroid matrix rides in the plan), then an
+    * optional repartition by bucket for co-located probes.
+    *
+    * Two physical forms, identical results (agreement spec-pinned): small
+    * centroid lists use the literal-struct `array_max` argmax (the
+    * oracle-replayed form — ties to the larger cid); lists past 16 — the
+    * √N sizes [[indexParams]] derives — use the codegen'd
+    * `NearestCentroidsF` kernel with the same larger-cid tie-break,
+    * because an nlist·dim-literal expression tree stops being analyzable
+    * long before nlist = √(150k). Same cosine accumulation order either
+    * way, so the paths agree bit-for-bit.
     */
   def assignBuckets(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("sim"),
-        lit(cid).as("cid"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (centroids.size <= 16) {
+      val scored = centroids.map { case (cid, cvec) =>
+        struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("sim"),
+          lit(cid).as("cid"))
+      }
+      // argmax over the centroid list via array_max on (sim, cid) structs
+      embeddings.withColumn("bucket", array_max(array(scored: _*)).getField("cid"))
+    } else {
+      embeddings.withColumn("bucket",
+        element_at(nearestCentroidCol(centroids, col(vecCol), nprobe = 1,
+          tiesLarger = true), 1))
     }
-    // argmax over the centroid list via array_max on (sim, cid) structs
-    embeddings.withColumn("bucket", array_max(array(scored: _*)).getField("cid"))
+
+  /** The flat-matrix kernel probe: top-`nprobe` centroid ids for a
+    * vector column, requiring the 0..n-1 cid convention every builder
+    * here produces.
+    */
+  private def nearestCentroidCol(centroids: Seq[(Int, Seq[Float])],
+      vec: Column, nprobe: Int, tiesLarger: Boolean): Column = {
+    require(centroids.map(_._1) == centroids.indices,
+      "centroid ids must be 0..n-1 in order for the kernel path")
+    graft.functions.native.nearestCentroidsF(vec,
+      centroids.flatMap(_._2), centroids.size, nprobe, tiesLarger)
   }
 
   /** Deterministic coarse centroids: the embeddings of the `m` smallest ids
@@ -273,6 +339,22 @@ object Similarity {
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
     centroids
+  }
+
+  /** Corpus-sized coarse quantizer: `nlist = ⌈√N⌉` k-means centroids per
+    * [[indexParams]] — the safe-by-default build path for [[ivfTopK]] /
+    * [[ivfTopKBatch]] / [[writeIvfIndex]]. A fixed nlist makes batched
+    * probing quadratic when corpus and query batch grow together (probed
+    * work is Q·N·nprobe/nlist); √N keeps it Q·√N·nprobe. The count is
+    * one metadata-cheap action; pass `n` when the corpus size is already
+    * known. Assignment inside k-means rides the flat-matrix kernel, so
+    * hundreds-to-thousands of centroids cost one expression node, not an
+    * nlist·dim literal tree.
+    */
+  def autoCentroids(embeddings: DataFrame, iters: Int = 2, n: Long = -1L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    val size = if (n >= 0) n else embeddings.count()
+    kmeansCentroids(embeddings, indexParams(size).nlist, iters, idCol, vecCol)
   }
 
   private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
@@ -541,17 +623,22 @@ object Similarity {
     * N² / 2^(planes/bands) per band, so the per-band bit width must keep
     * 2^(planes/bands) ≳ N or candidate generation turns quadratic — an 8-bit
     * key was measurably superlinear at 150k vectors (a 3× data step cost
-    * 8.8× runtime); the 16-bit default holds to ~10⁶ vectors, and larger
-    * corpora raise `planes`. `maxBucketSize` additionally drops degenerate
+    * 8.8× runtime). `bands = 0` (the default) derives the width from the
+    * corpus via [[indexParams]] — one cheap count (parquet answers it
+    * from footer metadata), then 4×16-bit bands to 2¹⁶ vectors, 2×32 to
+    * 2³², 1×64 beyond — so the default is safe at any N instead of
+    * safe-at-test-scale. `maxBucketSize` additionally drops degenerate
     * buckets (e.g. a spike of identical embeddings) whose within-bucket
     * join would be quadratic regardless of key width.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      planes: Int = 64, bands: Int = 4, dim: Int = 64,
+      planes: Int = 64, bands: Int = 0, dim: Int = 64,
       maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val perBand = planes / bands
-    require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
+    val nBands =
+      if (bands > 0) bands else indexParams(embeddings.count()).bands
+    val perBand = planes / nBands
+    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
     // Rademacher (±1) hyperplanes derived from md5 parity (the DuckDB
     // oracle rebuilds the identical matrix; sign-random projections
     // preserve cosine the same as Gaussian ones). All sign bits are
@@ -559,7 +646,7 @@ object Similarity {
     // literal-array formulation fell out of codegen and was ~10× slower.
     val sig = graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
     // slice the bitmask into per-band keys
-    val bandCols = (0 until bands).map { b =>
+    val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sigbits"), b * perBand)
           .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
@@ -599,20 +686,30 @@ object Similarity {
     * cosine): a batch vector is REJECTED when its cosine with a HISTORY
     * vector, or an earlier (smaller-id) batch vector, reaches
     * `threshold`. Candidate generation joins batch band keys against the
-    * combined band stream, so history×history pairs are never generated
-    * and per-refresh work scales with the batch; the degenerate-bucket
-    * cap runs over the COMBINED population — exactly what a whole-corpus
-    * banding applies, so an external whole-corpus replay (the DuckDB
-    * oracle) reproduces the admission decisions. Returns the admitted
-    * batch rows.
+    * combined band stream, so history×history PAIRS are never generated
+    * and the pair/scoring stages scale with the batch. One caveat keeps
+    * the refresh from being fully batch-sized: the degenerate-bucket cap
+    * is a window over the COMBINED history+batch band keys — exactly
+    * what a whole-corpus banding applies, so an external whole-corpus
+    * replay (the DuckDB oracle) reproduces the admission decisions — and
+    * that window re-reads bands × |history| band-key rows (narrow
+    * (id, band, bits) triples, not vectors) each refresh. A production
+    * deployment amortizes it by persisting the history band keys +
+    * bucket counts as a snapshot the way `substringFingerprintSnapshot`
+    * does for char-gram scrubbing. `bands = 0` derives the band width
+    * from the COMBINED population size via [[indexParams]] (the cap
+    * population is what collision math must track).
+    * Returns the admitted batch rows.
     */
   def incrementalCosineDedupBatch(history: DataFrame, batch: DataFrame,
-      threshold: Double = 0.95, planes: Int = 64, bands: Int = 4,
+      threshold: Double = 0.95, planes: Int = 64, bands: Int = 0,
       maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val perBand = planes / bands
-    require(perBand * bands == planes, s"bands=$bands must divide planes=$planes")
-    val bandCols = (0 until bands).map { b =>
+    val nBands = if (bands > 0) bands
+      else indexParams(history.count() + batch.count()).bands
+    val perBand = planes / nBands
+    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
+    val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sigbits"), b * perBand)
           .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
@@ -668,18 +765,16 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "query_id", qvecCol: String = "qvec"): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(qvecCol), array(cvec.map(lit): _*)).as("sim"),
-        lit(cid).as("cid"))
-    }
-    // per-query probe list: sort the (sim, cid) structs descending —
-    // ties to the larger cid, the same argmax tie-break assignBuckets
-    // uses — and keep nprobe
+    // per-query probe list via the flat-matrix kernel — ties to the
+    // SMALLER cid, aligned with the single-probe ivfTopK's probeIds (the
+    // batch form previously tied to the larger cid, so the two members
+    // of the same API family could probe different buckets on tied
+    // centroid sims); also keeps the plan one expression node at the √N
+    // centroid counts indexParams derives
     val probes = queries
-      .withColumn("_pb",
-        slice(reverse(array_sort(array(scored: _*))), 1, nprobe))
       .select(col(qidCol), col(qvecCol),
-        explode(col("_pb").getField("cid")).as("bucket"))
+        explode(nearestCentroidCol(centroids, col(qvecCol), nprobe,
+          tiesLarger = false)).as("bucket"))
     val cands = bucketed
       .join(broadcast(probes), Seq("bucket"))
       .select(col(qidCol), col(idCol),

@@ -672,6 +672,89 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-centroid L2 norms of a flattened centroid matrix laid out
+    * [cid · dim + j] — precomputed once per plan (expression-side lazy
+    * val), never per row.
+    */
+  def centroidNorms(flat: Array[Float], nlist: Int): Array[Double] = {
+    val dim = flat.length / nlist
+    val out = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = flat(c * dim + j).toDouble
+        acc += x * x
+        j += 1
+      }
+      out(c) = math.sqrt(acc)
+      c += 1
+    }
+    out
+  }
+
+  /** The `nprobe` centroid ids nearest to `v` by cosine, in rank order
+    * (sim desc; ties toward the larger cid when `tiesLarger`, matching
+    * `array_max` over (sim, cid) structs — the assignment convention —
+    * else toward the smaller cid, the probe-selection convention).
+    * Cosine matches the Column formulation exactly: per-element double
+    * products accumulated left to right, sim = dot / (|v|·|c|) with the
+    * PRODUCT of norms tested against zero. One tight loop per row
+    * replaces an nlist-entry literal-struct array whose expression tree
+    * grows with the centroid count — at the √N-sized centroid lists
+    * `Similarity.indexParams` derives (hundreds to tens of thousands),
+    * the literal form is unanalyzable.
+    */
+  def nearestCentroidsF(v: ArrayData, flat: Array[Float], norms: Array[Double],
+      nprobe: Int, tiesLarger: Boolean): ArrayData = {
+    val nlist = norms.length
+    val dim = flat.length / nlist
+    val n = math.min(dim, v.numElements())
+    var vacc = 0.0
+    var i = 0
+    while (i < v.numElements()) {
+      val x = v.getFloat(i).toDouble
+      vacc += x * x
+      i += 1
+    }
+    val vn = math.sqrt(vacc)
+    val sims = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += v.getFloat(j).toDouble * flat(c * dim + j).toDouble
+        j += 1
+      }
+      val nn = vn * norms(c)
+      sims(c) = if (nn == 0.0) 0.0 else dot / nn
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nlist)
+    var slot = 0
+    while (slot < k) {
+      var best = Double.NegativeInfinity
+      var bestC = -1
+      c = 0
+      while (c < nlist) {
+        if (!taken(c) &&
+            (if (tiesLarger) sims(c) >= best else sims(c) > best)) {
+          best = sims(c)
+          bestC = c
+        }
+        c += 1
+      }
+      taken(bestC) = true
+      out(slot) = bestC
+      slot += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Start offset of each CODE POINT in a UTF-8 byte array, plus a
     * trailing `bytes.length` sentinel — code point i spans bytes
     * [off(i), off(i+1)). A UTF-8 continuation byte is (b & 0xC0) ==
@@ -1248,6 +1331,46 @@ case class PqEncodeF(child: Expression, books: Seq[Float], m: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroids by cosine (see
+  * `HashKernels.nearestCentroidsF`): the flat centroid matrix and the
+  * precomputed per-centroid norms ride as reference objects, so the plan
+  * stays one expression node regardless of nlist — the literal-struct
+  * `array_max` formulation builds an nlist·dim-literal tree that stops
+  * being analyzable at the √N centroid counts
+  * `graft.ext.Similarity.indexParams` derives.
+  */
+case class NearestCentroidsF(child: Expression, cents: Seq[Float], nlist: Int,
+    nprobe: Int, tiesLarger: Boolean) extends UnaryExpression {
+  require(nlist >= 1 && nprobe >= 1 && cents.size % nlist == 0,
+    s"flat centroid size ${cents.size} must be a multiple of nlist = $nlist")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_f"
+
+  @transient private lazy val flat: Array[Float] = cents.toArray
+  @transient private lazy val norms: Array[Double] =
+    HashKernels.centroidNorms(flat, nlist)
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.nearestCentroidsF(in.asInstanceOf[ArrayData], flat, norms,
+      nprobe, tiesLarger)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centFlat", flat, "float[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.nearestCentroidsF($c, " +
+        s"$flatRef, $normsRef, $nprobe, $tiesLarger);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsF =
+    copy(child = newChild)
+}
+
 /** Count of array elements contained in a fixed keyword set (marker-token
   * voting, stopword counting). One tight hash-set loop per row instead of
   * `size(filter(arr, t => array_contains(lit-array, t)))`, whose lambda is
@@ -1347,6 +1470,9 @@ object native {
     col(HilbertKey2(ex(x), ex(y), bits))
   def pqEncodeF(vec: Column, books: Seq[Float], m: Int, k: Int): Column =
     col(PqEncodeF(ex(vec), books, m, k))
+  def nearestCentroidsF(vec: Column, cents: Seq[Float], nlist: Int,
+      nprobe: Int, tiesLarger: Boolean): Column =
+    col(NearestCentroidsF(ex(vec), cents, nlist, nprobe, tiesLarger))
   def whitespaceTokens(text: Column): Column =
     col(WhitespaceTokens(ex(text)))
   def adjacentBigrams(arr: Column): Column =

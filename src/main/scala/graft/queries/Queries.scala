@@ -1824,6 +1824,19 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** REAL image decode ([[graft.ext.MultiModal.decodeImageFeatures]] —
+    * the multimodal family's formerly-stubbed decode made real via the
+    * JDK's `javax.imageio`, zero new dependencies): every doc id becomes
+    * a deterministic solid-color PNG ([[graft.ext.MultiModal
+    * .syntheticPngMedia]]), and the decode pass recovers dimensions,
+    * band count, and exact per-channel means by actual pixel work. PNG
+    * is lossless, so the oracle predicts the decoded stats in closed
+    * form from the id — a genuine encode→decode round-trip check.
+    */
+  def q134ImageDecode(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.decodeImageFeatures(
+      MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1959,7 +1972,8 @@ object Queries {
     "q130_stratified_holdout" -> (q130StratifiedHoldout _),
     "q131_threshold_curve" -> (q131ThresholdCurve _),
     "q132_ivf_batch" -> (q132IvfBatch _),
-    "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _))
+    "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _),
+    "q134_image_decode" -> (q134ImageDecode _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2505,12 +2519,14 @@ GROUP BY d.source"""
          probe AS (
            SELECT query_id, cid FROM (
              SELECT q.query_id, c.cid,
+               -- probe ties to the SMALLER cid, aligned with ivfTopK's
+               -- probeIds (round 8: the batch form previously tied larger)
                ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
                  CASE WHEN c.nrm * q.qnrm = 0 THEN 0.0
                       ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
                              CAST(c.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
                            / (c.nrm * q.qnrm) END DESC,
-                 c.cid DESC) AS rn
+                 c.cid ASC) AS rn
              FROM cn c, qs q) WHERE rn <= 3)
          SELECT query_id, vec_id FROM (
            SELECT p.query_id, e.vec_id,
@@ -2559,6 +2575,18 @@ GROUP BY d.source"""
                       / (a.nrm * b.nrm) END >= 0.35)
          SELECT vec_id, label FROM embeddings
          WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT bid FROM rej)""",
+    // PNG is lossless and the fixture images are solid-color with
+    // id-derived dims/colors, so the decoded stats are closed-form in the
+    // id — the oracle checks a REAL ImageIO encode→decode round-trip
+    "q134_image_decode" ->
+      """SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 7 AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS bands,
+           CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
     "q105_pq_topk" -> PqTopKOracle,
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.
@@ -2735,13 +2763,12 @@ GROUP BY d.source"""
          SELECT doc_id, lang FROM h
          QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 10""",
     "q131_threshold_curve" -> (MinHashOracleCtes +
-      """SELECT tt.t AS threshold, COUNT(*) AS n_pairs,
+      """SELECT tt.t AS threshold, COUNT(p.id2) AS n_pairs,
            COUNT(DISTINCT p.id2) AS n_docs_dropped
-         FROM (SELECT ROUND(jaccard, 6) AS j, id2 FROM pairs
-               WHERE jaccard >= 0.5) p
-         CROSS JOIN (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9]
+         FROM (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9]
            AS DOUBLE[])) AS t) tt
-         WHERE p.j >= tt.t
+         LEFT JOIN (SELECT ROUND(jaccard, 6) AS j, id2 FROM pairs
+               WHERE jaccard >= 0.5) p ON p.j >= tt.t
          GROUP BY 1"""),
     "q123_fertility_audit" -> bpeFertilityOracle(12),
     "q128_bm25_topk" ->

@@ -775,4 +775,19 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(noHist == Seq(5L, 6L, 8L)) // 7 still loses to 6; 5 and 8 have no history to hit
   }
+
+  test("threshold curve emits an explicit 0/0 row for thresholds with no pairs") {
+    // two moderately similar docs (identical except one token) plus an
+    // unrelated doc: some pairs exist at a loose threshold, none at 1.0
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (2L, "aa bb cc dd ee ff gg hh ii zz"),
+      (3L, "completely different content with other words here now ok")
+    ).toDF("doc_id", "text")
+    val curve = Dedup.dedupThresholdCurve(docs, thresholds = Seq(0.2, 1.0))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve.keySet == Set(0.2, 1.0), "every requested threshold present")
+    assert(curve(0.2)._1 >= 1L, "loose threshold finds the near-pair")
+    assert(curve(1.0) == ((0L, 0L)), "empty point reported explicitly, not omitted")
+  }
 }

@@ -77,4 +77,26 @@ class DsirSpec extends SparkSpecBase {
       assert(streamed == expected && expected.size == 20)
     } finally q.stop()
   }
+
+  test("unseen-bucket features score the smoothed ratio instead of dropping the doc") {
+    // a tiny reference corpus with few distinct features leaves most of
+    // the 256-bucket domain unseen; a refresh doc built from an alien
+    // vocabulary hashes (almost surely) entirely off the reference support
+    val ref = Seq((0L, "alpha beta", true), (1L, "alpha gamma", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val feats = Dsir.featureBuckets(ref, 256).join(
+      ref.select(col("doc_id"), col("is_tgt").as("_is_tgt")), "doc_id")
+    val ratios = Dsir.bucketLogRatios(feats, col("_is_tgt"), 256)
+    // the ratio table covers the full domain
+    assert(ratios.count() == 256)
+    val alien = Seq((900L, "xylophone quark zymurgy")).toDF("doc_id", "text")
+    val got = Dsir.scoreAgainst(alien, ratios, 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 1, "all-unseen doc must not be dropped")
+    // 3 unigrams + 2 bigrams, each scoring the unseen-bucket constant
+    // ln(1/(ttot+256)) - ln(1/(rtot+256)); the reference has 3 feature
+    // occurrences per doc (2 unigrams + 1 bigram), so rtot=6, ttot=3
+    val unseenLr = math.log(1.0 / (3 + 256.0)) - math.log(1.0 / (6 + 256.0))
+    assert(math.abs(got.head._2 - 5 * unseenLr) < 1e-9)
+  }
 }

@@ -55,4 +55,34 @@ class MultiModalSpec extends SparkSpecBase {
     assert(physical.contains("media_id"))
     assert(!physical.contains("payload"), s"payload not pruned:\n$physical")
   }
+
+  test("REAL ImageIO decode round-trips generated PNGs exactly") {
+    // direct kernel round-trip: encode a known image, decode its stats
+    val png = MultiModal.encodeSolidPng(6, 4, 200, 10, 99)
+    assert(png.length > 8 &&
+      (png(1) & 0xFF) == 'P'.toInt && (png(2) & 0xFF) == 'N'.toInt,
+      "payload is a real PNG container")
+    val s = MultiModal.decodeImageStats(png).get
+    assert(s == MultiModal.ImageStats(6, 4, 3, 200.0, 10.0, 99.0))
+    // distributed pass over an id-derived media table
+    val ids = Seq(0L, 1L, 13L, 299L).toDF("doc_id")
+    val got = MultiModal.decodeImageFeatures(MultiModal.syntheticPngMedia(ids))
+      .as[(Long, Option[Int], Option[Int], Option[Int],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(0L, 1L, 13L, 299L)) {
+      val (_, w, h, b, mr, mg, mb) = got(id)
+      assert(w.get == (1 + id % 7).toInt && h.get == (1 + id % 5).toInt)
+      assert(b.get == 3)
+      assert(mr.get == ((id * 37) % 256).toDouble &&
+        mg.get == ((id * 59) % 256).toDouble &&
+        mb.get == ((id * 83) % 256).toDouble)
+    }
+    // undecodable payloads stay visible as null-stat rows, not dropped
+    val bad = Seq((7L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val failed = MultiModal.decodeImageFeatures(bad).collect()
+    assert(failed.length == 1 && failed.head.getLong(0) == 7L &&
+      failed.head.isNullAt(1) && failed.head.isNullAt(4))
+  }
 }

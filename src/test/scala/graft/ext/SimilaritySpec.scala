@@ -275,9 +275,9 @@ class SimilaritySpec extends SparkSpecBase {
         Similarity.ivfTopK(bucketed, centroids, qv, k = 5, nprobe = 2)
           .select("vec_id").as[Long].collect().map(qid -> _)
     }.toSet
-    // same probe tie-break? ivfTopK breaks centroid ties cid ASC and the
-    // batch struct-sort cid DESC — on this data centroid sims are
-    // distinct, so both probe sets agree and results must match exactly
+    // probe tie-breaks are aligned (round 8): both ivfTopK's probeIds and
+    // the batch kernel break centroid-sim ties toward the smaller cid,
+    // so the probe sets agree by construction and results match exactly
     assert(batch == single && batch.nonEmpty)
     assert(batch.groupBy(_._1).forall(_._2.size == 5))
   }
@@ -377,5 +377,80 @@ class SimilaritySpec extends SparkSpecBase {
     // degenerate-cluster guard: a cap below the cluster size drops its pairs
     assert(Similarity.semanticDedupPairs(vecs, centroids, threshold = 0.95,
       maxBucketSize = 2).count() == 1) // only cluster 1 (2 members) survives
+  }
+
+  test("indexParams derives nlist ~ sqrt(N) and band width >= log2(N)") {
+    // nlist = ceil(sqrt(N)), capped
+    assert(Similarity.indexParams(0).nlist == 1)
+    assert(Similarity.indexParams(100).nlist == 10)
+    assert(Similarity.indexParams(150000).nlist == 388)
+    assert(Similarity.indexParams(1L << 40).nlist == 65536) // cap
+    // band width: 4x16 to 2^16, 2x32 to 2^32, 1x64 beyond
+    assert(Similarity.indexParams(5000) == Similarity.IndexParams(71, 64, 4))
+    assert(Similarity.indexParams(1L << 16).bands == 4)
+    assert(Similarity.indexParams((1L << 16) + 1).bands == 2)
+    val at150k = Similarity.indexParams(150000)
+    assert(at150k.bands == 2 && at150k.perBand == 32)
+    assert(Similarity.indexParams(1L << 32).bands == 2)
+    assert(Similarity.indexParams((1L << 32) + 1).bands == 1)
+    // every derived width keeps 2^perBand >= N (up to the 64-bit word)
+    for (n <- Seq(10L, 1000L, 100000L, 10000000L)) {
+      val p = Similarity.indexParams(n)
+      assert(p.perBand >= 16 && BigInt(2).pow(p.perBand) >= n)
+      assert(p.bands * p.perBand == p.planes)
+    }
+  }
+
+  test("kernel assignment path agrees bit-for-bit with the literal-struct argmax") {
+    // >16 centroids forces the NearestCentroidsF kernel; compare against
+    // the literal-struct array_max form run on the same centroid list
+    val r = new scala.util.Random(7)
+    val cents = (0 until 20).map(i =>
+      i -> Seq.fill(4)(r.nextFloat() * 2 - 1))
+    val viaKernel = Similarity.assignBuckets(embeddings, cents)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val scored = cents.map { case (cid, cvec) =>
+      struct(Similarity.cosine(col("embedding"),
+        array(cvec.map(lit): _*)).as("sim"), lit(cid).as("cid"))
+    }
+    val viaLiteral = embeddings
+      .withColumn("bucket", array_max(array(scored: _*)).getField("cid"))
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(viaKernel == viaLiteral)
+    // probe selection (ties smaller, rank order): top-3 must equal a
+    // local argsort of the same cosines
+    val probes = embeddings.select(col("vec_id"),
+        graft.functions.native.nearestCentroidsF(col("embedding"),
+          cents.flatMap(_._2), cents.size, 3, tiesLarger = false).as("pb"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    for ((id, v) <- embeddings.as[(Long, Seq[Float])].collect()) {
+      val want = cents.map { case (cid, cv) => (cid, cosL(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1)
+      assert(probes(id) == want, s"probe list mismatch for vec $id")
+    }
+  }
+
+  test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
+    val cents = Similarity.autoCentroids(embeddings, iters = 1)
+    assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
+    assert(cents.map(_._1) == cents.indices)
+    val bucketed = Similarity.assignBuckets(embeddings, cents)
+    val queries = embeddings.limit(2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Similarity.ivfTopKBatch(bucketed, cents, queries, k = 3,
+      nprobe = cents.size) // all probes => exact
+      .as[(Long, Long)].collect().toSet
+    val brute = queries.as[(Long, Seq[Float])].collect().flatMap {
+      case (qid, qv) =>
+        Similarity.bruteForceTopK(embeddings, qv, 3)
+          .select("vec_id").as[Long].collect().map(qid -> _)
+    }.toSet
+    assert(got == brute)
   }
 }
