@@ -28,7 +28,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    TTL off vs TTL on and print final state rows. TTL-off retains every
   *    key ever seen; TTL-on converges to ~one wave's working set.
   *
-  * Usage: runMain graft.tools.StreamThroughput [mode] [nUsers]
+  *  - `soak`: the STATE-SCALE curve the no-TTL default implies (SURVEY
+  *    §2.1.4) — waves of `nUsers` FRESH keys (user + 1 address each)
+  *    resume one RocksDB checkpoint, so accumulated key count grows
+  *    wave over wave while per-wave work stays constant; prints per-wave
+  *    wall clock, total state rows, and the RocksDB on-disk size. A flat
+  *    per-wave latency as keys accumulate is the evidence that state
+  *    lookups stay O(batch), not O(store) — the property that lets the
+  *    reference's never-expire contract survive beyond toy key counts
+  *    (with TTL remaining the config knob for bounded stores, `ttl`
+  *    mode). Args: soak [waveSize] [waves].
+  *
+  * Usage: runMain graft.tools.StreamThroughput [mode] [nUsers] [waves]
   */
 object StreamThroughput {
 
@@ -51,6 +62,8 @@ object StreamThroughput {
       case "join" => joinProbe(spark, nUsers)
       case "fanout" => fanoutProbe(spark, nUsers)
       case "ttl" => ttlProbe(spark, math.min(nUsers, 5000))
+      case "soak" => soakProbe(spark, nUsers,
+        args.lift(2).map(_.toInt).getOrElse(10))
       case other => System.err.println(s"unknown mode $other"); sys.exit(2)
     }
     spark.stop()
@@ -113,6 +126,55 @@ object StreamThroughput {
 
     run("triple", (p, cp) => p.startAll(spark, cp, Trigger.ProcessingTime(0)))
     run("shared", (p, cp) => Seq(p.startAllShared(spark, cp, Trigger.ProcessingTime(0))))
+  }
+
+  /** State-scale soak: disjoint key waves against ONE resumed RocksDB
+    * checkpoint; per-wave latency vs accumulated key count is the curve.
+    * Each wave is a run-to-completion restart (the cluster-realistic
+    * periodic-job shape, and it also measures recovery: every wave after
+    * the first begins by reloading the store at the accumulated size).
+    */
+  def soakProbe(spark: SparkSession, waveSize: Int, waves: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    val cp = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // ONE source across waves: the checkpoint tracks its offsets, so each
+    // restart picks up exactly the newly added wave
+    val input = MemoryStream[Envelope]
+    for (wave <- 0 until waves) {
+      val base = wave.toLong * waveSize
+      input.addData((0 until waveSize).flatMap { i =>
+        val id = (base + i).toString
+        Seq(
+          Envelope(id, 0L, Some(graft.core.User(
+            id, s"u$id", s"u$id@x.org", "F", ts)), None),
+          Envelope(id, 1L, None, Some(graft.core.Address(
+            id, s"$i Main St", "Springfield", "ST", "12345", "US"))))
+      }: _*)
+      val t0 = System.nanoTime()
+      val q = EnrichmentJoinTws.joinStream(spark, input.toDS())
+        .toDF().select(col("user.id"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+        .start()
+      q.awaitTermination(600000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = stateRows(q)
+      val sizeBytes = q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.customMetrics.asScala
+            .collect { case (k, v) if k.toLowerCase.contains("size") => v.longValue }
+            .maxOption.getOrElse(0L)).sum
+      }.getOrElse(-1L)
+      q.stop()
+      println(f"SOAK wave=$wave keysTotal=${(wave + 1).toLong * waveSize} " +
+        f"wall=$secs%.1fs stateRows=$rows storeMB=${sizeBytes / 1e6}%.1f")
+    }
   }
 
   /** Key-churn state growth with TTL off vs on: three waves of disjoint

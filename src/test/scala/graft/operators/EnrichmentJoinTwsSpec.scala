@@ -52,4 +52,49 @@ class EnrichmentJoinTwsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("checkpoint recovery at large key count: restart resumes 20k-key state intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cp = java.nio.file.Files.createTempDirectory("graft-tws-recovery").toString
+    val n = 20000
+    val input = MemoryStream[Envelope]
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    def runWave(): Unit = {
+      val q = EnrichmentJoinTws.joinStream(spark, input.toDS())
+        .toDF().select(org.apache.spark.sql.functions.col("user.id"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          counts.addAndGet(b.count()); ()
+        }
+        .start()
+      q.awaitTermination(300000)
+      q.stop()
+    }
+    try {
+      // wave 1: n users → n snapshot emissions, state = n keys
+      input.addData((0 until n).map(i =>
+        Envelope.ofUser(u(i.toString), 0)): _*)
+      runWave()
+      assert(counts.get() == n.toLong)
+      // wave 2 RESUMES the checkpoint at n keys: one address per existing
+      // key must emit exactly one snapshot each — possible only if the
+      // restarted store still holds every buffered user
+      input.addData((0 until n).map(i =>
+        Envelope.ofAddress(a(i.toString, s"addr$i"), 1)): _*)
+      runWave()
+      assert(counts.get() == 2L * n,
+        s"expected ${2L * n} total emissions after recovery, got ${counts.get()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
