@@ -750,6 +750,110 @@ object Similarity {
     batch.join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** Materialized history band keys for snapshot-based incremental
+    * admission: (band, bits, pid, hist_n) — one row per history vector
+    * per band, with the history bucket size denormalized per row. Built
+    * ONCE per history corpus (one banding pass + one window) and written
+    * to a table partitioned/bucketed by (band, bits) at scale; refreshes
+    * then join batch band keys against it instead of re-banding history
+    * every time — the amortization [[incrementalCosineDedupBatch]]'s
+    * per-refresh history window pays for. The snapshot pins the banding
+    * configuration: scrub with the SAME `planes` and the band count the
+    * snapshot was built with (the scrubber re-derives it from the
+    * snapshot's band column).
+    */
+  def cosineBandSnapshot(history: DataFrame, planes: Int = 64,
+      bands: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nBands = if (bands > 0) bands else indexParams(history.count()).bands
+    val perBand = planes / nBands
+    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sigbits"), b * perBand)
+          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
+    }
+    history
+      .select(col(idCol),
+        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
+          .as("sigbits"))
+      .select(col(idCol).as("pid"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("pid"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("hist_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bits")))
+  }
+
+  /** Snapshot-based incremental cosine admission — identical decisions
+    * to [[incrementalCosineDedupBatch]] (spec-pinned), with per-refresh
+    * work that is genuinely batch-sized: history is touched only through
+    * the materialized [[cosineBandSnapshot]] (an equality join on the
+    * batch's band keys — partition-pruned on a bucketed snapshot) and
+    * through the id-keyed vector fetch for the candidate verify. The
+    * degenerate-bucket cap applies to the COMBINED bucket size
+    * (snapshot's `hist_n` + the batch's in-bucket count), exactly the
+    * population the whole-corpus banding would see, so the q133 oracle
+    * replays these decisions too. `history` supplies candidate vectors
+    * only — at scale that join is a broadcast-semi/id-pushdown fetch of
+    * candidate rows, never a corpus scan.
+    */
+  def incrementalCosineDedupAgainstSnapshot(history: DataFrame,
+      snapshot: DataFrame, batch: DataFrame, threshold: Double = 0.95,
+      planes: Int = 64, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nBands = Option(snapshot.agg(max(col("band"))).head().get(0))
+      .map(_.asInstanceOf[Int] + 1)
+      .getOrElse(indexParams(batch.count()).bands)
+    val perBand = planes / nBands
+    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sigbits"), b * perBand)
+          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
+    }
+    val bb = batch
+      .select(col(idCol),
+        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
+          .as("sigbits"))
+      .select(col(idCol).as("bid"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bid"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("_bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bits")))
+    // batch keys × snapshot: restricted to the batch's buckets, carrying
+    // history members and the combined bucket size in one join
+    val j = bb.join(snapshot, Seq("band", "bits"), "left")
+      .withColumn("_comb", col("_bn") + coalesce(col("hist_n"), lit(0L)))
+    val histCands = j
+      .filter(col("_comb") <= maxBucketSize && col("pid").isNotNull)
+      .select(col("bid"), col("pid"))
+    // surviving buckets (combined size within cap) admit batch-batch pairs
+    val okBuckets = j.groupBy(col("band"), col("bits"))
+      .agg(max(col("_comb")).as("_comb"))
+      .filter(col("_comb") <= maxBucketSize)
+      .select(col("band"), col("bits"))
+    val bbOk = bb.join(okBuckets, Seq("band", "bits"))
+    val batchCands = bbOk.select(col("band"), col("bits"), col("bid"))
+      .join(bbOk.select(col("band"), col("bits"), col("bid").as("pid")),
+        Seq("band", "bits"))
+      .filter(col("pid") < col("bid"))
+      .select(col("bid"), col("pid"))
+    val cands = histCands.unionByName(batchCands).distinct()
+    val withNorm = history.unionByName(batch).select(
+      col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val rejected = cands
+      .join(withNorm.select(col(idCol).as("bid"), col(vecCol).as("v1"),
+        col("nrm").as("n1")), "bid")
+      .join(withNorm.select(col(idCol).as("pid"), col(vecCol).as("v2"),
+        col("nrm").as("n2")), "pid")
+      .withColumn("cos",
+        when(col("n1") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** Batched-probe IVF search — the production retrieval workload shape
     * (per-query loops don't exist at scale; a batch of probes rides ONE
     * plan): each query is assigned its `nprobe` nearest coarse

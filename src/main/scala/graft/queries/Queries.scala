@@ -1824,6 +1824,24 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Snapshot-based incremental embedding admission
+    * ([[graft.ext.Similarity.incrementalCosineDedupAgainstSnapshot]]):
+    * the q133 workload with history touched only through a materialized
+    * [[graft.ext.Similarity.cosineBandSnapshot]] — the production
+    * refresh shape where per-refresh work is batch-sized. Decisions are
+    * identical to the direct window form by construction (spec-pinned),
+    * so it replays against the SAME whole-corpus oracle as q133.
+    */
+  def q135IncrCosineSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+    val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 8)
+    Similarity.incrementalCosineDedupAgainstSnapshot(
+      hist, snap, emb.filter(col("vec_id") % 5 === 0),
+      threshold = 0.35, planes = 64)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** REAL image decode ([[graft.ext.MultiModal.decodeImageFeatures]] —
     * the multimodal family's formerly-stubbed decode made real via the
     * JDK's `javax.imageio`, zero new dependencies): every doc id becomes
@@ -1973,7 +1991,8 @@ object Queries {
     "q131_threshold_curve" -> (q131ThresholdCurve _),
     "q132_ivf_batch" -> (q132IvfBatch _),
     "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _),
-    "q134_image_decode" -> (q134ImageDecode _))
+    "q134_image_decode" -> (q134ImageDecode _),
+    "q135_incr_cosine_snapshot" -> (q135IncrCosineSnapshot _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2539,42 +2558,10 @@ GROUP BY d.source"""
            FROM asg e JOIN probe p ON e.bucket = p.cid
            JOIN qs q ON q.query_id = p.query_id)
          WHERE rn <= 10"""),
-    "q133_incr_cosine_dedup" ->
-      """WITH planes AS (
-           SELECT p, list_transform(range(0, 64), k ->
-             CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
-                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
-           FROM range(0, 64) t(p)),
-         sb AS (
-           SELECT e.vec_id, p.p,
-             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), k ->
-                    p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
-           FROM embeddings e, planes p),
-         bandkeys AS (
-           SELECT vec_id, p // 8 AS band,
-             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
-           FROM sb GROUP BY vec_id, p // 8
-           QUALIFY COUNT(*) OVER (PARTITION BY (p // 8),
-             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT)) <= 10000),
-         cand AS (
-           SELECT DISTINCT l.vec_id AS bid, r.vec_id AS pid
-           FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
-           WHERE l.vec_id % 5 = 0 AND r.vec_id <> l.vec_id
-             AND (r.vec_id % 5 <> 0 OR r.vec_id < l.vec_id)),
-         wn AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-               CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
-           FROM embeddings),
-         rej AS (
-           SELECT DISTINCT c.bid
-           FROM cand c JOIN wn a ON c.bid = a.vec_id JOIN wn b ON c.pid = b.vec_id
-           WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-                 ELSE list_sum(list_transform(range(1, len(a.embedding)+1), k ->
-                        CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
-                      / (a.nrm * b.nrm) END >= 0.35)
-         SELECT vec_id, label FROM embeddings
-         WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT bid FROM rej)""",
+    "q133_incr_cosine_dedup" -> IncrCosineOracle,
+    // q135 is the SNAPSHOT path of the same admission — identical
+    // decisions by construction (spec-pinned), same whole-corpus replay
+    "q135_incr_cosine_snapshot" -> IncrCosineOracle,
     // PNG is lossless and the fixture images are solid-color with
     // id-derived dims/colors, so the decoded stats are closed-form in the
     // id — the oracle checks a REAL ImageIO encode→decode round-trip
@@ -3857,6 +3844,49 @@ GROUP BY d.source"""
     * (argmax cosine, ties to the LARGER cid — `assignBuckets`'
     * struct-max tie-break).
     */
+  /** DuckDB replay of the incremental cosine admission (q133 direct
+    * window form AND q135 snapshot form — identical decisions by
+    * construction): whole-corpus 64-plane banding with the 8-bit test
+    * band keys, combined-population bucket cap, batch×(history ∪
+    * earlier-batch) candidates, exact cosine verify at 0.35.
+    */
+  private def IncrCosineOracle: String =
+    """WITH planes AS (
+           SELECT p, list_transform(range(0, 64), k ->
+             CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
+           FROM range(0, 64) t(p)),
+         sb AS (
+           SELECT e.vec_id, p.p,
+             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), k ->
+                    p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM embeddings e, planes p),
+         bandkeys AS (
+           SELECT vec_id, p // 8 AS band,
+             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
+           FROM sb GROUP BY vec_id, p // 8
+           QUALIFY COUNT(*) OVER (PARTITION BY (p // 8),
+             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT)) <= 10000),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS bid, r.vec_id AS pid
+           FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
+           WHERE l.vec_id % 5 = 0 AND r.vec_id <> l.vec_id
+             AND (r.vec_id % 5 <> 0 OR r.vec_id < l.vec_id)),
+         wn AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+               CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         rej AS (
+           SELECT DISTINCT c.bid
+           FROM cand c JOIN wn a ON c.bid = a.vec_id JOIN wn b ON c.pid = b.vec_id
+           WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                 ELSE list_sum(list_transform(range(1, len(a.embedding)+1), k ->
+                        CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+                      / (a.nrm * b.nrm) END >= 0.35)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT bid FROM rej)"""
+
   private def IvfAsgCtes: String =
     """WITH cent AS (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding

@@ -67,6 +67,24 @@ object SizingProbe {
             }
             println(s"[sizing] admitted=$c")
           }
+        case "lshsnap" =>
+          val emb = graft.core.Tables.load(spark, dir, "embeddings")
+          val hist = emb.filter(col("vec_id") % 5 =!= 0)
+          val batch = emb.filter(col("vec_id") % 5 === 0)
+          val snapDir = java.nio.file.Files
+            .createTempDirectory("graft-bandsnap").toString
+          timed("cosineBandSnapshot build+write (one-time)") {
+            Similarity.cosineBandSnapshot(hist)
+              .write.mode("overwrite").parquet(snapDir)
+          }
+          val snap = spark.read.parquet(snapDir)
+          for (i <- 1 to 2) {
+            val c = timed(s"scrub against materialized snapshot run$i") {
+              Similarity.incrementalCosineDedupAgainstSnapshot(hist, snap,
+                batch, threshold = 0.35, planes = 64).count()
+            }
+            println(s"[sizing] admitted=$c")
+          }
         case "split" =>
           val docs = graft.core.Tables.load(spark, dir, "documents")
           val pairs = Dedup.verifiedNearDups(docs, threshold = 0.5)

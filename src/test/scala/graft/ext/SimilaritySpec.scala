@@ -379,6 +379,29 @@ class SimilaritySpec extends SparkSpecBase {
       maxBucketSize = 2).count() == 1) // only cluster 1 (2 members) survives
   }
 
+  test("snapshot-based incremental admission equals the direct window form") {
+    // 60 vectors in two loose clusters + exact-duplicate spikes so both
+    // rejection and the degenerate-bucket cap paths exercise
+    val base = (0L until 60L).map { i =>
+      val b = if (i % 2 == 0) ax else ay
+      (i, vec(b, 0.3f, i.toInt))
+    }
+    val spikes = (100L until 110L).map(i => (i, ax.toSeq)) // identical vectors
+    val all = (base ++ spikes).toDF("vec_id", "embedding")
+    val hist = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    for (cap <- Seq(10000, 8); th <- Seq(0.9, 0.35)) {
+      val direct = Similarity.incrementalCosineDedupBatch(hist, batch,
+        threshold = th, planes = 64, bands = 8, maxBucketSize = cap)
+        .select("vec_id").as[Long].collect().toSet
+      val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 8)
+      val viaSnap = Similarity.incrementalCosineDedupAgainstSnapshot(
+        hist, snap, batch, threshold = th, planes = 64, maxBucketSize = cap)
+        .select("vec_id").as[Long].collect().toSet
+      assert(viaSnap == direct, s"cap=$cap th=$th")
+    }
+  }
+
   test("indexParams derives nlist ~ sqrt(N) and band width >= log2(N)") {
     // nlist = ceil(sqrt(N)), capped
     assert(Similarity.indexParams(0).nlist == 1)

@@ -289,4 +289,46 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(viaSql.getDouble(0) == d)
     assert(viaSql.getInt(1) == 3)
   }
+
+  test("charGramHashes windows count CODE POINTS on supplementary-plane text") {
+    // brute reference over code-point windows, mod-p selection,
+    // first-occurrence distinct — exactly the kernel contract
+    def h60(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    }
+    def brute(text: String, k: Int, modP: Int): Seq[Long] = {
+      val cps = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < text.length) {
+          val n = Character.charCount(text.codePointAt(i))
+          b += text.substring(i, i + n); i += n
+        }
+        b.toSeq
+      }
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      for (w <- cps.sliding(k) if w.size == k) {
+        val h = h60(w.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (h % modP == 0) seen += h
+      }
+      seen.toSeq
+    }
+    // crab emoji = U+1F980 (2 UTF-16 units, 4 UTF-8 bytes): a UTF-16
+    // window walk would split surrogates and hash different byte runs
+    val texts = Seq(
+      "🦀abc🦀abc🦀",          // astral mixed with ASCII
+      "ab🦀🦀🦀cd" * 3,         // astral runs + repetition (distinct path)
+      "plain ascii only here",  // ASCII fast path
+      "éèêë çà ü öäñ",          // 2-byte BMP path
+      "🦀🦀",                   // shorter than the window → empty
+      "")
+    for (k <- Seq(3, 5); modP <- Seq(1, 2)) {
+      val got = texts.toDF("text")
+        .select(native.charGramHashes(col("text"), k, modP).as("g"))
+        .as[Seq[Long]].collect().toSeq
+      assert(got == texts.map(brute(_, k, modP)), s"k=$k modP=$modP")
+    }
+  }
 }
