@@ -408,6 +408,20 @@ object Similarity {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Safe-by-default physical index build: [[autoCentroids]] sizes the
+    * quantizer to ⌈√N⌉ lists, [[writeIvfIndex]] writes the
+    * bucket-partitioned layout, and the centroid list is RETURNED —
+    * probes need it, and it is the only state the index adds beyond the
+    * parquet tree (at scale it would also be persisted beside the
+    * index).
+    */
+  def writeIvfIndexAuto(embeddings: DataFrame, path: String, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    val cents = autoCentroids(embeddings, iters, idCol = idCol, vecCol = vecCol)
+    writeIvfIndex(embeddings, cents, path, idCol, vecCol)
+    cents
+  }
+
   /** SQ8 variant of the physical IVF index: stores the int8-quantized
     * vectors instead of float32 — 4× less index storage and scan IO, the
     * standard IVF-SQ8 trade. Bucket assignment still uses the full-

@@ -459,6 +459,18 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("writeIvfIndexAuto builds a partition-pruned index probes reproduce exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-auto").toString
+    val cents = Similarity.writeIvfIndexAuto(embeddings, dir, iters = 1)
+    assert(cents.size == Similarity.indexParams(11).nlist)
+    val q = Seq(1f, 0f, 0f, 0f)
+    val idx = Similarity.ivfTopKIndexed(spark, dir, cents, q, k = 3,
+      nprobe = cents.size)
+    val mem = Similarity.ivfTopK(Similarity.assignBuckets(embeddings, cents),
+      cents, q, k = 3, nprobe = cents.size)
+    assert(idx.collect().toSeq == mem.collect().toSeq)
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
