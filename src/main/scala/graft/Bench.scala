@@ -33,9 +33,14 @@ object Bench {
     // so round-over-round comparisons can separate real regressions from
     // jitter. A flaky single failure neither poisons the measurement nor
     // marks the query errored — only all runs failing does.
+    // pass count: 3 for the graded bench; scale sweeps (30x/100x replicas)
+    // set SPARK_GRAFT_BENCH_PASSES=1 — at replica scale one pass is the
+    // certification (zero errors + per-query times), not a timing contest
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 3; (name, fn) <- names) {
+    for (_ <- 1 to passes; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
