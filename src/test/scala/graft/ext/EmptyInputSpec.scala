@@ -41,6 +41,19 @@ class EmptyInputSpec extends SparkSpecBase {
       planes = 8, bands = 4, dim = 2).count() == 0)
     assert(Similarity.rprojTopK(emptyEmb, Seq(1f, 0f), 5, dimOut = 2)
       .count() == 0)
+    // round-8 snapshot path: empty history admits everything non-self-dup,
+    // empty batch yields empty output, empty snapshot table parses
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineBandSnapshot(emptyEmb, bands = 4).count() == 0)
+    val emptySnap = Similarity.cosineBandSnapshot(emptyEmb, bands = 4)
+    assert(Similarity.incrementalCosineDedupAgainstSnapshot(
+      emptyEmb, emptySnap, vecs, threshold = 0.99, planes = 64).count() == 2)
+    assert(Similarity.incrementalCosineDedupAgainstSnapshot(
+      vecs, Similarity.cosineBandSnapshot(vecs, bands = 4), emptyEmb,
+      threshold = 0.99, planes = 64).count() == 0)
+    // derived sizing on a zero-count corpus is well-defined
+    assert(Similarity.indexParams(0) == Similarity.IndexParams(1, 64, 4))
   }
 
   test("round-4 second-half operators on empty inputs") {

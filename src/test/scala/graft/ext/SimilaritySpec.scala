@@ -402,6 +402,41 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ingest-time embedding admission: snapshot scrub runs per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // frozen history + its materialized band snapshot — the deployment
+    // shape: the snapshot is built once per corpus publish, each arriving
+    // micro-batch is scrubbed against it via foreachBatch
+    val hist = (0L until 10L).map(i => (i * 2 + 1, vec(ax, 0.02f, i.toInt)))
+      .toDF("vec_id", "embedding")
+    val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ok = Similarity.incrementalCosineDedupAgainstSnapshot(
+          hist, snap, batch, threshold = 0.9, planes = 64)
+        admitted.synchronized {
+          admitted ++= ok.select("vec_id").as[Long].collect().sorted
+        }
+        ()
+      }.start()
+    try {
+      input.addData(
+        (100L, vec(ax, 0.01f, 3)), // history echo → rejected
+        (102L, vec(ay, 0.01f, 7))) // novel direction → admitted
+      q.processAllAvailable()
+      // batch-internal dedup also applies per micro-batch
+      input.addData(
+        (200L, vec(ay, 0.015f, 9)),  // novel vs history → admitted
+        (201L, vec(ay, 0.015f, 9)))  // echo of 200 in the same batch → rejected
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toList) == List(102L, 200L))
+    } finally q.stop()
+  }
+
   test("indexParams derives nlist ~ sqrt(N) and band width >= log2(N)") {
     // nlist = ceil(sqrt(N)), capped
     assert(Similarity.indexParams(0).nlist == 1)
