@@ -503,13 +503,16 @@ object TextAnalysis {
     * pred). Scoring is stream-static against the trained model, so it
     * runs unchanged over a stream.
     */
-  def naiveBayesClassify(docs: DataFrame, model: NbModel,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Per-(doc, class) rounded NB log-joint scores — the shared scoring
+    * stage of [[naiveBayesClassify]] and [[naiveBayesMarginAudit]].
+    */
+  private def nbScores(docs: DataFrame, model: NbModel,
+      idCol: String, textCol: String): DataFrame = {
     val k = model.k
     val tok = docs.select(col(idCol), tokens(lower(col(textCol))).as("t"))
       .select(col(idCol), explode(col("t")).as("w"))
     val classes = model.classStats.select("cls", "prior_lp", "n_c")
-    val scored = tok
+    tok
       .crossJoin(broadcast(classes))
       .join(model.tokenCounts, Seq("w", "cls"), "left")
       .crossJoin(broadcast(model.vocab))
@@ -519,12 +522,58 @@ object TextAnalysis {
       .groupBy(col(idCol), col("cls"))
       .agg((first(col("prior_lp")) + sum(col("_lp"))).as("_score"))
       .withColumn("_score", round(col("_score"), 6))
+  }
+
+  def naiveBayesClassify(docs: DataFrame, model: NbModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // argmax as ONE aggregation, not a ranking window: min of
     // (−score, cls) is exactly "score desc, cls asc, limit 1" — no
     // second shuffle, and (with the stream-static scoring joins above)
     // the whole classifier runs unchanged on a stream in update mode
-    scored.groupBy(col(idCol))
+    nbScores(docs, model, idCol, textCol).groupBy(col(idCol))
       .agg(min(struct(-col("_score"), col("cls"))).getField("cls").as("pred"))
+
+  /** Margin-reliability audit for the NB labeler — the calibration
+    * check BEFORE using classifier confidence as a routing threshold
+    * (auto-accept above a margin, human-review below): bucket the
+    * held-out docs by the LOG-MARGIN between the best and second-best
+    * class scores and report per-bucket volume and empirical accuracy.
+    * A well-ordered margin (accuracy monotone in the bin) is what
+    * licenses margin-thresholded auto-labeling; a flat curve says the
+    * scores carry no confidence signal.
+    *
+    * The margin — a difference of the already-6dp-rounded scores — is
+    * used instead of a softmax posterior deliberately: it is pure
+    * arithmetic on engine-identical doubles, so the DuckDB oracle
+    * replays the binning bit-exactly, where exp() tails differ in ULPs
+    * across libms. One extra aggregation over the q109 scoring stage;
+    * output is at most `maxBin`+1 rows.
+    */
+  def naiveBayesMarginAudit(eval: DataFrame, model: NbModel,
+      labelCol: String, binWidth: Double = 2.0, maxBin: Int = 9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ranked = nbScores(eval, model, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(
+        struct((-col("_score")).as("neg"), col("cls").as("cls")))).as("arr"))
+      .select(col(idCol),
+        element_at(col("arr"), 1).getField("cls").as("pred"),
+        // margin = s1 − s2 = neg2 − neg1; a single-class model has no
+        // runner-up — treat as an effectively infinite margin (top bin)
+        when(size(col("arr")) >= 2,
+          element_at(col("arr"), 2).getField("neg")
+            - element_at(col("arr"), 1).getField("neg"))
+          .otherwise(lit(Double.MaxValue)).as("margin"))
+    ranked
+      .join(eval.select(col(idCol), col(labelCol).as("_truth")), Seq(idCol))
+      .withColumn("margin_bin",
+        least(floor(col("margin") / lit(binWidth)), lit(maxBin.toLong)))
+      .groupBy(col("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("_truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6))
   }
 
   /** Per-document feature frame over a corpus. */

@@ -1842,6 +1842,22 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** NB margin-reliability audit
+    * ([[graft.ext.TextAnalysis.naiveBayesMarginAudit]]): the q109
+    * classifier's held-out docs bucketed by best-vs-second log-margin,
+    * per-bucket volume and accuracy — the calibration table consulted
+    * before margin-thresholded auto-labeling. Margins are differences
+    * of the 6dp-rounded scores, so the oracle replays the binning
+    * bit-exactly (no softmax/exp in the decision path).
+    */
+  def q136NbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val model = TextAnalysis.trainNaiveBayes(
+      docs.filter(col("doc_id") % 10 < 8), "lang")
+    TextAnalysis.naiveBayesMarginAudit(
+      docs.filter(col("doc_id") % 10 >= 8), model, "lang")
+  }
+
   /** REAL image decode ([[graft.ext.MultiModal.decodeImageFeatures]] —
     * the multimodal family's formerly-stubbed decode made real via the
     * JDK's `javax.imageio`, zero new dependencies): every doc id becomes
@@ -1992,7 +2008,8 @@ object Queries {
     "q132_ivf_batch" -> (q132IvfBatch _),
     "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _),
     "q134_image_decode" -> (q134ImageDecode _),
-    "q135_incr_cosine_snapshot" -> (q135IncrCosineSnapshot _))
+    "q135_incr_cosine_snapshot" -> (q135IncrCosineSnapshot _),
+    "q136_nb_calibration" -> (q136NbCalibration _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3302,41 +3319,30 @@ GROUP BY d.source"""
          SELECT doc_id, n_bigrams, round(a, 6) AS avg_lp,
            round(exp(-a), 4) AS ppl, round(exp(-a), 4) > 32.0 AS flagged
          FROM agg""",
-    "q109_nb_langid" ->
-      """WITH tr AS (
-           SELECT lang AS cls,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-           FROM documents WHERE doc_id % 10 < 8),
-         te AS (
-           SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-           FROM documents WHERE doc_id % 10 >= 8),
-         tc AS (SELECT cls, unnest(t) AS w FROM tr),
-         cwc AS (SELECT w, cls, COUNT(*) AS cwc FROM tc GROUP BY 1, 2),
-         cstat AS (SELECT cls, SUM(cwc) AS n_c FROM cwc GROUP BY 1),
-         nd AS (SELECT cls, COUNT(*) AS docs FROM tr GROUP BY 1),
-         tot AS (SELECT SUM(docs) AS tot FROM nd),
-         pri AS (
-           SELECT nd.cls, ln(nd.docs) - ln(tot.tot) AS prior_lp, cstat.n_c
-           FROM nd JOIN cstat USING (cls) CROSS JOIN tot),
-         vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tc),
-         tw AS (SELECT doc_id, unnest(t) AS w FROM te),
-         sc AS (
-           SELECT tw.doc_id, p.cls,
-             round(any_value(p.prior_lp) +
-               SUM(ln(COALESCE(cwc.cwc, 0) + 0.5) -
-                   ln(p.n_c + 0.5 * vv.v)), 6) AS s
-           FROM tw
-           CROSS JOIN pri p
-           LEFT JOIN cwc ON tw.w = cwc.w AND p.cls = cwc.cls
-           CROSS JOIN vv
-           GROUP BY tw.doc_id, p.cls),
+    "q109_nb_langid" -> (NbScoreCtes + """,
          pred AS (
            SELECT doc_id, cls AS pred FROM sc
            QUALIFY row_number() OVER (
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) = 1)
          SELECT p.doc_id, p.pred, d.lang, p.pred = d.lang AS correct
-         FROM pred p JOIN documents d USING (doc_id)""",
+         FROM pred p JOIN documents d USING (doc_id)"""),
+    // margins are differences of the 6dp-rounded sc.s values, so the
+    // binning replays bit-exactly (no exp/softmax in the decision path)
+    "q136_nb_calibration" -> (NbScoreCtes + """,
+         rk AS (
+           SELECT doc_id, cls, s, row_number() OVER (
+             PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+           FROM sc),
+         mg AS (
+           SELECT a.doc_id, a.cls AS pred, a.s - b.s AS margin
+           FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2)
+         SELECT LEAST(CAST(FLOOR(m.margin / 2.0) AS BIGINT), 9) AS margin_bin,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE m.pred = d.lang) AS n_correct,
+           ROUND(CAST(COUNT(*) FILTER (WHERE m.pred = d.lang) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+         FROM mg m JOIN documents d USING (doc_id)
+         GROUP BY 1"""),
     "q115_substring_scrub" ->
       """WITH g AS (
            SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
@@ -3844,6 +3850,40 @@ GROUP BY d.source"""
     * (argmax cosine, ties to the LARGER cid — `assignBuckets`'
     * struct-max tie-break).
     */
+  /** DuckDB replay of the q109 Naive-Bayes chain up through the rounded
+    * per-(doc, class) scores `sc` — shared by the labeling final (q109)
+    * and the margin-calibration final (q136).
+    */
+  private def NbScoreCtes: String =
+    """WITH tr AS (
+           SELECT lang AS cls,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents WHERE doc_id % 10 < 8),
+         te AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           FROM documents WHERE doc_id % 10 >= 8),
+         tc AS (SELECT cls, unnest(t) AS w FROM tr),
+         cwc AS (SELECT w, cls, COUNT(*) AS cwc FROM tc GROUP BY 1, 2),
+         cstat AS (SELECT cls, SUM(cwc) AS n_c FROM cwc GROUP BY 1),
+         nd AS (SELECT cls, COUNT(*) AS docs FROM tr GROUP BY 1),
+         tot AS (SELECT SUM(docs) AS tot FROM nd),
+         pri AS (
+           SELECT nd.cls, ln(nd.docs) - ln(tot.tot) AS prior_lp, cstat.n_c
+           FROM nd JOIN cstat USING (cls) CROSS JOIN tot),
+         vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tc),
+         tw AS (SELECT doc_id, unnest(t) AS w FROM te),
+         sc AS (
+           SELECT tw.doc_id, p.cls,
+             round(any_value(p.prior_lp) +
+               SUM(ln(COALESCE(cwc.cwc, 0) + 0.5) -
+                   ln(p.n_c + 0.5 * vv.v)), 6) AS s
+           FROM tw
+           CROSS JOIN pri p
+           LEFT JOIN cwc ON tw.w = cwc.w AND p.cls = cwc.cls
+           CROSS JOIN vv
+           GROUP BY tw.doc_id, p.cls)"""
+
   /** DuckDB replay of the incremental cosine admission (q133 direct
     * window form AND q135 snapshot form — identical decisions by
     * construction): whole-corpus 64-plane banding with the 8-bit test

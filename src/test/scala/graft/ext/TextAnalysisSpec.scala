@@ -62,6 +62,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(pred == Map(1L -> "cat", 2L -> "dog", 3L -> "dog"))
   }
 
+  test("margin audit bins by best-vs-second log-margin and reports per-bin accuracy") {
+    val train = Seq(
+      ("cat", "meow purr meow whiskers"), ("cat", "purr meow nap"),
+      ("dog", "woof bark woof fetch"), ("dog", "bark woof tail")
+    ).toDF("cls", "text")
+    val model = TextAnalysis.trainNaiveBayes(train, "cls")
+    // strongly-separated docs (pure class vocab) vs an all-OOV doc whose
+    // class scores tie (margin 0 → bin 0); truths chosen so bin 0 is a
+    // guaranteed miss (tie-break predicts "cat", truth says "dog")
+    val eval = Seq(
+      (1L, "meow purr meow purr meow purr", "cat"),
+      (2L, "woof bark woof bark woof bark", "dog"),
+      (3L, "zz qq", "dog")
+    ).toDF("doc_id", "text", "cls")
+    val audit = TextAnalysis.naiveBayesMarginAudit(eval, model, "cls")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(audit.values.map(_._1).sum == 3L, "every eval doc lands in a bin")
+    // the tied OOV doc: margin exactly 0 → bin 0, predicted wrong
+    assert(audit(0L)._1 >= 1L && audit(0L)._2 == 0L && audit(0L)._3 == 0.0)
+    // the separated docs carry positive margin and are all correct
+    val upper = audit.filter(_._1 > 0L).values
+    assert(upper.map(_._1).sum == 2L && upper.forall(v => v._1 == v._2))
+    assert(upper.forall(_._3 == 1.0))
+    // binning consistency: n_correct never exceeds n_docs
+    assert(audit.values.forall(v => v._2 <= v._1))
+  }
+
   test("naive bayes tie-break is deterministic: all-unseen doc with equal stats") {
     // symmetric classes (same doc count, same token totals): an all-OOV
     // doc scores identically for both → tie-break by class ascending
