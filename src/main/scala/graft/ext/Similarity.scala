@@ -909,6 +909,40 @@ object Similarity {
       .select(col(qidCol), col(idCol))
   }
 
+  /** Recall@k audit for the batched IVF probe — the acceptance check
+    * run before trusting an (nlist, nprobe) operating point: for each
+    * probe query, the fraction of the EXACT cosine top-k that the IVF
+    * search returned. Output (qidCol, n_hits, recall) per query. The
+    * exact side is the Q·N brute ranking — at production scale the
+    * audit runs on a SAMPLED query set (the point is estimating the
+    * recall distribution, not auditing every probe), and both rankings
+    * ride the bounded two-phase [[graft.operators.TopK]], never a
+    * global sort. The embedding-space sibling of the rproj recall
+    * audit (q78).
+    */
+  def ivfBatchRecallAudit(bucketed: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], queries: DataFrame, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", qidCol: String = "query_id",
+      qvecCol: String = "qvec"): DataFrame = {
+    val ann = ivfTopKBatch(bucketed, centroids, queries, k, nprobe,
+        idCol, vecCol, qidCol, qvecCol)
+      .withColumn("_hit", lit(1))
+    val bruteCands = bucketed
+      .crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col(qvecCol)).as("_sim"))
+      .repartition(col(qidCol))
+    val brute = graft.operators.TopK.topKPerKey(bruteCands, Seq(col(qidCol)),
+      Seq(col("_sim").desc, col(idCol).asc), k)
+    brute
+      .join(ann, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(count(col("_hit")).as("n_hits"))
+      .select(col(qidCol), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: vectors are coarsely
     * clustered (the same broadcast-centroid argmax assignment IVF uses)
     * and pairwise cosine runs only WITHIN a cluster — the quadratic work

@@ -1842,6 +1842,22 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Batched-IVF recall@10 audit
+    * ([[graft.ext.Similarity.ivfBatchRecallAudit]]): per probe query,
+    * the fraction of the exact cosine top-10 the q132 IVF search
+    * recovers at nprobe=3 of nlist=8 — the acceptance check before
+    * trusting an (nlist, nprobe) operating point, completing the ANN
+    * audit family (q78 is the rproj sibling).
+    */
+  def q137IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val queries = emb.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfBatchRecallAudit(Similarity.assignBuckets(emb, centroids),
+      centroids, queries, k = 10, nprobe = 3)
+  }
+
   /** NB margin-reliability audit
     * ([[graft.ext.TextAnalysis.naiveBayesMarginAudit]]): the q109
     * classifier's held-out docs bucketed by best-vs-second log-margin,
@@ -2009,7 +2025,8 @@ object Queries {
     "q133_incr_cosine_dedup" -> (q133IncrCosineDedup _),
     "q134_image_decode" -> (q134ImageDecode _),
     "q135_incr_cosine_snapshot" -> (q135IncrCosineSnapshot _),
-    "q136_nb_calibration" -> (q136NbCalibration _))
+    "q136_nb_calibration" -> (q136NbCalibration _),
+    "q137_ivf_recall" -> (q137IvfRecall _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2549,32 +2566,26 @@ GROUP BY d.source"""
     // against the identical oracle.
     "q61_ivf_indexed" -> IvfTopKOracle,
     "q68_ivf_sq8" -> IvfSq8Oracle,
-    "q132_ivf_batch" -> (IvfAsgCtes + """,
-         qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
-                FROM en WHERE vec_id % 500 = 0),
-         probe AS (
-           SELECT query_id, cid FROM (
-             SELECT q.query_id, c.cid,
-               -- probe ties to the SMALLER cid, aligned with ivfTopK's
-               -- probeIds (round 8: the batch form previously tied larger)
+    "q132_ivf_batch" -> (IvfBatchCtes +
+      " SELECT query_id, vec_id FROM annres"),
+    // recall@10 of the q132 search vs the exact brute top-10 per query
+    "q137_ivf_recall" -> (IvfBatchCtes + """,
+         brute AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
                ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                 CASE WHEN c.nrm * q.qnrm = 0 THEN 0.0
-                      ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
-                             CAST(c.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
-                           / (c.nrm * q.qnrm) END DESC,
-                 c.cid ASC) AS rn
-             FROM cn c, qs q) WHERE rn <= 3)
-         SELECT query_id, vec_id FROM (
-           SELECT p.query_id, e.vec_id,
-             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-               CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
-                    ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
-                           CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
-                         / (e.nrm * q.qnrm) END DESC,
-               e.vec_id ASC) AS rn
-           FROM asg e JOIN probe p ON e.bucket = p.cid
-           JOIN qs q ON q.query_id = p.query_id)
-         WHERE rn <= 10"""),
+                 CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                           / (e.nrm * q.qnrm) END DESC,
+                 e.vec_id ASC) AS rn
+             FROM en e CROSS JOIN qs q)
+           WHERE rn <= 10)
+         SELECT b.query_id, COUNT(a.vec_id) AS n_hits,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall
+         FROM brute b LEFT JOIN annres a
+           ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+         GROUP BY 1"""),
     "q133_incr_cosine_dedup" -> IncrCosineOracle,
     // q135 is the SNAPSHOT path of the same admission — identical
     // decisions by construction (spec-pinned), same whole-corpus replay
@@ -3850,6 +3861,38 @@ GROUP BY d.source"""
     * (argmax cosine, ties to the LARGER cid — `assignBuckets`'
     * struct-max tie-break).
     */
+  /** The q132 batched-probe IVF oracle chain up through `annres`
+    * (query_id, vec_id — the top-10 per probe): shared by the search
+    * final (q132) and the recall audit final (q137).
+    */
+  private def IvfBatchCtes: String = IvfAsgCtes + """,
+         qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+                FROM en WHERE vec_id % 500 = 0),
+         probe AS (
+           SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+               -- probe ties to the SMALLER cid, aligned with ivfTopK's
+               -- probeIds (round 8: the batch form previously tied larger)
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN c.nrm * q.qnrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(c.embedding)+1), k ->
+                             CAST(c.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                           / (c.nrm * q.qnrm) END DESC,
+                 c.cid ASC) AS rn
+             FROM cn c, qs q) WHERE rn <= 3),
+         annres AS (
+           SELECT query_id, vec_id FROM (
+             SELECT p.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                           / (e.nrm * q.qnrm) END DESC,
+                 e.vec_id ASC) AS rn
+             FROM asg e JOIN probe p ON e.bucket = p.cid
+             JOIN qs q ON q.query_id = p.query_id)
+           WHERE rn <= 10)"""
+
   /** DuckDB replay of the q109 Naive-Bayes chain up through the rounded
     * per-(doc, class) scores `sc` — shared by the labeling final (q109)
     * and the margin-calibration final (q136).

@@ -402,6 +402,26 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF recall audit: full probing scores 1.0, starved probing below") {
+    val cents = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val bucketed = Similarity.assignBuckets(embeddings, cents)
+    val queries = embeddings.filter(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // probing every list recovers the exact top-k: recall 1.0 per query
+    val full = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 2 && full.forall(t => t._2 == 4L && t._3 == 1.0))
+    // nprobe=1 starves the cross-cluster tail of each top-4 (cluster
+    // sizes are 5, so the 4 nearest same-cluster vectors survive; the
+    // audit must agree with a hand computation, not just be < 1)
+    val one = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 6, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(one.values.forall(r => r > 0.0 && r < 1.0),
+      s"6-deep top-k must lose its cross-cluster tail at nprobe=1: $one")
+  }
+
   test("ingest-time embedding admission: snapshot scrub runs per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
