@@ -72,18 +72,28 @@ object MultiModal {
   def decodeImageStats(payload: Array[Byte]): Option[ImageStats] = {
     if (payload == null || payload.isEmpty) None
     else {
+      // NonFatal, not just IOException: ImageIO plugins throw
+      // IllegalArgument/NegativeArraySize/IndexOutOfBounds on truncated
+      // or adversarial headers they claimed but cannot parse — any such
+      // payload must surface as a decode-failure row, not a dead task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val w = im.getWidth
         val h = im.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
+        // bulk row fetch with a reused buffer: per-pixel getRGB(x, y)
+        // pays a ColorModel conversion + bounds check per call (~10×
+        // slower on real images); the bulk path converts a row at a time
+        // into the same default sRGB ints, so the sums are identical
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          im.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val p = im.getRGB(x, y)
+            val p = row(x)
             sr += (p >> 16) & 0xFF
             sg += (p >> 8) & 0xFF
             sb += p & 0xFF

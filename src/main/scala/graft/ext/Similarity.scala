@@ -72,6 +72,45 @@ object Similarity {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Band count for a `planes`-bit hyperplane signature: explicit when
+    * `bands > 0`, else derived from the population size via
+    * [[indexParams]]. The derivation models the 64-bit signature layout
+    * (4×16 / 2×32 / 1×64), so auto mode refuses other plane counts
+    * rather than silently sizing keys for the wrong word width.
+    */
+  private def resolveBands(bands: Int, planes: Int, n: => Long): Int =
+    if (bands > 0) bands
+    else {
+      require(planes == 64, s"bands=0 auto-derivation assumes the 64-bit " +
+        s"signature (got planes=$planes); pass bands explicitly")
+      indexParams(n).bands
+    }
+
+  /** (idAlias, band, bits) band-key stream for a vector table — the ONE
+    * banding block every hyperplane-LSH entry point shares (pairs,
+    * direct admission, snapshot build, snapshot scrub). Rademacher (±1)
+    * hyperplanes derive from md5 parity (the DuckDB oracle rebuilds the
+    * identical matrix; sign-random projections preserve cosine the same
+    * as Gaussian ones); all sign bits come from ONE native expression
+    * pass per row — the per-plane literal-array formulation fell out of
+    * codegen and was ~10× slower.
+    */
+  private def bandKeys(df: DataFrame, planes: Int, nBands: Int,
+      idCol: String, vecCol: String, idAlias: String): DataFrame = {
+    val perBand = planes / nBands
+    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sigbits"), b * perBand)
+          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
+    }
+    df.select(col(idCol),
+        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
+          .as("sigbits"))
+      .select(col(idCol).as(idAlias), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idAlias), col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
   /** Point lookup of one probe vector by key — the serving-path fetch the
     * ANN queries share. The equality predicate on the id column is
     * pushdown-able, so the scan reads only the row groups whose min/max
@@ -649,28 +688,10 @@ object Similarity {
       planes: Int = 64, bands: Int = 0, dim: Int = 64,
       maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands =
-      if (bands > 0) bands else indexParams(embeddings.count()).bands
-    val perBand = planes / nBands
-    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
-    // Rademacher (±1) hyperplanes derived from md5 parity (the DuckDB
-    // oracle rebuilds the identical matrix; sign-random projections
-    // preserve cosine the same as Gaussian ones). All sign bits are
-    // computed by ONE native expression pass per row — the per-plane
-    // literal-array formulation fell out of codegen and was ~10× slower.
-    val sig = graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
-    // slice the bitmask into per-band keys
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sigbits"), b * perBand)
-          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
-    }
+    val nBands = resolveBands(bands, planes, embeddings.count())
     // candidates first (ids only, deduped), score after — the pair table is
     // the big side; vectors+precomputed norms join back by id
-    val banded = embeddings
-      .select(col(idCol), sig.as("sigbits"))
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bits"))
+    val banded = bandKeys(embeddings, planes, nBands, idCol, vecCol, idCol)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bits")))
@@ -719,22 +740,11 @@ object Similarity {
       threshold: Double = 0.95, planes: Int = 64, bands: Int = 0,
       maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = if (bands > 0) bands
-      else indexParams(history.count() + batch.count()).bands
-    val perBand = planes / nBands
-    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sigbits"), b * perBand)
-          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
-    }
-    def banded(df: DataFrame, isNew: Boolean): DataFrame = df
-      .select(col(idCol),
-        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
-          .as("sigbits"))
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bits"),
-        lit(isNew).as("is_new"))
+    val nBands = resolveBands(bands, planes,
+      history.count() + batch.count())
+    def banded(df: DataFrame, isNew: Boolean): DataFrame =
+      bandKeys(df, planes, nBands, idCol, vecCol, idCol)
+        .withColumn("is_new", lit(isNew))
     val all = banded(history, isNew = false)
       .unionByName(banded(batch, isNew = true))
       .withColumn("bucket_size",
@@ -774,25 +784,18 @@ object Similarity {
     * per-refresh history window pays for. The snapshot pins the banding
     * configuration: scrub with the SAME `planes` and the band count the
     * snapshot was built with (the scrubber re-derives it from the
-    * snapshot's band column).
+    * snapshot's band column). NOTE on `bands = 0`: the auto width here
+    * derives from the HISTORY corpus (the only population that exists at
+    * snapshot-build time) while the direct form's auto derives from
+    * history+batch — exactly at a 2¹⁶/2³² population boundary the two
+    * can choose different widths, so pin `bands` explicitly when
+    * cross-validating the snapshot path against the direct one.
     */
   def cosineBandSnapshot(history: DataFrame, planes: Int = 64,
       bands: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val nBands = if (bands > 0) bands else indexParams(history.count()).bands
-    val perBand = planes / nBands
-    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sigbits"), b * perBand)
-          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
-    }
-    history
-      .select(col(idCol),
-        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
-          .as("sigbits"))
-      .select(col(idCol).as("pid"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("pid"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val nBands = resolveBands(bands, planes, history.count())
+    bandKeys(history, planes, nBands, idCol, vecCol, "pid")
       .withColumn("hist_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bits")))
@@ -814,23 +817,17 @@ object Similarity {
   def incrementalCosineDedupAgainstSnapshot(history: DataFrame,
       snapshot: DataFrame, batch: DataFrame, threshold: Double = 0.95,
       planes: Int = 64, maxBucketSize: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = Option(snapshot.agg(max(col("band"))).head().get(0))
-      .map(_.asInstanceOf[Int] + 1)
-      .getOrElse(indexParams(batch.count()).bands)
-    val perBand = planes / nBands
-    require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sigbits"), b * perBand)
-          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
-    }
-    val bb = batch
-      .select(col(idCol),
-        graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
-          .as("sigbits"))
-      .select(col(idCol).as("bid"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bid"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 0): DataFrame = {
+    // bands > 0 skips the snapshot probe — a per-micro-batch scrub loop
+    // should pass the band count it built the snapshot with rather than
+    // pay a snapshot aggregate per refresh to rediscover a constant
+    val nBands =
+      if (bands > 0) bands
+      else Option(snapshot.agg(max(col("band"))).head().get(0))
+        .map(_.asInstanceOf[Int] + 1)
+        .getOrElse(resolveBands(0, planes, batch.count()))
+    val bb = bandKeys(batch, planes, nBands, idCol, vecCol, "bid")
       .withColumn("_bn",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bits")))
@@ -938,9 +935,13 @@ object Similarity {
     brute
       .join(ann, Seq(qidCol, idCol), "left")
       .groupBy(col(qidCol))
-      .agg(count(col("_hit")).as("n_hits"))
+      // denominator is the per-query EXACT result size, not k: on a
+      // corpus smaller than k the brute top-k has fewer than k members
+      // and a perfect search must still score recall 1.0
+      .agg(count(col("_hit")).as("n_hits"), count(lit(1)).as("_n_exact"))
       .select(col(qidCol), col("n_hits"),
-        round(col("n_hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+        round(col("n_hits").cast("double") / col("_n_exact").cast("double"), 6)
+          .as("recall"))
   }
 
   /** SemDeDup-style semantic near-dup pairs: vectors are coarsely

@@ -552,18 +552,22 @@ object TextAnalysis {
   def naiveBayesMarginAudit(eval: DataFrame, model: NbModel,
       labelCol: String, binWidth: Double = 2.0, maxBin: Int = 9,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // margins above the last bin are capped BEFORE the floor: the cap is
+    // both the single-class sentinel (no runner-up = effectively infinite
+    // margin = top bin) and what keeps floor() inside long range under
+    // ANSI mode — floor(Double.MaxValue / binWidth) would overflow
+    val capped = binWidth * (maxBin + 1)
     val ranked = nbScores(eval, model, idCol, textCol)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(
         struct((-col("_score")).as("neg"), col("cls").as("cls")))).as("arr"))
       .select(col(idCol),
         element_at(col("arr"), 1).getField("cls").as("pred"),
-        // margin = s1 − s2 = neg2 − neg1; a single-class model has no
-        // runner-up — treat as an effectively infinite margin (top bin)
+        // margin = s1 − s2 = neg2 − neg1
         when(size(col("arr")) >= 2,
-          element_at(col("arr"), 2).getField("neg")
-            - element_at(col("arr"), 1).getField("neg"))
-          .otherwise(lit(Double.MaxValue)).as("margin"))
+          least(element_at(col("arr"), 2).getField("neg")
+            - element_at(col("arr"), 1).getField("neg"), lit(capped)))
+          .otherwise(lit(capped)).as("margin"))
     ranked
       .join(eval.select(col(idCol), col(labelCol).as("_truth")), Seq(idCol))
       .withColumn("margin_bin",

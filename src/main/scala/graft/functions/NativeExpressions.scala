@@ -741,8 +741,12 @@ object HashKernels {
       var bestC = -1
       c = 0
       while (c < nlist) {
-        if (!taken(c) &&
-            (if (tiesLarger) sims(c) >= best else sims(c) > best)) {
+        // bestC == -1 accepts the first untaken centroid unconditionally:
+        // with NaN sims (a NaN component in the vector) every comparison
+        // is false and the slot would otherwise stay unassigned — NaN rows
+        // get deterministic ascending-cid probes instead of a crash
+        if (!taken(c) && (bestC == -1 ||
+            (if (tiesLarger) sims(c) >= best else sims(c) > best))) {
           best = sims(c)
           bestC = c
         }

@@ -2527,6 +2527,12 @@ GROUP BY d.source"""
            CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
          FROM banded l JOIN banded r ON l.b = r.b AND l.band_key = r.band_key
          WHERE l.doc_id < r.doc_id AND bit_count(xor(l.sh, r.sh)) <= 16""",
+    // q32 runs the AUTO band width (bands = 0); this oracle replays the
+    // 4×16-bit configuration indexParams derives for every corpus up to
+    // 2^16 vectors — which covers sf0.01 (where the oracle runs) and
+    // sf0.1. Above 2^16 the query deliberately switches to 2×32 keys
+    // (the collision-safety point of auto sizing); an oracle for that
+    // regime would band by p // 32.
     "q32_cosine_near_dups" ->
       """WITH planes AS (
            SELECT p, list_transform(range(0, 64), k ->
@@ -2582,7 +2588,8 @@ GROUP BY d.source"""
              FROM en e CROSS JOIN qs q)
            WHERE rn <= 10)
          SELECT b.query_id, COUNT(a.vec_id) AS n_hits,
-           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
          FROM brute b LEFT JOIN annres a
            ON b.query_id = a.query_id AND b.vec_id = a.vec_id
          GROUP BY 1"""),
@@ -3344,9 +3351,15 @@ GROUP BY d.source"""
            SELECT doc_id, cls, s, row_number() OVER (
              PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
            FROM sc),
+         -- LEFT join + capped COALESCE: a single-class model has no
+         -- runner-up — those docs carry the cap (= top bin), matching
+         -- the Spark side's sentinel instead of vanishing
          mg AS (
-           SELECT a.doc_id, a.cls AS pred, a.s - b.s AS margin
-           FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2)
+           SELECT a.doc_id, a.cls AS pred,
+             COALESCE(LEAST(a.s - b.s, 20.0), 20.0) AS margin
+           FROM rk a LEFT JOIN rk b
+             ON a.doc_id = b.doc_id AND b.rn = 2
+           WHERE a.rn = 1)
          SELECT LEAST(CAST(FLOOR(m.margin / 2.0) AS BIGINT), 9) AS margin_bin,
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE m.pred = d.lang) AS n_correct,

@@ -420,6 +420,19 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(one.values.forall(r => r > 0.0 && r < 1.0),
       s"6-deep top-k must lose its cross-cluster tail at nprobe=1: $one")
+    // k larger than the corpus: the denominator is the exact result
+    // size, so a full-probing search still scores recall 1.0
+    val over = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 50, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(over.forall(t => t._1 == 11L && t._2 == 1.0),
+      s"oversized k must not understate recall: ${over.toSeq}")
+  }
+
+  test("bands=0 auto-derivation refuses non-64-bit signatures") {
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(embeddings, threshold = 0.9, planes = 32)
+    }
   }
 
   test("ingest-time embedding admission: snapshot scrub runs per micro-batch") {

@@ -90,6 +90,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(audit.values.forall(v => v._2 <= v._1))
   }
 
+  test("margin audit: single-class model lands every doc in the top bin, no overflow") {
+    val model = TextAnalysis.trainNaiveBayes(
+      Seq(("only", "alpha beta gamma")).toDF("cls", "text"), "cls")
+    val audit = TextAnalysis.naiveBayesMarginAudit(
+      Seq((1L, "alpha beta", "only"), (2L, "zz", "other"))
+        .toDF("doc_id", "text", "cls"), model, "cls")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    // no runner-up class → capped margin → bin 9 (and no ANSI overflow
+    // from flooring an unbounded sentinel); doc 1 correct, doc 2 not
+    assert(audit.toSeq == Seq(9L -> ((2L, 1L))))
+  }
+
   test("naive bayes tie-break is deterministic: all-unseen doc with equal stats") {
     // symmetric classes (same doc count, same token totals): an all-OOV
     // doc scores identically for both → tie-break by class ascending

@@ -290,6 +290,23 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(viaSql.getInt(1) == 3)
   }
 
+  test("nearestCentroidsF: NaN vectors get deterministic ascending probes, no crash") {
+    val cents = (0 until 20).flatMap(i => Seq(i.toFloat, 1f, 0f, 0f))
+    val df = Seq(
+      (1L, Seq(Float.NaN, 1f, 0f, 0f)),  // NaN sim against every centroid
+      (2L, Seq(0f, 1f, 0f, 0f))          // normal row in the same batch
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        native.nearestCentroidsF(col("v"), cents, 20, 3, tiesLarger = false)
+          .as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // all-NaN comparisons are false everywhere: slots fall back to the
+    // first untaken centroid, yielding ascending cids deterministically
+    assert(got(1L) == Seq(0, 1, 2))
+    // the normal row is unaffected (centroid 0 = (0,1,0,0) is exact)
+    assert(got(2L).head == 0)
+  }
+
   test("charGramHashes windows count CODE POINTS on supplementary-plane text") {
     // brute reference over code-point windows, mod-p selection,
     // first-occurrence distinct — exactly the kernel contract
