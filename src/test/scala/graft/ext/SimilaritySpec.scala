@@ -470,6 +470,40 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("snapshot admission equals the direct form on randomized corpora") {
+    // seeded random trials across corpus shapes, caps, and thresholds —
+    // the fixed-fixture equivalence test's adversarial sibling
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 6) {
+      val n = 30 + rng.nextInt(60)
+      val dim = 8
+      val rows = (0 until n).map { i =>
+        // mixture of two directions + noise, plus occasional exact dups
+        val base = if (rng.nextBoolean()) Array.fill(dim)(0f).updated(0, 1f)
+          else Array.fill(dim)(0f).updated(1, 1f)
+        val v = if (rng.nextInt(5) == 0 && i > 0) {
+          // duplicate an earlier direction exactly
+          base.toSeq
+        } else base.map(x => x + (rng.nextFloat() - 0.5f) * 0.4f).toSeq
+        (i.toLong, v)
+      }
+      val all = rows.toDF("vec_id", "embedding")
+      val hist = all.filter(col("vec_id") % 3 =!= 0)
+      val batch = all.filter(col("vec_id") % 3 === 0)
+      val cap = Seq(10000, 6)(rng.nextInt(2))
+      val th = Seq(0.98, 0.6)(rng.nextInt(2))
+      val direct = Similarity.incrementalCosineDedupBatch(hist, batch,
+        threshold = th, planes = 64, bands = 8, maxBucketSize = cap)
+        .select("vec_id").as[Long].collect().toSet
+      val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 8)
+      val viaSnap = Similarity.incrementalCosineDedupAgainstSnapshot(
+        hist, snap, batch, threshold = th, planes = 64,
+        maxBucketSize = cap, bands = 8)
+        .select("vec_id").as[Long].collect().toSet
+      assert(viaSnap == direct, s"trial=$trial n=$n cap=$cap th=$th")
+    }
+  }
+
   test("indexParams derives nlist ~ sqrt(N) and band width >= log2(N)") {
     // nlist = ceil(sqrt(N)), capped
     assert(Similarity.indexParams(0).nlist == 1)
