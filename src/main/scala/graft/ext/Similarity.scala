@@ -99,10 +99,15 @@ object Similarity {
       idCol: String, vecCol: String, idAlias: String): DataFrame = {
     val perBand = planes / nBands
     require(perBand * nBands == planes, s"bands=$nBands must divide planes=$planes")
+    // -1L >>> (64 - perBand), NOT (1L << perBand) - 1: Scala/JVM long
+    // shifts wrap mod 64, so the latter is 0 at perBand = 64 and the
+    // bands=1 layout indexParams derives for N > 2^32 would collapse
+    // every key to (0, 0) — one over-cap bucket, zero candidates
+    val mask = -1L >>> (64 - perBand)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sigbits"), b * perBand)
-          .bitwiseAND(lit((1L << perBand) - 1)).as("bits"))
+          .bitwiseAND(lit(mask)).as("bits"))
     }
     df.select(col(idCol),
         graft.functions.native.hyperplaneSignBits(col(vecCol), planes)
@@ -677,18 +682,24 @@ object Similarity {
     * 2^(planes/bands) ≳ N or candidate generation turns quadratic — an 8-bit
     * key was measurably superlinear at 150k vectors (a 3× data step cost
     * 8.8× runtime). `bands = 0` (the default) derives the width from the
-    * corpus via [[indexParams]] — one cheap count (parquet answers it
-    * from footer metadata), then 4×16-bit bands to 2¹⁶ vectors, 2×32 to
-    * 2³², 1×64 beyond — so the default is safe at any N instead of
-    * safe-at-test-scale. `maxBucketSize` additionally drops degenerate
-    * buckets (e.g. a spike of identical embeddings) whose within-bucket
-    * join would be quadratic regardless of key width.
+    * corpus via [[indexParams]] — then 4×16-bit bands to 2¹⁶ vectors,
+    * 2×32 to 2³², 1×64 beyond — so the default is safe at any N instead
+    * of safe-at-test-scale. THE AUTO COUNT IS AN EAGER ACTION: cheap
+    * (footer metadata) on a bare parquet table, but on derived lineage
+    * (filters/joins) it is a full materialization — callers on derived
+    * inputs should pass `n` (size already known), pass `bands`
+    * explicitly, or cache the input first. `maxBucketSize` additionally
+    * drops degenerate buckets (e.g. a spike of identical embeddings)
+    * whose within-bucket join would be quadratic regardless of key
+    * width.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       planes: Int = 64, bands: Int = 0, dim: Int = 64,
       maxBucketSize: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = resolveBands(bands, planes, embeddings.count())
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      n: Long = -1L): DataFrame = {
+    val nBands = resolveBands(bands, planes,
+      if (n >= 0) n else embeddings.count())
     // candidates first (ids only, deduped), score after — the pair table is
     // the big side; vectors+precomputed norms join back by id
     val banded = bandKeys(embeddings, planes, nBands, idCol, vecCol, idCol)
@@ -733,15 +744,20 @@ object Similarity {
     * bucket counts as a snapshot the way `substringFingerprintSnapshot`
     * does for char-gram scrubbing. `bands = 0` derives the band width
     * from the COMBINED population size via [[indexParams]] (the cap
-    * population is what collision math must track).
+    * population is what collision math must track) — at the cost of an
+    * eager `count()` on EACH side per call, a full materialization when
+    * history/batch are derived lineage (as in q133's filters): a refresh
+    * loop should derive the width once and pass `bands` (or `n`)
+    * explicitly rather than recount per micro-batch.
     * Returns the admitted batch rows.
     */
   def incrementalCosineDedupBatch(history: DataFrame, batch: DataFrame,
       threshold: Double = 0.95, planes: Int = 64, bands: Int = 0,
       maxBucketSize: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      n: Long = -1L): DataFrame = {
     val nBands = resolveBands(bands, planes,
-      history.count() + batch.count())
+      if (n >= 0) n else history.count() + batch.count())
     def banded(df: DataFrame, isNew: Boolean): DataFrame =
       bandKeys(df, planes, nBands, idCol, vecCol, idCol)
         .withColumn("is_new", lit(isNew))
@@ -793,8 +809,9 @@ object Similarity {
     */
   def cosineBandSnapshot(history: DataFrame, planes: Int = 64,
       bands: Int = 0, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val nBands = resolveBands(bands, planes, history.count())
+      vecCol: String = "embedding", n: Long = -1L): DataFrame = {
+    val nBands = resolveBands(bands, planes,
+      if (n >= 0) n else history.count())
     bandKeys(history, planes, nBands, idCol, vecCol, "pid")
       .withColumn("hist_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -835,8 +852,13 @@ object Similarity {
     // history members and the combined bucket size in one join
     val j = bb.join(snapshot, Seq("band", "bits"), "left")
       .withColumn("_comb", col("_bn") + coalesce(col("hist_n"), lit(0L)))
+    // pid =!= bid mirrors the direct form's self-pair guard
+    // (incrementalCosineDedupBatch's `pid =!= bid` filter): an id present
+    // in BOTH history and batch must not reject itself via a cosine-1
+    // self-pair here while the direct form admits it
     val histCands = j
-      .filter(col("_comb") <= maxBucketSize && col("pid").isNotNull)
+      .filter(col("_comb") <= maxBucketSize && col("pid").isNotNull &&
+        col("pid") =!= col("bid"))
       .select(col("bid"), col("pid"))
     // surviving buckets (combined size within cap) admit batch-batch pairs
     val okBuckets = j.groupBy(col("band"), col("bits"))

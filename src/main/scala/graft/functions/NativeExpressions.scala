@@ -694,10 +694,28 @@ object HashKernels {
     out
   }
 
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles): NaN
+    * greater than everything including +∞, NaN == NaN, -0.0 == 0.0.
+    * Ranking sims with THIS comparator keeps the kernel bit-agreed with
+    * the literal `array_max`-over-(sim, cid)-structs form on NaN rows
+    * too: a NaN vector makes every sim NaN, struct-max ties to the
+    * larger cid — so both physical forms assign the LARGEST cid, where
+    * a plain `>=` scan (NaN comparisons all false) used to fall back to
+    * ascending-cid and the two paths diverged.
+    */
+  private def cmpSimD(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else -1
+
   /** The `nprobe` centroid ids nearest to `v` by cosine, in rank order
     * (sim desc; ties toward the larger cid when `tiesLarger`, matching
     * `array_max` over (sim, cid) structs — the assignment convention —
     * else toward the smaller cid, the probe-selection convention).
+    * NaN sims rank via [[cmpSimD]] (NaN-greatest), so both physical
+    * assignment forms agree on NaN vectors.
     * Cosine matches the Column formulation exactly: per-element double
     * products accumulated left to right, sim = dot / (|v|·|c|) with the
     * PRODUCT of norms tested against zero. One tight loop per row
@@ -741,14 +759,12 @@ object HashKernels {
       var bestC = -1
       c = 0
       while (c < nlist) {
-        // bestC == -1 accepts the first untaken centroid unconditionally:
-        // with NaN sims (a NaN component in the vector) every comparison
-        // is false and the slot would otherwise stay unassigned — NaN rows
-        // get deterministic ascending-cid probes instead of a crash
-        if (!taken(c) && (bestC == -1 ||
-            (if (tiesLarger) sims(c) >= best else sims(c) > best))) {
-          best = sims(c)
-          bestC = c
+        if (!taken(c)) {
+          val cmp = if (bestC == -1) 1 else cmpSimD(sims(c), best)
+          if (cmp > 0 || (cmp == 0 && tiesLarger)) {
+            best = sims(c)
+            bestC = c
+          }
         }
         c += 1
       }

@@ -573,6 +573,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(idx.collect().toSeq == mem.collect().toSeq)
   }
 
+  test("bands=1 (one 64-bit band) round-trips: exact duplicates still collide") {
+    // long-shift-wrap regression: (1L << 64) - 1 == 0, so the bands=1
+    // layout indexParams derives for N > 2^32 used to mask every band
+    // key to (0, 0) — one over-cap bucket, silently zero candidates.
+    // With a tight cap, only the true full-signature collisions survive.
+    // identical vectors on a direction no cluster crowds (so their
+    // full-signature bucket stays within the tight cap)
+    val az = Seq(0f, 0f, 0f, 1f)
+    val dups = Seq((200L, az), (201L, az))
+    val all = embeddings.unionByName(dups.toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(all, threshold = 0.99,
+      planes = 64, bands = 1, maxBucketSize = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((200L, 201L)),
+      s"identical vectors must share their full 64-bit band key: $pairs")
+    // and the incremental form under bands=1 still rejects an exact echo
+    val admitted = Similarity.incrementalCosineDedupBatch(
+      Seq((1L, ax.toSeq)).toDF("vec_id", "embedding"),
+      Seq((300L, ax.toSeq), (301L, ay.toSeq)).toDF("vec_id", "embedding"),
+      threshold = 0.99, planes = 64, bands = 1, maxBucketSize = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(301L),
+      s"bands=1 must reject the exact history echo, admit the novel: $admitted")
+  }
+
+  test("snapshot admission does not self-reject an id present in both sides") {
+    // the direct form's pid =!= bid guard must hold on the snapshot path
+    // too: an id in BOTH history and batch otherwise rejects itself via
+    // a cosine-1 self-pair and the two forms diverge
+    val hist = Seq((7L, ax.toSeq)).toDF("vec_id", "embedding")
+    val batch = Seq((7L, ax.toSeq), (9L, ay.toSeq)).toDF("vec_id", "embedding")
+    val direct = Similarity.incrementalCosineDedupBatch(hist, batch,
+      threshold = 0.9, planes = 64, bands = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 4)
+    val viaSnap = Similarity.incrementalCosineDedupAgainstSnapshot(
+      hist, snap, batch, threshold = 0.9, planes = 64, bands = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(direct == Set(7L, 9L), s"direct form must not self-reject: $direct")
+    assert(viaSnap == direct, s"snapshot=$viaSnap direct=$direct")
+  }
+
+  test("NaN vectors: kernel and literal-struct assignment agree (largest cid)") {
+    // a NaN component makes every centroid sim NaN; struct-max orders NaN
+    // greatest and ties to the larger cid, so BOTH physical forms must
+    // assign the largest cid (the kernel used to fall back to cid 0)
+    val withNaN = embeddings.unionByName(
+      Seq((99L, Seq(Float.NaN, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val cents = Seq(0 -> ax.toSeq, 1 -> ay.toSeq, 2 -> Seq(0f, 0f, 1f, 0f))
+    val literal = Similarity.assignBuckets(withNaN, cents) // <=16: array_max
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val kernel = withNaN.select(col("vec_id"),
+        element_at(graft.functions.native.nearestCentroidsF(col("embedding"),
+          cents.flatMap(_._2), cents.size, 1, tiesLarger = true), 1).as("bucket"))
+      .as[(Long, Int)].collect().toMap
+    assert(kernel == literal, s"kernel=$kernel literal=$literal")
+    assert(literal(99L) == 2, s"NaN row must take the largest cid: ${literal(99L)}")
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
