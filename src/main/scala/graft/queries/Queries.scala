@@ -1858,6 +1858,61 @@ object Queries {
       centroids, queries, k = 10, nprobe = 3)
   }
 
+  /** q132's batched-probe IVF search under the PRODUCTION sizing path:
+    * nlist = [[graft.ext.Similarity.indexParams]](N).nlist = ⌈√N⌉
+    * derived from the corpus count (23 at 500 vectors — past the
+    * 16-centroid threshold, so assignment and probing ride the
+    * flat-matrix `NearestCentroidsF` kernel, the form every √N-sized
+    * deployment uses). q132 keeps the small fixed test quantizer; this
+    * registers the derived-size path end-to-end against an oracle that
+    * computes ⌈√N⌉ from its own count(*).
+    */
+  def q138IvfBatchAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nlist = Similarity.indexParams(emb.count()).nlist
+    val centroids = Similarity.sampleCentroids(emb, m = nlist)
+    val queries = emb.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKBatch(Similarity.assignBuckets(emb, centroids),
+      centroids, queries, k = 10, nprobe = 3)
+  }
+
+  /** q133's incremental cosine admission under the PRODUCTION banding:
+    * `bands = 0` auto-derivation (4×16-bit at ≤2¹⁶ vectors, per
+    * [[graft.ext.Similarity.indexParams]]) with the corpus size counted
+    * once and threaded through `n` — the safe-by-default width instead
+    * of q133's fixed 8-bit test keys. The oracle re-derives the width
+    * from its own count(*), so the derivation itself is replayed.
+    */
+  def q139IncrCosineAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    Similarity.incrementalCosineDedupBatch(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0),
+      threshold = 0.35, planes = 64, bands = 0, n = n)
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** q135's snapshot-path admission under the PRODUCTION banding: the
+    * snapshot is built with `bands = 0` (width derived from the HISTORY
+    * count) and the scrubber re-derives the width from the snapshot's
+    * band column — the exact per-micro-batch refresh loop a deployment
+    * runs. Same whole-corpus oracle as q139 (decisions identical to the
+    * direct form; history and combined counts sit on the same side of
+    * every 2¹⁶/2³² width boundary here and in any uniform split).
+    */
+  def q140IncrCosineSnapshotAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+    val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 0,
+      n = hist.count())
+    Similarity.incrementalCosineDedupAgainstSnapshot(
+      hist, snap, emb.filter(col("vec_id") % 5 === 0),
+      threshold = 0.35, planes = 64)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** NB margin-reliability audit
     * ([[graft.ext.TextAnalysis.naiveBayesMarginAudit]]): the q109
     * classifier's held-out docs bucketed by best-vs-second log-margin,
@@ -2026,7 +2081,10 @@ object Queries {
     "q134_image_decode" -> (q134ImageDecode _),
     "q135_incr_cosine_snapshot" -> (q135IncrCosineSnapshot _),
     "q136_nb_calibration" -> (q136NbCalibration _),
-    "q137_ivf_recall" -> (q137IvfRecall _))
+    "q137_ivf_recall" -> (q137IvfRecall _),
+    "q138_ivf_batch_auto" -> (q138IvfBatchAuto _),
+    "q139_incr_cosine_auto" -> (q139IncrCosineAuto _),
+    "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2597,6 +2655,16 @@ GROUP BY d.source"""
     // q135 is the SNAPSHOT path of the same admission — identical
     // decisions by construction (spec-pinned), same whole-corpus replay
     "q135_incr_cosine_snapshot" -> IncrCosineOracle,
+    // q138: the derived-⌈√N⌉ quantizer (production sizing) — the oracle
+    // computes nlist from its own count(*) and replays the same
+    // assignment/probe/score chain
+    "q138_ivf_batch_auto" ->
+      (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) +
+        " SELECT query_id, vec_id FROM annres"),
+    // q139/q140: the auto band width (production sizing) — direct and
+    // snapshot forms, identical decisions, width derived in SQL
+    "q139_incr_cosine_auto" -> IncrCosineAutoOracle,
+    "q140_incr_cosine_snapshot_auto" -> IncrCosineAutoOracle,
     // PNG is lossless and the fixture images are solid-color with
     // id-derived dims/colors, so the decoded stats are closed-form in the
     // id — the oracle checks a REAL ImageIO encode→decode round-trip
@@ -3878,7 +3946,12 @@ GROUP BY d.source"""
     * (query_id, vec_id — the top-10 per probe): shared by the search
     * final (q132) and the recall audit final (q137).
     */
-  private def IvfBatchCtes: String = IvfAsgCtes + """,
+  private def IvfBatchCtes: String = ivfBatchCtesOf(IvfAsgCtes)
+
+  /** The same batched-probe chain over any assignment CTE block —
+    * shared by the fixed-quantizer (q132/q137) and derived-⌈√N⌉ (q138)
+    * forms. */
+  private def ivfBatchCtesOf(asgCtes: String): String = asgCtes + """,
          qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
                 FROM en WHERE vec_id % 500 = 0),
          probe AS (
@@ -3946,8 +4019,20 @@ GROUP BY d.source"""
     * band keys, combined-population bucket cap, batch×(history ∪
     * earlier-batch) candidates, exact cosine verify at 0.35.
     */
-  private def IncrCosineOracle: String =
-    """WITH planes AS (
+  private def IncrCosineOracle: String = incrCosineOracleWith("", "8")
+
+  /** q139/q140: the SAME admission replay with the band width itself
+    * derived in SQL from count(*) — the `indexParams` width ladder
+    * (16-bit to 2¹⁶ vectors, 32-bit to 2³², 64-bit beyond). */
+  private def IncrCosineAutoOracle: String = incrCosineOracleWith(
+    """bw AS (SELECT CASE WHEN COUNT(*) <= 65536 THEN 16
+                          WHEN COUNT(*) <= 4294967296 THEN 32
+                          ELSE 64 END AS pb FROM embeddings),
+         """,
+    "(SELECT pb FROM bw)")
+
+  private def incrCosineOracleWith(preCte: String, pb: String): String =
+    s"""WITH ${preCte}planes AS (
            SELECT p, list_transform(range(0, 64), k ->
              CASE WHEN (('0x' || substr(md5(p::VARCHAR || ',' || k::VARCHAR),1,15))::BIGINT & 1) = 1
                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS pv
@@ -3958,11 +4043,11 @@ GROUP BY d.source"""
                     p.pv[k] * CAST(e.embedding[k] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
            FROM embeddings e, planes p),
          bandkeys AS (
-           SELECT vec_id, p // 8 AS band,
-             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT) AS bits
-           FROM sb GROUP BY vec_id, p // 8
-           QUALIFY COUNT(*) OVER (PARTITION BY (p // 8),
-             CAST(SUM(bit * (1 << CAST(p % 8 AS INTEGER))) AS BIGINT)) <= 10000),
+           SELECT vec_id, p // $pb AS band,
+             CAST(SUM(bit * (1::BIGINT << CAST(p % $pb AS INTEGER))) AS BIGINT) AS bits
+           FROM sb GROUP BY vec_id, p // $pb
+           QUALIFY COUNT(*) OVER (PARTITION BY (p // $pb),
+             CAST(SUM(bit * (1::BIGINT << CAST(p % $pb AS INTEGER))) AS BIGINT)) <= 10000),
          cand AS (
            SELECT DISTINCT l.vec_id AS bid, r.vec_id AS pid
            FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.bits = r.bits
@@ -3983,10 +4068,23 @@ GROUP BY d.source"""
          SELECT vec_id, label FROM embeddings
          WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT bid FROM rej)"""
 
-  private def IvfAsgCtes: String =
-    """WITH cent AS (
-           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
-           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+  private def IvfAsgCtes: String = ivfAsgCtesWith(
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)""")
+
+  /** Derived-size quantizer: the ⌈√N⌉ smallest-id vectors (capped at
+    * 65536, floored at 1), N computed from the oracle's own count(*) —
+    * the `Similarity.indexParams` nlist derivation replayed in SQL. */
+  private def AutoCentCte: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM embeddings
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+             LEAST(65536, GREATEST(1,
+               CAST(ceil(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT)))"""
+
+  private def ivfAsgCtesWith(centCte: String): String =
+    s"""WITH cent AS (
+           $centCte),
          cn AS (SELECT cid, embedding,
                  sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
                    CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
