@@ -66,6 +66,13 @@ object StreamThroughput {
         args.lift(2).map(_.toInt).getOrElse(10))
       case other => System.err.println(s"unknown mode $other"); sys.exit(2)
     }
+    // Unload every loaded state-store provider BEFORE the context stops:
+    // this closes each RocksDB instance (and disposes its native logger)
+    // while the JVM is still healthy. Skipping it lets RocksDB's
+    // LoggerJniCallback fire during JVM exit — the known shutdown race
+    // that SIGSEGV'd the 10M-key soak strictly after its last
+    // measurement (ARCHITECTURE.md, round 8).
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 
