@@ -17,10 +17,17 @@ import org.apache.spark.sql.types._
   * [[decodeImageFeatures]] do actual pixel work — dimensions, band count,
   * per-channel means — in the same partition-batched shape a native codec
   * would use, and q134 oracles the round-trip (PNG is lossless, so the
-  * decoded stats of a generated image are exactly predictable). Audio
-  * resample and video frame extraction still require native libraries NOT
-  * in this container, so those kernels remain deliberately STUBBED with
-  * deterministic fakes — clearly marked below — while everything
+  * decoded stats of a generated image are exactly predictable).
+  *
+  * AUDIO decode is REAL too: `javax.sound.sampled` ships WAV/AIFF/AU PCM
+  * parsing in the JDK, so [[decodeAudioStats]] / [[decodeAudioFeatures]]
+  * do actual sample work — format, frame count, per-channel RMS — and
+  * q141 oracles the round-trip the same way (16-bit PCM WAV is lossless,
+  * so the decoded stats of a generated clip are exactly predictable).
+  *
+  * Video frame extraction still requires native codecs NOT in this
+  * container, so that kernel remains deliberately STUBBED with a
+  * deterministic fake — clearly marked below — while everything
   * Spark-side (schema, partitioning, batch iteration shape, pruning
   * behavior) is real and tested.
   */
@@ -182,6 +189,169 @@ object MultiModal {
       }
       .toDF("media_id", "width", "height", "bands",
         "mean_r", "mean_g", "mean_b")
+  }
+
+  // ------------------------------------------------ real audio decode
+
+  /** Decoded-audio statistics: format plus per-channel RMS amplitude
+    * (root-mean-square over the clip's 16-bit sample values), the
+    * loudness/silence signal an audio training-data pipeline filters on.
+    */
+  final case class AudioStats(channels: Int, sampleRate: Int, frames: Long,
+      rms: Array[Double])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — no native libraries needed): container parse, format
+    * extraction, and per-channel RMS computed by streaming the sample
+    * data through ONE reused frame-aligned buffer (the q134 bulk-fetch
+    * lesson applied pre-emptively: no per-sample reads, no whole-clip
+    * materialization — at 100 TB the clips stream through a fixed-size
+    * window). Returns None for a null/empty/unparseable payload or a
+    * non-16-bit-PCM encoding, keeping failures auditable rather than
+    * fatal.
+    */
+  def decodeAudioStats(payload: Array[Byte]): Option[AudioStats] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (payload == null || payload.isEmpty) None
+    else {
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null) None
+      else try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize // = channels * 2 for 16-bit PCM
+          val big = fmt.isBigEndian
+          // AudioInputStream.read returns an integral number of frames;
+          // the buffer is frame-aligned so a channel never splits reads
+          val buf = new Array[Byte](8192 - 8192 % frameSize)
+          val sumSq = new Array[Long](channels)
+          var frames = 0L
+          var n = ais.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) {
+              var ch = 0
+              while (ch < channels) {
+                val o = i + ch * 2
+                val s =
+                  if (big) ((buf(o) << 8) | (buf(o + 1) & 0xFF)).toShort
+                  else ((buf(o + 1) << 8) | (buf(o) & 0xFF)).toShort
+                sumSq(ch) += s.toLong * s
+                ch += 1
+              }
+              i += frameSize
+            }
+            frames += n / frameSize
+            n = ais.read(buf)
+          }
+          if (frames == 0L) None
+          else Some(AudioStats(channels, fmt.getSampleRate.toInt, frames,
+            sumSq.map(ss => math.sqrt(ss.toDouble / frames))))
+        }
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic 16-bit PCM WAV encoder for fixtures and the q141
+    * oracle: `samples` are frame-interleaved (`frames * channels`
+    * values). 16-bit PCM is lossless, so a decode of this payload must
+    * reproduce every sample value exactly — which is what makes the
+    * decode oracle-checkable without an audio library on the oracle
+    * side.
+    */
+  def encodePcmWav(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(channels >= 1 && samples.length % channels == 0,
+      s"samples (${samples.length}) must be a whole number of $channels-channel frames")
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // WAV PCM is little-endian
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length.toLong / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV media table derived from a keyed table: each id
+    * becomes a short PCM clip whose format and samples are pure functions
+    * of the id — channels `1 + id%2`, sample rate `8000·(1 + id%3)`,
+    * `50 + id%101` frames, sample value
+    * `((id·31 + ch·17 + k·7) mod 2001) − 1000` for frame k — so an
+    * external oracle predicts the decoded per-channel RMS from the id
+    * alone (integer sample values ⇒ the sum of squares is exact in both
+    * engines; sqrt/round are IEEE-identical). Encode runs
+    * partition-batched like every media kernel here.
+    */
+  def syntheticWavMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val channels = (1 + id % 2).toInt
+          val rate = (8000 * (1 + id % 3)).toInt
+          val frames = (50 + id % 101).toInt
+          val samples = new Array[Short](frames * channels)
+          var k = 0
+          while (k < frames) {
+            var ch = 0
+            while (ch < channels) {
+              samples(k * channels + ch) =
+                ((id * 31 + ch * 17 + k * 7) % 2001 - 1000).toShort
+              ch += 1
+            }
+            k += 1
+          }
+          (id, encodePcmWav(channels, rate, samples),
+            frames.toLong * 1000 / rate)
+        }
+      }
+      .toDF("media_id", "payload", "dur")
+      .select(col("media_id"), col("payload"),
+        struct(lit("audio/wav").as("mime"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          col("dur").as("duration_ms")).as("meta"))
+  }
+
+  /** REAL audio decode pass over a media table — `javax.sound.sampled`
+    * PCM parse per record, partition-batched via mapPartitions (parser
+    * lookup and the frame buffer amortize per partition the way a native
+    * codec's init would). Output is one row per (media, channel) —
+    * (media_id, channel, channels, sample_rate, frames, rms) — so
+    * variable channel counts need no nullable per-channel columns;
+    * undecodable payloads simply emit no rows for that id and are
+    * auditable as an anti-join against the input.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeAudioStats(payload).iterator.flatMap { s =>
+            s.rms.iterator.zipWithIndex.map { case (r, ch) =>
+              (id, ch, s.channels, s.sampleRate, s.frames, r)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "channel", "channels", "sample_rate", "frames", "rms")
+      .withColumn("rms", round(col("rms"), 6))
   }
 
   /** ======================== STUB ========================

@@ -83,8 +83,19 @@ object Similarity {
     else {
       require(planes == 64, s"bands=0 auto-derivation assumes the 64-bit " +
         s"signature (got planes=$planes); pass bands explicitly")
-      indexParams(n).bands
+      val pop = n
+      val derived = indexParams(pop).bands
+      // `n` is a trust-me sentinel when caller-supplied: a stale count
+      // silently mis-sizes the band width, so make the resolution
+      // observable (one line per derivation, driver-side, log4j INFO —
+      // suppressed at the WARN level the benches run at)
+      log.info(s"resolveBands: n=$pop -> bands=$derived " +
+        s"(${planes / derived}-bit keys)")
+      derived
     }
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** (idAlias, band, bits) band-key stream for a vector table — the ONE
     * banding block every hyperplane-LSH entry point shares (pairs,

@@ -1895,18 +1895,21 @@ object Queries {
   }
 
   /** q135's snapshot-path admission under the PRODUCTION banding: the
-    * snapshot is built with `bands = 0` (width derived from the HISTORY
-    * count) and the scrubber re-derives the width from the snapshot's
-    * band column — the exact per-micro-batch refresh loop a deployment
-    * runs. Same whole-corpus oracle as q139 (decisions identical to the
-    * direct form; history and combined counts sit on the same side of
-    * every 2¹⁶/2³² width boundary here and in any uniform split).
+    * snapshot is built with `bands = 0` and the scrubber re-derives the
+    * width from the snapshot's band column — the exact per-micro-batch
+    * refresh loop a deployment runs. The width population is the WHOLE
+    * corpus (one `emb.count()`, threaded via `n`), the same population
+    * the oracle's `count(*)` ladder uses — deriving from the history
+    * count alone would diverge from the oracle exactly at a 2¹⁶/2³²
+    * population boundary with no code bug (and is the width a refresh
+    * loop wants anyway: collision math must track the population the
+    * bucket cap sees, history + batch).
     */
   def q140IncrCosineSnapshotAuto(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val hist = emb.filter(col("vec_id") % 5 =!= 0)
     val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 0,
-      n = hist.count())
+      n = emb.count())
     Similarity.incrementalCosineDedupAgainstSnapshot(
       hist, snap, emb.filter(col("vec_id") % 5 === 0),
       threshold = 0.35, planes = 64)
@@ -1941,6 +1944,21 @@ object Queries {
   def q134ImageDecode(spark: SparkSession, dir: String): DataFrame =
     MultiModal.decodeImageFeatures(
       MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")))
+
+  /** REAL audio decode ([[graft.ext.MultiModal.decodeAudioFeatures]] —
+    * the q134 playbook applied to the audio half of the multimodal
+    * surface via the JDK's `javax.sound.sampled`, zero new
+    * dependencies): every doc id becomes a deterministic 16-bit PCM WAV
+    * clip ([[graft.ext.MultiModal.syntheticWavMedia]]), and the decode
+    * pass recovers channel count, sample rate, frame count, and exact
+    * per-channel RMS by actual sample work (streamed through one reused
+    * frame-aligned buffer). PCM is lossless, so the oracle predicts the
+    * decoded stats in closed form from the id — a genuine
+    * encode→decode round-trip check.
+    */
+  def q141AudioDecode(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.decodeAudioFeatures(
+      MultiModal.syntheticWavMedia(Tables.load(spark, dir, "documents")))
 
   // ------------------------------------------------------------------
 
@@ -2084,7 +2102,8 @@ object Queries {
     "q137_ivf_recall" -> (q137IvfRecall _),
     "q138_ivf_batch_auto" -> (q138IvfBatchAuto _),
     "q139_incr_cosine_auto" -> (q139IncrCosineAuto _),
-    "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _))
+    "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _),
+    "q141_audio_decode" -> (q141AudioDecode _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2677,6 +2696,26 @@ GROUP BY d.source"""
            CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
            CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
          FROM documents""",
+    // q141: closed-form replay of the WAV round-trip — the fixture's
+    // format/sample formulas re-derived per id, integer sum-of-squares
+    // (exact in double on both engines), IEEE sqrt, 6dp round
+    "q141_audio_decode" ->
+      """WITH params AS (
+           SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+             CAST(50 + doc_id % 101 AS BIGINT) AS frames
+           FROM documents),
+         chans AS (
+           SELECT media_id, channels, sample_rate, frames,
+             CAST(unnest(range(0, channels)) AS INTEGER) AS channel
+           FROM params)
+         SELECT media_id, channel, channels, sample_rate, frames,
+           ROUND(sqrt(list_sum(list_transform(range(0, frames), k ->
+             CAST(((media_id*31 + channel*17 + k*7) % 2001 - 1000)
+               * ((media_id*31 + channel*17 + k*7) % 2001 - 1000) AS DOUBLE)))
+             / frames), 6) AS rms
+         FROM chans""",
     "q105_pq_topk" -> PqTopKOracle,
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.

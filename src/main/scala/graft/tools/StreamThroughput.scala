@@ -58,22 +58,27 @@ object StreamThroughput {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    mode match {
-      case "join" => joinProbe(spark, nUsers)
-      case "fanout" => fanoutProbe(spark, nUsers)
-      case "ttl" => ttlProbe(spark, math.min(nUsers, 5000))
-      case "soak" => soakProbe(spark, nUsers,
-        args.lift(2).map(_.toInt).getOrElse(10))
-      case other => System.err.println(s"unknown mode $other"); sys.exit(2)
-    }
     // Unload every loaded state-store provider BEFORE the context stops:
     // this closes each RocksDB instance (and disposes its native logger)
     // while the JVM is still healthy. Skipping it lets RocksDB's
     // LoggerJniCallback fire during JVM exit — the known shutdown race
     // that SIGSEGV'd the 10M-key soak strictly after its last
-    // measurement (ARCHITECTURE.md, round 8).
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    spark.stop()
+    // measurement (ARCHITECTURE.md, round 8). try/finally so the ordered
+    // teardown also runs when a probe throws — an exceptional exit is
+    // exactly when a store is most likely to still be open.
+    try {
+      mode match {
+        case "join" => joinProbe(spark, nUsers)
+        case "fanout" => fanoutProbe(spark, nUsers)
+        case "ttl" => ttlProbe(spark, math.min(nUsers, 5000))
+        case "soak" => soakProbe(spark, nUsers,
+          args.lift(2).map(_.toInt).getOrElse(10))
+        case other => System.err.println(s"unknown mode $other"); sys.exit(2)
+      }
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.stop()
+    }
   }
 
   private def stateRows(q: StreamingQuery): Long =

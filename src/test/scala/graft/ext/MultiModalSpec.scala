@@ -85,4 +85,40 @@ class MultiModalSpec extends SparkSpecBase {
     assert(failed.length == 1 && failed.head.getLong(0) == 7L &&
       failed.head.isNullAt(1) && failed.head.isNullAt(4))
   }
+
+  test("REAL audio decode round-trips generated PCM WAVs exactly") {
+    // direct kernel round-trip: known interleaved stereo samples
+    val samples = Array[Short](100, -200, 300, -400, 500, -600) // 3 frames x 2ch
+    val wav = MultiModal.encodePcmWav(2, 16000, samples)
+    assert(wav.length > 44 && new String(wav.take(4)) == "RIFF" &&
+      new String(wav.slice(8, 12)) == "WAVE", "payload is a real WAV container")
+    val s = MultiModal.decodeAudioStats(wav).get
+    assert(s.channels == 2 && s.sampleRate == 16000 && s.frames == 3L)
+    // RMS per channel over the exact integer samples
+    def rms(vs: Seq[Int]) = math.sqrt(vs.map(v => v.toLong * v).sum.toDouble / vs.length)
+    assert(s.rms(0) == rms(Seq(100, 300, 500)))
+    assert(s.rms(1) == rms(Seq(-200, -400, -600)))
+    // distributed pass over an id-derived media table: one row per
+    // (media, channel), format and RMS matching the closed-form fixture
+    val ids = Seq(0L, 1L, 13L, 299L).toDF("doc_id")
+    val got = MultiModal.decodeAudioFeatures(MultiModal.syntheticWavMedia(ids))
+      .as[(Long, Int, Int, Int, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == Seq(0L, 1L, 13L, 299L).map(id => 1 + id % 2).sum)
+    for (id <- Seq(0L, 1L, 13L, 299L); ch <- 0 until (1 + id % 2).toInt) {
+      val (_, _, channels, rate, frames, r) = got((id, ch))
+      assert(channels == (1 + id % 2).toInt && rate == (8000 * (1 + id % 3)).toInt)
+      assert(frames == 50 + id % 101)
+      val expect = rms((0 until frames.toInt).map(k =>
+        ((id * 31 + ch * 17 + k * 7) % 2001 - 1000).toInt))
+      assert(r == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // unparseable payloads emit no rows (auditable by anti-join), and a
+    // non-PCM claim is rejected rather than mis-decoded
+    val bad = Seq((7L, "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    assert(MultiModal.decodeAudioFeatures(bad).collect().isEmpty)
+    assert(MultiModal.decodeAudioStats(null).isEmpty)
+    assert(MultiModal.decodeAudioStats(Array.emptyByteArray).isEmpty)
+  }
 }
