@@ -470,6 +470,53 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("auto-banded snapshot admission: streaming micro-batches equal the direct form, width derived once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // production refresh-loop shape under the bands = 0 sizing: the
+    // snapshot is built ONCE with the width derived from the known
+    // population (n threaded — the count is never re-run per batch), and
+    // the scrubber re-derives that width from the snapshot's band column
+    // on every micro-batch. Decisions must equal the direct window form
+    // run on the same (history, chunk) pairs.
+    val hist = (0L until 12L).map(i => (i * 2 + 1, vec(ax, 0.02f, i.toInt)))
+      .toDF("vec_id", "embedding").cache()
+    val chunks = Seq(
+      Seq((100L, vec(ax, 0.01f, 3)),   // history echo → rejected
+          (102L, vec(ay, 0.01f, 7))),  // novel direction → admitted
+      Seq((200L, vec(ay, 0.015f, 9)),  // novel vs history → admitted
+          (201L, vec(ay, 0.015f, 9)))) // echo of 200, same batch → rejected
+    val population = 12L + chunks.map(_.size).sum
+    val snap = Similarity.cosineBandSnapshot(hist, planes = 64, bands = 0,
+      n = population).cache()
+    val streamed = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // bands default 0: width read back from the snapshot, no recount
+        val ok = Similarity.incrementalCosineDedupAgainstSnapshot(
+          hist, snap, batch, threshold = 0.9, planes = 64)
+        streamed.synchronized {
+          streamed ++= ok.select("vec_id").as[Long].collect().sorted
+        }
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // batch replay: the direct form per chunk with the SAME pinned
+    // population — the equality the q139/q140 oracles rely on
+    val direct = chunks.flatMap { c =>
+      Similarity.incrementalCosineDedupBatch(
+        hist, c.toDF("vec_id", "embedding"), threshold = 0.9, planes = 64,
+        bands = 0, n = population)
+        .select("vec_id").as[Long].collect().sorted
+    }
+    assert(streamed.synchronized(streamed.toList) == direct.toList)
+    assert(direct.toList == List(102L, 200L))
+  }
+
   test("snapshot admission equals the direct form on randomized corpora") {
     // seeded random trials across corpus shapes, caps, and thresholds —
     // the fixed-fixture equivalence test's adversarial sibling
