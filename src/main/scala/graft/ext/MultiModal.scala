@@ -25,11 +25,20 @@ import org.apache.spark.sql.types._
   * q141 oracles the round-trip the same way (16-bit PCM WAV is lossless,
   * so the decoded stats of a generated clip are exactly predictable).
   *
-  * Video frame extraction still requires native codecs NOT in this
-  * container, so that kernel remains deliberately STUBBED with a
-  * deterministic fake — clearly marked below — while everything
-  * Spark-side (schema, partitioning, batch iteration shape, pruning
-  * behavior) is real and tested.
+  * VIDEO-SHAPED frame extraction is REAL on the one multi-frame
+  * container the JDK ships a codec for: animated GIF.
+  * [[decodeFrameStats]] / [[decodeVideoFrames]] discover the frame
+  * count from the container and raster-decode every `stride`-th frame —
+  * the keyframe-sampling access pattern — and q142 oracles the
+  * round-trip (solid-color GIF frames palettize losslessly, so decoded
+  * per-frame stats are exactly predictable). An MP4/H.264 deployment
+  * swaps the reader inside the same partition-batched kernel for a JNI
+  * codec; nothing Spark-side changes. The remaining byte-level stubs
+  * below (`fakeDecodeFeatures`/`fakeResize`/`sampleChunks`) stand in
+  * for codec-specific transforms (re-encode, rescale) that genuinely
+  * need native libraries absent from this container — clearly marked —
+  * while everything Spark-side (schema, partitioning, batch iteration
+  * shape, pruning behavior) is real and tested.
   */
 object MultiModal {
 
@@ -352,6 +361,167 @@ object MultiModal {
       }
       .toDF("media_id", "channel", "channels", "sample_rate", "frames", "rms")
       .withColumn("rms", round(col("rms"), 6))
+  }
+
+  // ------------------------------------- real multi-frame (video) decode
+
+  /** Per-frame statistics of a decoded multi-frame media payload. */
+  final case class FrameStats(frameIdx: Int, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL multi-frame decode via the JDK's `javax.imageio` GIF reader —
+    * the video-shaped half of the multimodal surface on a container the
+    * JDK actually ships a codec for: an animated GIF is a genuine
+    * multi-frame temporal medium (per-frame raster decode, frame count
+    * discovered from the container), and frame SAMPLING — decode every
+    * `stride`-th frame, skip the rest — is the exact access pattern a
+    * video pipeline runs over keyframes. Returns the sampled frames'
+    * dimensions and per-channel means; None for null/empty/non-GIF
+    * payloads (auditable, not fatal). An MP4/H.264 deployment swaps the
+    * reader inside this same partition-batched kernel for a JNI codec;
+    * nothing Spark-side changes.
+    */
+  def decodeFrameStats(payload: Array[Byte], stride: Int = 1): Option[Seq[FrameStats]] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    if (payload == null || payload.isEmpty) None
+    else {
+      val res =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              // allowSearch: the frame count comes from the container
+              val n = reader.getNumImages(true)
+              val out = Vector.newBuilder[FrameStats]
+              var f = 0
+              while (f < n) {
+                if (f % stride == 0) {
+                  val im = reader.read(f)
+                  val w = im.getWidth; val h = im.getHeight
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  val row = new Array[Int](w) // bulk row fetch, reused buffer
+                  var y = 0
+                  while (y < h) {
+                    im.getRGB(0, y, w, 1, row, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val p = row(x)
+                      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val px = w.toLong * h
+                  out += FrameStats(f, w, h,
+                    sr.toDouble / px, sg.toDouble / px, sb.toDouble / px)
+                }
+                f += 1
+              }
+              Some(out.result())
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      res.filter(_.nonEmpty)
+    }
+  }
+
+  /** Deterministic animated-GIF encoder for fixtures and the q142
+    * oracle: `frames` solid-color frames of `width`×`height`, frame f
+    * colored by `color(f)`. GIF palettizes losslessly at ≤256 distinct
+    * colors per frame — a solid frame is ONE palette entry — so a decode
+    * must reproduce every frame's color exactly, which is what makes the
+    * multi-frame decode oracle-checkable without a media library on the
+    * oracle side.
+    */
+  def encodeSolidGif(width: Int, height: Int, frames: Int,
+      color: Int => (Int, Int, Int)): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val (r, g, b) = color(f)
+        // hand the writer a PRE-INDEXED frame with an exact palette: the
+        // JDK GIF writer preserves an IndexColorModel verbatim, whereas
+        // RGB input may be re-quantized through a default palette (which
+        // would break the lossless round-trip the oracle relies on).
+        // All pixels default to index 0 = the frame's color.
+        val icm = new java.awt.image.IndexColorModel(1, 2,
+          Array(r.toByte, r.toByte), Array(g.toByte, g.toByte),
+          Array(b.toByte, b.toByte))
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic animated-GIF media table derived from a keyed table:
+    * each id becomes a short clip whose frame count, dimensions, and
+    * per-frame colors are pure functions of the id — `2 + id%4` frames,
+    * width `1 + id%7`, height `1 + id%5`, frame f's channels
+    * `((id·37 + f·11) mod 256, (id·59 + f·23) mod 256,
+    * (id·83 + f·31) mod 256)` — so an external oracle predicts every
+    * sampled frame's decoded stats from (id, f) alone.
+    */
+  def syntheticGifMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (1 + id % 7).toInt
+          val h = (1 + id % 5).toInt
+          val frames = (2 + id % 4).toInt
+          (id, encodeSolidGif(w, h, frames, f => (
+            ((id * 37 + f * 11) % 256).toInt,
+            ((id * 59 + f * 23) % 256).toInt,
+            ((id * 83 + f * 31) % 256).toInt)),
+            frames.toLong * 100)
+        }
+      }
+      .toDF("media_id", "payload", "dur")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/gif").as("mime"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          col("dur").as("duration_ms")).as("meta"))
+  }
+
+  /** REAL frame-sampling decode pass over a media table: every
+    * `stride`-th frame of each clip is raster-decoded
+    * (partition-batched; reader init and row buffer amortize per
+    * partition). Output is one row per sampled frame — (media_id,
+    * frame_idx, n_frames_sampled, width, height, mean_r, mean_g,
+    * mean_b); undecodable payloads emit no rows and are auditable as an
+    * anti-join against the input.
+    */
+  def decodeVideoFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeFrameStats(payload, stride).iterator.flatMap { fs =>
+            fs.iterator.map(s => (id, s.frameIdx, fs.size, s.width, s.height,
+              s.meanR, s.meanG, s.meanB))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_frames_sampled", "width", "height",
+        "mean_r", "mean_g", "mean_b")
   }
 
   /** ======================== STUB ========================

@@ -1960,6 +1960,23 @@ object Queries {
     MultiModal.decodeAudioFeatures(
       MultiModal.syntheticWavMedia(Tables.load(spark, dir, "documents")))
 
+  /** REAL multi-frame (video-shaped) decode with frame sampling
+    * ([[graft.ext.MultiModal.decodeVideoFrames]] — the last multimodal
+    * stub made real on the one multi-frame container the JDK ships a
+    * codec for, animated GIF): every doc id becomes a deterministic
+    * short clip ([[graft.ext.MultiModal.syntheticGifMedia]], 2–5
+    * solid-color frames with id-and-frame-derived palettes), and the
+    * decode pass samples every 2nd frame — the keyframe access pattern —
+    * recovering each sampled frame's dimensions and exact per-channel
+    * means by actual raster work. Indexed-palette GIF is lossless, so
+    * the oracle predicts every sampled frame's stats in closed form
+    * from (id, frame).
+    */
+  def q142VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.decodeVideoFrames(
+      MultiModal.syntheticGifMedia(Tables.load(spark, dir, "documents")),
+      stride = 2)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2103,7 +2120,8 @@ object Queries {
     "q138_ivf_batch_auto" -> (q138IvfBatchAuto _),
     "q139_incr_cosine_auto" -> (q139IncrCosineAuto _),
     "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _),
-    "q141_audio_decode" -> (q141AudioDecode _))
+    "q141_audio_decode" -> (q141AudioDecode _),
+    "q142_video_frames" -> (q142VideoFrames _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2716,6 +2734,26 @@ GROUP BY d.source"""
                * ((media_id*31 + channel*17 + k*7) % 2001 - 1000) AS DOUBLE)))
              / frames), 6) AS rms
          FROM chans""",
+    // q142: closed-form replay of the animated-GIF frame-sampling
+    // round-trip — frame count, sampled indices (stride 2), dims, and
+    // per-frame solid colors re-derived per (id, frame)
+    "q142_video_frames" ->
+      """WITH params AS (
+           SELECT doc_id AS media_id,
+             CAST(2 + doc_id % 4 AS INTEGER) AS frames,
+             CAST(1 + doc_id % 7 AS INTEGER) AS width,
+             CAST(1 + doc_id % 5 AS INTEGER) AS height
+           FROM documents),
+         fr AS (
+           SELECT media_id, width, height,
+             CAST((frames + 1) // 2 AS INTEGER) AS n_frames_sampled,
+             CAST(unnest(range(0, frames, 2)) AS INTEGER) AS frame_idx
+           FROM params)
+         SELECT media_id, frame_idx, n_frames_sampled, width, height,
+           CAST((media_id * 37 + frame_idx * 11) % 256 AS DOUBLE) AS mean_r,
+           CAST((media_id * 59 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
+           CAST((media_id * 83 + frame_idx * 31) % 256 AS DOUBLE) AS mean_b
+         FROM fr""",
     "q105_pq_topk" -> PqTopKOracle,
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.

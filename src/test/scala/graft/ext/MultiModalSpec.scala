@@ -121,4 +121,41 @@ class MultiModalSpec extends SparkSpecBase {
     assert(MultiModal.decodeAudioStats(null).isEmpty)
     assert(MultiModal.decodeAudioStats(Array.emptyByteArray).isEmpty)
   }
+
+  test("REAL multi-frame GIF decode samples frames and round-trips colors exactly") {
+    // direct kernel round-trip: 5 frames, distinct solid colors, stride 2
+    val gif = MultiModal.encodeSolidGif(4, 3, 5, f => (10 * f, 20 * f, 30 * f))
+    assert(new String(gif.take(3)) == "GIF", "payload is a real GIF container")
+    val all = MultiModal.decodeFrameStats(gif, stride = 1).get
+    assert(all.size == 5)
+    val sampled = MultiModal.decodeFrameStats(gif, stride = 2).get
+    assert(sampled.map(_.frameIdx) == Seq(0, 2, 4))
+    for (s <- sampled) {
+      assert(s.width == 4 && s.height == 3)
+      assert((s.meanR, s.meanG, s.meanB) ==
+        ((10.0 * s.frameIdx, 20.0 * s.frameIdx, 30.0 * s.frameIdx)))
+    }
+    // distributed pass over an id-derived media table
+    val ids = Seq(0L, 1L, 13L, 299L).toDF("doc_id")
+    val got = MultiModal.decodeVideoFrames(MultiModal.syntheticGifMedia(ids), stride = 2)
+      .as[(Long, Int, Int, Int, Int, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    for (id <- Seq(0L, 1L, 13L, 299L)) {
+      val frames = (2 + id % 4).toInt
+      val idxs = 0 until frames by 2
+      for (f <- idxs) {
+        val (_, _, n, w, h, mr, mg, mb) = got((id, f))
+        assert(n == idxs.size && w == (1 + id % 7).toInt && h == (1 + id % 5).toInt)
+        assert(mr == ((id * 37 + f * 11) % 256).toDouble &&
+          mg == ((id * 59 + f * 23) % 256).toDouble &&
+          mb == ((id * 83 + f * 31) % 256).toDouble)
+      }
+      // odd frames were skipped, not decoded
+      assert(!(1 until frames by 2).exists(f => got.contains((id, f))))
+    }
+    // unparseable payloads emit no rows
+    val bad = Seq((7L, "not a gif".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(MultiModal.decodeVideoFrames(bad).collect().isEmpty)
+    assert(MultiModal.decodeFrameStats(null).isEmpty)
+  }
 }
