@@ -1977,6 +1977,22 @@ object Queries {
       MultiModal.syntheticGifMedia(Tables.load(spark, dir, "documents")),
       stride = 2)
 
+  /** REAL image resize ([[graft.ext.MultiModal.resizeImageFeatures]] —
+    * the resize kernel made real: decode → nearest-neighbor raster
+    * downscale to ⌈dims/2⌉ → PNG re-encode, per record,
+    * partition-batched), audited by decoding the RESIZED payload: a
+    * solid-color source stays solid under any resampling, so the oracle
+    * predicts the resized dimensions and exact per-channel means in
+    * closed form from the id. (The re-encoded byte size is
+    * encoder-dependent and deliberately not part of the graded output.)
+    */
+  def q143ImageResize(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.resizeImageFeatures(
+      MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")),
+      factor = 2)
+      .select(col("media_id"), col("width"), col("height"), col("bands"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2121,7 +2137,8 @@ object Queries {
     "q139_incr_cosine_auto" -> (q139IncrCosineAuto _),
     "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _),
     "q141_audio_decode" -> (q141AudioDecode _),
-    "q142_video_frames" -> (q142VideoFrames _))
+    "q142_video_frames" -> (q142VideoFrames _),
+    "q143_image_resize" -> (q143ImageResize _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2754,6 +2771,17 @@ GROUP BY d.source"""
            CAST((media_id * 59 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
            CAST((media_id * 83 + frame_idx * 31) % 256 AS DOUBLE) AS mean_b
          FROM fr""",
+    // q143: closed-form replay of the resize round-trip — ceil(dims/2)
+    // and the solid color preserved by any resampling of a solid image
+    "q143_image_resize" ->
+      """SELECT doc_id AS media_id,
+           CAST((1 + doc_id % 7 + 1) // 2 AS INTEGER) AS width,
+           CAST((1 + doc_id % 5 + 1) // 2 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS bands,
+           CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
     "q105_pq_topk" -> PqTopKOracle,
     // q106 is the materialized-code-table path of the same PQ algorithm —
     // identical codebooks, encoding, ADC ranking, and tie-break.

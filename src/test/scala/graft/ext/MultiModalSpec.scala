@@ -158,4 +158,32 @@ class MultiModalSpec extends SparkSpecBase {
     assert(MultiModal.decodeVideoFrames(bad).collect().isEmpty)
     assert(MultiModal.decodeFrameStats(null).isEmpty)
   }
+
+  test("REAL image resize downscales rasters with the ceil contract and preserves solid color") {
+    // direct kernel: 7x5 solid → factor 2 → 4x3, same color, still a PNG
+    val png = MultiModal.encodeSolidPng(7, 5, 200, 10, 99)
+    val resized = MultiModal.resizeImage(png, 2).get
+    val s = MultiModal.decodeImageStats(resized).get
+    assert(s == MultiModal.ImageStats(4, 3, 3, 200.0, 10.0, 99.0))
+    // 1x1 is a fixed point at any factor
+    val tiny = MultiModal.resizeImage(MultiModal.encodeSolidPng(1, 1, 5, 6, 7), 10).get
+    assert(MultiModal.decodeImageStats(tiny).get ==
+      MultiModal.ImageStats(1, 1, 3, 5.0, 6.0, 7.0))
+    // distributed pass: audit columns of the resized payloads
+    val ids = Seq(0L, 1L, 13L, 299L).toDF("doc_id")
+    val got = MultiModal.resizeImageFeatures(MultiModal.syntheticPngMedia(ids), 2)
+      .as[(Long, Int, Int, Int, Double, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(0L, 1L, 13L, 299L)) {
+      val (_, w, h, b, mr, mg, mb, ob, rb) = got(id)
+      assert(w == ((1 + id % 7).toInt + 1) / 2 && h == ((1 + id % 5).toInt + 1) / 2)
+      assert(b == 3 && ob > 0 && rb > 0)
+      assert(mr == ((id * 37) % 256).toDouble && mg == ((id * 59) % 256).toDouble &&
+        mb == ((id * 83) % 256).toDouble)
+    }
+    // undecodable payloads emit no rows
+    val bad = Seq((7L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(MultiModal.resizeImageFeatures(bad, 2).collect().isEmpty)
+    assert(MultiModal.resizeImage(null, 2).isEmpty)
+  }
 }
