@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches.
+  *
+  * [[hllDistinct]] is a PORTABLE HyperLogLog (Flajolet et al. 2007,
+  * with the standard linear-counting small-range correction): the
+  * register hash derives from md5 like the repo's whole portable LSH
+  * family, so any engine with md5 replays the sketch BIT-EXACTLY — the
+  * property that lets an approximate operator be oracle-checked
+  * hash-exact instead of "within tolerance". Spark's built-in
+  * `approx_count_distinct` is the same algorithm but its xxhash64/HLL++
+  * internals aren't replayable in SQL; this one is.
+  *
+  * 100 TB posture: the sketch is two hash-partial aggregations —
+  * `(group, bucket) → max(rho)` then `group → register merge` — both
+  * map-side-combining, shuffling at most `groups × m` tiny rows
+  * regardless of input size. That is THE shape for distinct-counting at
+  * scale (exact distinct shuffles every distinct value). Registers
+  * merge by max, so per-partition/per-day sketches union losslessly —
+  * the streaming/incremental form is the same `max` over stored
+  * registers.
+  *
+  * Cross-engine determinism detail: registers are folded as the INTEGER
+  * `S = Σ 2^(53−b−M)` (each term a power of two, S < 2^61 — exact in
+  * BIGINT, order-independent), and the harmonic mean denominator
+  * becomes `(S + zeroRegs·2^(53−b)) / 2^(53−b)` — ONE deterministic
+  * long→double conversion instead of a float sum whose value could
+  * depend on Spark's partial-aggregation order.
+  */
+object Sketches {
+
+  /** Approximate distinct count of `valueCol` per `groupCols`:
+    * (groupCols*, hll_est double, hll_zero_regs long). `b` register
+    * bits (m = 2^b registers, standard error ≈ 1.04/√m — b=8 → ~6.5%);
+    * `b` is capped to [7, 16] because the alpha constant below is the
+    * m ≥ 128 form. Nulls are ignored, matching `count(DISTINCT ...)`.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 8): DataFrame = {
+    require(b >= 7 && b <= 16, s"b must be in [7,16] (alpha_m assumes m >= 128), got $b")
+    val m = 1 << b
+    val width = 60 - b        // value bits after the bucket index
+    val maxRho = width + 1    // rho of an all-zero value
+    val gcols = groupCols.map(col)
+    // 60-bit md5-derived hash — the repo's portable-hash idiom (the
+    // DuckDB oracle rebuilds it with ('0x'||substr(md5(x),1,15))::BIGINT)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val registers = df
+      .where(col(valueCol).isNotNull)
+      .select(gcols :+ h.as("_h"): _*)
+      .withColumn("_bucket", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_v", expr(s"_h DIV $m"))
+      // rho = leading zeros within `width` bits + 1 = (width+1) - bitlen
+      .withColumn("_rho",
+        when(col("_v") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("_v")))))
+      .groupBy(gcols :+ col("_bucket"): _*)
+      .agg(max(col("_rho")).as("_M"))
+    // S = sum of 2^(maxRho - M) over present registers: integer, exact.
+    // Absent registers have M = 0 -> term 2^maxRho, added arithmetically.
+    val twoPowMax = 1L << maxRho
+    val alphaNum = 0.7213 / (1 + 1.079 / m) * m * m * twoPowMax.toDouble
+    registers
+      .groupBy(gcols: _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - _M)")).as("_S"),
+        count(lit(1)).as("_nb"))
+      .withColumn("_zero", lit(m.toLong) - col("_nb"))
+      .withColumn("_raw",
+        lit(alphaNum) /
+          (col("_S") + col("_zero") * lit(twoPowMax)).cast("double"))
+      .withColumn("hll_est", round(
+        when(col("_raw") <= lit(2.5 * m) && col("_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zero")))
+          .otherwise(col("_raw")), 6))
+      .select(gcols :+ col("hll_est") :+ col("_zero").as("hll_zero_regs"): _*)
+  }
+}

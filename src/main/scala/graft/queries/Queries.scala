@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1986,6 +1986,32 @@ object Queries {
     * closed form from the id. (The re-encoded byte size is
     * encoder-dependent and deliberately not part of the graded output.)
     */
+  /** Portable HyperLogLog distinct counting
+    * ([[graft.ext.Sketches.hllDistinct]]): per event type, the md5-HLL
+    * estimate of distinct users AND distinct events beside the exact
+    * counts — the 100 TB distinct-count shape (two map-side-combining
+    * aggregations shuffling at most groups×256 register rows, vs exact
+    * distinct shuffling every value). The two value columns land on
+    * BOTH HLL branches at sf0.01 (users ≈ 150/type → linear-counting
+    * correction; events ≈ 2000/type → raw harmonic estimate), and the
+    * register fold is integer-exact (Σ 2^(53−ρmax)), so the DuckDB
+    * oracle replays the whole sketch — including the estimates — to the
+    * 6dp hash, not "within tolerance".
+    */
+  def q144HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val exact = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      countDistinct(col("event_id")).as("exact_events"))
+    val users = Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), col("hll_est").as("est_users"))
+    val events = Sketches.hllDistinct(ev, Seq("event_type"), "event_id")
+      .select(col("event_type"), col("hll_est").as("est_events"))
+    exact.join(users, Seq("event_type")).join(events, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("est_users"),
+        col("exact_events"), col("est_events"))
+  }
+
   def q143ImageResize(spark: SparkSession, dir: String): DataFrame =
     MultiModal.resizeImageFeatures(
       MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")),
@@ -2138,7 +2164,8 @@ object Queries {
     "q140_incr_cosine_snapshot_auto" -> (q140IncrCosineSnapshotAuto _),
     "q141_audio_decode" -> (q141AudioDecode _),
     "q142_video_frames" -> (q142VideoFrames _),
-    "q143_image_resize" -> (q143ImageResize _))
+    "q143_image_resize" -> (q143ImageResize _),
+    "q144_hll_distinct" -> (q144HllDistinct _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2771,6 +2798,50 @@ GROUP BY d.source"""
            CAST((media_id * 59 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
            CAST((media_id * 83 + frame_idx * 31) % 256 AS DOUBLE) AS mean_b
          FROM fr""",
+    // q144: full SQL replay of the portable md5-HLL — register build,
+    // integer-exact register fold, harmonic estimate, linear-counting
+    // branch — the sketch itself is the oracle-checked artifact
+    "q144_hll_distinct" ->
+      """WITH sk AS (
+           SELECT vc, event_type, est FROM (
+             SELECT vc, event_type,
+               ROUND(CASE WHEN raw <= 640.0 AND zero > 0
+                     THEN 256.0 * ln(256.0 / zero) ELSE raw END, 6) AS est
+             FROM (
+               SELECT vc, event_type,
+                 ((0.7213/(1+1.079/256))*256*256*9007199254740992.0)
+                   / CAST(CAST(S AS BIGINT)
+                       + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw,
+                 256 - nb AS zero
+               FROM (
+                 SELECT vc, event_type,
+                   SUM(1::BIGINT << (53 - M)) AS S, COUNT(*) AS nb
+                 FROM (
+                   SELECT vc, event_type, bucket, MAX(rho) AS M
+                   FROM (
+                     SELECT vc, event_type, h % 256 AS bucket,
+                       CASE WHEN h // 256 = 0 THEN 53
+                            ELSE 53 - length(bin(h // 256)) END AS rho
+                     FROM (
+                       SELECT 'u' AS vc, event_type,
+                         ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+                       FROM events WHERE user_id IS NOT NULL
+                       UNION ALL
+                       SELECT 'e' AS vc, event_type,
+                         ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+                       FROM events WHERE event_id IS NOT NULL))
+                   GROUP BY vc, event_type, bucket)
+                 GROUP BY vc, event_type)))),
+         ex AS (
+           SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             COUNT(DISTINCT event_id) AS exact_events
+           FROM events GROUP BY event_type)
+         SELECT ex.event_type, exact_users,
+           u.est AS est_users, exact_events, e.est AS est_events
+         FROM ex
+         JOIN sk u ON u.event_type = ex.event_type AND u.vc = 'u'
+         JOIN sk e ON e.event_type = ex.event_type AND e.vc = 'e'""",
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

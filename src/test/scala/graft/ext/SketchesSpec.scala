@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def estimateOf(n: Int, offset: Long = 0L): (Double, Long) = {
+    val df = (0 until n).map(i => ("g", offset + i)).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), "v").head()
+    (r.getDouble(r.fieldIndex("hll_est")), r.getLong(r.fieldIndex("hll_zero_regs")))
+  }
+
+  test("estimates land within the HLL error envelope on both branches") {
+    // standard error 1.04/sqrt(256) ~ 6.5%; assert a generous 4-sigma band
+    for (n <- Seq(100, 500, 2000, 20000)) {
+      val (est, zeros) = estimateOf(n)
+      assert(math.abs(est - n) <= math.max(4 * 1.04 / 16 * n, 8.0),
+        s"n=$n est=$est")
+      // branch sanity: small n leaves empty registers (linear counting
+      // territory); 20k >> m saturates them (raw harmonic branch)
+      if (n == 100) assert(zeros > 0)
+      if (n == 20000) assert(zeros == 0)
+    }
+  }
+
+  test("groups are independent and nulls are ignored like count(DISTINCT)") {
+    val df = ((0 until 300).map(i => ("a", Some(i.toLong))) ++
+      (0 until 40).map(i => ("b", Some(i.toLong))) ++
+      Seq(("a", Option.empty[Long]), ("b", Option.empty[Long])))
+      .toDF("g", "v")
+    val got = Sketches.hllDistinct(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 300) <= 4 * 1.04 / 16 * 300)
+    assert(math.abs(got("b") - 40) <= 12.0)
+    // same values duplicated 3x change nothing (cardinality, not count)
+    val dup = Sketches.hllDistinct(
+      df.unionAll(df).unionAll(df), Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dup == got)
+  }
+
+  test("sketch is deterministic and mergeable by register max") {
+    // split the corpus in two, sketch-merge = max per register: the
+    // estimate over parts must equal the whole-corpus estimate — the
+    // property that makes per-day/per-partition sketches unionable.
+    // (Replayed here structurally: union of halves == whole input.)
+    val whole = (0 until 1000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val a = Sketches.hllDistinct(whole, Seq("g"), "v").head().getDouble(1)
+    val b = Sketches.hllDistinct(
+      whole.unionAll(whole.limit(400)), Seq("g"), "v").head().getDouble(1)
+    assert(a == b) // re-observed values cannot move any register
+  }
+}
