@@ -79,4 +79,49 @@ object Sketches {
           .otherwise(col("_raw")), 6))
       .select(gcols :+ col("hll_est") :+ col("_zero").as("hll_zero_regs"): _*)
   }
+
+  /** Portable count-min sketch (Cormode & Muthukrishnan 2005) of
+    * `valueCol` frequencies: `d` hash rows × `w` buckets, counts summed
+    * per (row, bucket) — a FIXED-SIZE frequency summary (`d·w` cells)
+    * regardless of input size, the heavy-hitter shape for 100 TB: one
+    * map-side-combining aggregation shuffling at most `d·w` rows where
+    * exact counting shuffles every distinct key. Cells are additive, so
+    * per-partition/per-day sketches merge by cell-wise sum. Row hashes
+    * are md5-derived (`md5(row || ':' || value)` — the portable idiom),
+    * so an external engine replays the sketch bit-exactly; counts are
+    * integers, so there is no float-determinism caveat at all.
+    * Returns (row int, bucket long, cnt long).
+    */
+  def countMinSketch(df: DataFrame, valueCol: String, d: Int = 4,
+      w: Int = 512): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("_v"))
+      .withColumn("row", explode(array((0 until d).map(lit): _*)))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("_v"))), 1, 15), 16, 10).cast("long"), lit(w.toLong)))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinSketch]]: for each key
+    * in `keys(keyCol)`, min over the `d` rows of the key's cell — the
+    * classic CMS upper bound (estimate ≥ true count always; ≤ true +
+    * εN with prob 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉). The lookup is a
+    * broadcast-sized join of keys×d probe rows against the sketch —
+    * never a scan of the original data.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val probes = keys.select(col(keyCol))
+      .withColumn("row", explode(array((0 until d).map(lit): _*)))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(w.toLong)))
+    probes.join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
+  }
 }

@@ -2012,6 +2012,28 @@ object Queries {
         col("exact_events"), col("est_events"))
   }
 
+  /** Portable count-min heavy-hitter audit
+    * ([[graft.ext.Sketches.countMinSketch]] /
+    * [[graft.ext.Sketches.cmsEstimate]]): a 4×512 CMS over per-user
+    * event counts, probed for the exact top-20 users — (user_id,
+    * exact_cnt, cms_cnt), with cms_cnt ≥ exact_cnt guaranteed by the
+    * sketch's one-sided error. Counts are integers and hashes
+    * md5-portable, so the DuckDB oracle replays the whole sketch
+    * hash-exactly. The sketch is a fixed d·w-cell summary — the
+    * frequency shape for 100 TB where exact counting shuffles every
+    * distinct key.
+    */
+  def q145CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val sketch = Sketches.countMinSketch(ev, "user_id")
+    val exact = ev.where(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col("user_id").asc).limit(20)
+    Sketches.cmsEstimate(sketch, top, "user_id")
+      .join(top, Seq("user_id"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_cnt"))
+  }
+
   def q143ImageResize(spark: SparkSession, dir: String): DataFrame =
     MultiModal.resizeImageFeatures(
       MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")),
@@ -2165,7 +2187,8 @@ object Queries {
     "q141_audio_decode" -> (q141AudioDecode _),
     "q142_video_frames" -> (q142VideoFrames _),
     "q143_image_resize" -> (q143ImageResize _),
-    "q144_hll_distinct" -> (q144HllDistinct _))
+    "q144_hll_distinct" -> (q144HllDistinct _),
+    "q145_cms_heavy_hitters" -> (q145CmsHeavyHitters _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2842,6 +2865,31 @@ GROUP BY d.source"""
          FROM ex
          JOIN sk u ON u.event_type = ex.event_type AND u.vc = 'u'
          JOIN sk e ON e.event_type = ex.event_type AND e.vc = 'e'""",
+    // q145: full SQL replay of the portable count-min sketch — cell
+    // build, probe join, min-over-rows estimate; all integers, no
+    // float caveat anywhere
+    "q145_cms_heavy_hitters" ->
+      """WITH ex AS (
+           SELECT user_id, COUNT(*) AS exact_cnt FROM events
+           WHERE user_id IS NOT NULL GROUP BY user_id),
+         top AS (
+           SELECT user_id, exact_cnt FROM ex
+           ORDER BY exact_cnt DESC, user_id ASC LIMIT 20),
+         cells AS (
+           SELECT r.r AS row,
+             (('0x'||substr(md5(r.r::VARCHAR || ':' || e.user_id::VARCHAR),1,15))::BIGINT) % 512 AS bucket,
+             COUNT(*) AS cnt
+           FROM events e CROSS JOIN range(0, 4) r(r)
+           WHERE e.user_id IS NOT NULL
+           GROUP BY 1, 2),
+         est AS (
+           SELECT t.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_cnt
+           FROM top t CROSS JOIN range(0, 4) r(r)
+           LEFT JOIN cells c ON c.row = r.r AND c.bucket =
+             (('0x'||substr(md5(r.r::VARCHAR || ':' || t.user_id::VARCHAR),1,15))::BIGINT) % 512
+           GROUP BY t.user_id)
+         SELECT t.user_id, t.exact_cnt, est.cms_cnt
+         FROM top t JOIN est USING (user_id)""",
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

@@ -52,4 +52,33 @@ class SketchesSpec extends SparkSpecBase {
       whole.unionAll(whole.limit(400)), Seq("g"), "v").head().getDouble(1)
     assert(a == b) // re-observed values cannot move any register
   }
+
+  test("count-min estimates are one-sided (>= exact) and tight for heavy keys") {
+    // skewed stream: key k appears (50 - k) times for k in 0..49,
+    // plus 500 singleton keys as collision noise
+    val rows = (0 until 50).flatMap(k => Seq.fill(50 - k)(k.toLong)) ++
+      (1000L until 1500L)
+    val df = rows.map(v => Tuple1(v)).toDF("v")
+    val sketch = Sketches.countMinSketch(df, "v").cache()
+    // fixed-size summary: at most d*w cells
+    assert(sketch.count() <= 4L * 512)
+    val keys = (0 until 50).map(k => Tuple1(k.toLong)).toDF("v")
+    val est = Sketches.cmsEstimate(sketch, keys, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 0 until 50) {
+      val exact = 50L - k
+      assert(est(k.toLong) >= exact, s"CMS must never undercount (k=$k)")
+      // w=512 >> distinct keys: overcount stays small (collision bound)
+      assert(est(k.toLong) <= exact + 25, s"k=$k est=${est(k.toLong)}")
+    }
+    // unseen key: estimate is collision mass only, near zero
+    val unseen = Sketches.cmsEstimate(sketch,
+      Seq(Tuple1(999999L)).toDF("v"), "v").head().getLong(1)
+    assert(unseen >= 0 && unseen <= 25)
+    // mergeability: sketching a doubled corpus = cell-wise doubled counts
+    val doubled = Sketches.countMinSketch(df.unionAll(df), "v")
+    val merged = sketch.withColumnRenamed("cnt", "c1")
+      .join(doubled.withColumnRenamed("cnt", "c2"), Seq("row", "bucket"))
+    assert(merged.where(col("c2") =!= col("c1") * 2).isEmpty)
+  }
 }
