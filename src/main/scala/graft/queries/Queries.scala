@@ -2034,6 +2034,101 @@ object Queries {
       .select(col("user_id"), col("exact_cnt"), col("cms_cnt"))
   }
 
+  /** Portable log2-histogram quantile audit
+    * ([[graft.ext.Sketches.logHistogram]] /
+    * [[graft.ext.Sketches.histQuantiles]]): per-language token-count
+    * percentiles from a subBits=6 exponent/mantissa histogram —
+    * (lang, n_docs, exact_p50, est_p50, exact_p90, est_p90, exact_p99,
+    * est_p99), est within 2^−7 ≈ 0.8% relative error of exact by
+    * construction. Both sides use the same integer nearest-rank
+    * arithmetic (⌈n·q⌉ via (n·num+den−1) div den) and the "exact"
+    * columns reuse [[graft.ext.Sketches.histQuantiles]] over the exact
+    * value histogram (s = 0, top = v), so the whole query is integer
+    * arithmetic end-to-end — the DuckDB oracle replays it bit-exactly.
+    * The sketch is the scale path: ≤ ~3.8k additive cells per language
+    * regardless of corpus size, where exact percentiles shuffle every
+    * distinct length.
+    */
+  def q146HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val toks = Tables.load(spark, dir, "documents").select(col("lang"),
+      size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long").as("v"))
+    val est = Sketches.histQuantiles(
+      Sketches.logHistogram(toks, Seq("lang"), "v"), Seq("lang"), specs)
+    val exactHist = toks.groupBy(col("lang"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), lit(0).as("s"), col("v").as("top"), col("cnt"))
+    val exact = Sketches.histQuantiles(exactHist, Seq("lang"), specs)
+      .withColumnRenamed("est", "exact")
+    val nDocs = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val both = est.join(exact, Seq("lang", "qname"))
+    val aggs = specs.flatMap { case (nm, _, _) => Seq(
+      max(when(col("qname") === nm, col("exact"))).as(s"exact_$nm"),
+      max(when(col("qname") === nm, col("est"))).as(s"est_$nm")) }
+    nDocs.join(
+      both.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*),
+      Seq("lang"))
+      .select(col("lang") +: col("n_docs") +:
+        specs.flatMap { case (nm, _, _) =>
+          Seq(col(s"exact_$nm"), col(s"est_$nm")) }: _*)
+  }
+
+  /** HLL set-algebra overlap audit ([[graft.ext.Sketches.hllRegisters]]
+    * / [[graft.ext.Sketches.hllEstimate]]): estimated distinct-vocab
+    * overlap between every pair of document sources by
+    * inclusion–exclusion — est_intersect = est_a + est_b − est_union,
+    * where the union estimate comes from MAX-MERGING the two sources'
+    * register tables (lossless: the merged registers ARE the sketch of
+    * the concatenated corpora). Exact columns are computed alongside
+    * for the audit. (source_a, source_b, exact_a, exact_b,
+    * exact_intersect, est_a, est_b, est_union, est_intersect).
+    *
+    * 100 TB posture: the sketch path never materializes the vocab —
+    * registers are a ≤ sources×256-row table built by one map-side-
+    * combining agg, and every pair union is algebra over that tiny
+    * table; the exact columns (distinct + a term-keyed self-join) are
+    * the audit-only part you drop at scale. Pairs are enumerated from
+    * the term join (shared-vocab pairs), so no cross join appears.
+    */
+  def q147HllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .as("term"))
+      .distinct()
+    val regs = Sketches.hllRegisters(st, Seq("source"), "term")
+    val sest = Sketches.hllEstimate(regs, Seq("source"))
+      .select(col("source"), col("hll_est").as("est"))
+    val px = st.as("x").join(st.as("y"),
+        col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    val pregs = px.select(col("source_a"), col("source_b"))
+      .withColumn("source", explode(array(col("source_a"), col("source_b"))))
+      .join(regs, Seq("source"))
+      .groupBy(col("source_a"), col("source_b"), col("bucket"))
+      .agg(max(col("M")).as("M"))
+    val pest = Sketches.hllEstimate(pregs, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("hll_est").as("est_union"))
+    val exv = st.groupBy(col("source")).agg(count(lit(1)).as("exact_vocab"))
+    px.join(exv.select(col("source").as("source_a"),
+        col("exact_vocab").as("exact_a")), Seq("source_a"))
+      .join(exv.select(col("source").as("source_b"),
+        col("exact_vocab").as("exact_b")), Seq("source_b"))
+      .join(sest.select(col("source").as("source_a"),
+        col("est").as("est_a")), Seq("source_a"))
+      .join(sest.select(col("source").as("source_b"),
+        col("est").as("est_b")), Seq("source_b"))
+      .join(pest, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("exact_a"),
+        col("exact_b"), col("exact_intersect"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6)
+          .as("est_intersect"))
+  }
+
   def q143ImageResize(spark: SparkSession, dir: String): DataFrame =
     MultiModal.resizeImageFeatures(
       MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")),
@@ -2188,7 +2283,9 @@ object Queries {
     "q142_video_frames" -> (q142VideoFrames _),
     "q143_image_resize" -> (q143ImageResize _),
     "q144_hll_distinct" -> (q144HllDistinct _),
-    "q145_cms_heavy_hitters" -> (q145CmsHeavyHitters _))
+    "q145_cms_heavy_hitters" -> (q145CmsHeavyHitters _),
+    "q146_hist_quantiles" -> (q146HistQuantiles _),
+    "q147_hll_overlap" -> (q147HllOverlap _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2890,6 +2987,128 @@ GROUP BY d.source"""
            GROUP BY t.user_id)
          SELECT t.user_id, t.exact_cnt, est.cms_cnt
          FROM top t JOIN est USING (user_id)""",
+    // q146: full SQL replay of the log2-histogram quantile sketch —
+    // bit-length bucketing, midpoint estimate, integer nearest-rank
+    // pick; all integer arithmetic, no float caveat anywhere
+    "q146_hist_quantiles" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS v
+           FROM documents),
+         h AS (
+           SELECT lang, s, v >> s AS top, COUNT(*) AS cnt FROM (
+             SELECT lang, v, GREATEST(length(bin(v)) - 7, 0) AS s FROM t)
+           GROUP BY 1, 2, 3),
+         c AS (
+           SELECT lang,
+             (top << s) + CASE WHEN s = 0 THEN 0
+               ELSE (1::BIGINT << (s - 1)) - 1 END AS est,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY (top << s)) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+           FROM h),
+         spec(qname, num, den) AS (
+           VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+         pk AS (
+           SELECT lang, qname, MIN(est) AS est_v
+           FROM c CROSS JOIN spec
+           WHERE cum >= (n * num + den - 1) // den
+           GROUP BY 1, 2),
+         ec AS (
+           SELECT lang, v,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+           FROM (SELECT lang, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2)),
+         ek AS (
+           SELECT lang, qname, MIN(v) AS ex_v
+           FROM ec CROSS JOIN spec
+           WHERE cum >= (n * num + den - 1) // den
+           GROUP BY 1, 2),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM t GROUP BY 1)
+         SELECT nd.lang, n_docs,
+           MAX(CASE WHEN p.qname = 'p50' THEN ex_v END) AS exact_p50,
+           MAX(CASE WHEN p.qname = 'p50' THEN est_v END) AS est_p50,
+           MAX(CASE WHEN p.qname = 'p90' THEN ex_v END) AS exact_p90,
+           MAX(CASE WHEN p.qname = 'p90' THEN est_v END) AS est_p90,
+           MAX(CASE WHEN p.qname = 'p99' THEN ex_v END) AS exact_p99,
+           MAX(CASE WHEN p.qname = 'p99' THEN est_v END) AS est_p99
+         FROM nd
+         JOIN pk p USING (lang)
+         JOIN ek e ON e.lang = p.lang AND e.qname = p.qname
+         GROUP BY 1, 2""",
+    // q147: full SQL replay of HLL set algebra — per-source registers,
+    // pair-wise max-merge, inclusion–exclusion; the estimate formula is
+    // the same integer-exact fold as q144's
+    "q147_hll_overlap" ->
+      """WITH st AS (
+           SELECT DISTINCT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS term
+           FROM documents),
+         reg AS (
+           SELECT source, h % 256 AS bucket,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM (SELECT source,
+                   ('0x'||substr(md5(term),1,15))::BIGINT AS h FROM st)),
+         regs AS (
+           SELECT source, bucket, MAX(rho) AS M FROM reg GROUP BY 1, 2),
+         sest AS (
+           SELECT source,
+             ROUND(CASE WHEN raw <= 640.0 AND zero > 0
+                   THEN 256.0 * ln(256.0 / zero) ELSE raw END, 6) AS est
+           FROM (
+             SELECT source,
+               ((0.7213/(1+1.079/256))*256*256*9007199254740992.0)
+                 / CAST(CAST(S AS BIGINT)
+                     + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw,
+               256 - nb AS zero
+             FROM (
+               SELECT source, SUM(1::BIGINT << (53 - M)) AS S,
+                 COUNT(*) AS nb
+               FROM regs GROUP BY source))),
+         px AS (
+           SELECT x.source AS source_a, y.source AS source_b,
+             COUNT(*) AS exact_intersect
+           FROM st x JOIN st y
+             ON x.term = y.term AND x.source < y.source
+           GROUP BY 1, 2),
+         pregs AS (
+           SELECT source_a, source_b, bucket, MAX(M) AS M FROM (
+             SELECT p.source_a, p.source_b, r.bucket, r.M
+             FROM px p JOIN regs r ON r.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, r.bucket, r.M
+             FROM px p JOIN regs r ON r.source = p.source_b)
+           GROUP BY 1, 2, 3),
+         pest AS (
+           SELECT source_a, source_b,
+             ROUND(CASE WHEN raw <= 640.0 AND zero > 0
+                   THEN 256.0 * ln(256.0 / zero) ELSE raw END, 6) AS est
+           FROM (
+             SELECT source_a, source_b,
+               ((0.7213/(1+1.079/256))*256*256*9007199254740992.0)
+                 / CAST(CAST(S AS BIGINT)
+                     + (256 - nb) * 9007199254740992 AS DOUBLE) AS raw,
+               256 - nb AS zero
+             FROM (
+               SELECT source_a, source_b,
+                 SUM(1::BIGINT << (53 - M)) AS S, COUNT(*) AS nb
+               FROM pregs GROUP BY 1, 2))),
+         exv AS (
+           SELECT source, COUNT(*) AS exact_vocab FROM st GROUP BY 1)
+         SELECT p.source_a, p.source_b,
+           a.exact_vocab AS exact_a, b.exact_vocab AS exact_b,
+           exact_intersect, sa.est AS est_a, sb.est AS est_b,
+           pe.est AS est_union,
+           ROUND(sa.est + sb.est - pe.est, 6) AS est_intersect
+         FROM px p
+         JOIN exv a ON a.source = p.source_a
+         JOIN exv b ON b.source = p.source_b
+         JOIN sest sa ON sa.source = p.source_a
+         JOIN sest sb ON sb.source = p.source_b
+         JOIN pest pe ON pe.source_a = p.source_a
+           AND pe.source_b = p.source_b""",
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

@@ -82,6 +82,71 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged.where(col("c2") =!= col("c1") * 2).isEmpty)
   }
 
+  test("hll register max-merge equals the sketch of the union (set algebra)") {
+    val a = (0L until 5000L).map(v => ("A", v)).toDF("g", "v")
+    val b = (2500L until 7500L).map(v => ("B", v)).toDF("g", "v")
+    val regs = Sketches.hllRegisters(a.unionByName(b), Seq("g"), "v").cache()
+    // max-merged registers == the registers of the concatenated corpora,
+    // so the union estimate needs no second pass over the data
+    val viaMerge = Sketches.hllEstimate(
+      regs.withColumn("g", lit("U")).groupBy("g", "bucket")
+        .agg(max(col("M")).as("M")), Seq("g")).head().getDouble(1)
+    val direct = Sketches.hllDistinct(
+      a.unionByName(b).withColumn("g", lit("U")), Seq("g"), "v")
+      .head().getDouble(1)
+    assert(viaMerge == direct)
+    // inclusion–exclusion lands in a plausible band around the true
+    // 2500-element intersection (errors of 3 estimates compound; this
+    // is a sanity envelope, the bit-exact pin is the merge equality)
+    val ests = Sketches.hllEstimate(regs, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estInt = ests("A") + ests("B") - viaMerge
+    assert(math.abs(estInt - 2500.0) <= 1000.0, s"est_intersect=$estInt")
+  }
+
+  test("log-histogram quantiles respect the 2^-(subBits+1) relative error bound") {
+    // deterministic pseudo-random values spanning ~20 octaves
+    val vals = (0 until 5000).map(i =>
+      ("g", ((i * 2654435761L) % 1000000L) + 1L))
+    val df = vals.toDF("g", "v")
+    val hist = Sketches.logHistogram(df, Seq("g"), "v").cache()
+    // fixed-size summary: at most (64-6)*64 + 64 cells
+    assert(hist.count() <= (64 - 6) * 64 + 64)
+    val specs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val est = Sketches.histQuantiles(hist, Seq("g"), specs).collect()
+      .map(r => r.getString(r.fieldIndex("qname")) ->
+        r.getLong(r.fieldIndex("est"))).toMap
+    val sorted = vals.map(_._2).sorted
+    for ((nm, num, den) <- specs) {
+      val rank = (sorted.size.toLong * num + den - 1) / den
+      val exact = sorted((rank - 1).toInt)
+      assert(math.abs(est(nm) - exact).toDouble / exact <= 1.0 / 128 + 1e-9,
+        s"$nm est=${est(nm)} exact=$exact")
+    }
+  }
+
+  test("log-histogram is exact below 2^subBits and additive across parts") {
+    val small = (0L until 64L).flatMap(v => Seq.fill(3)(("g", v))).toDF("g", "v")
+    val got = Sketches.histQuantiles(
+      Sketches.logHistogram(small, Seq("g"), "v"), Seq("g"),
+      Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // nearest-rank over 192 values of 0..63 each x3: p50 -> rank 96 -> 31
+    assert(got("p50") == 31L && got("p99") == 63L)
+    // additivity: hist(a) + hist(b) cell-wise == hist(a union b) — the
+    // per-partition/per-day merge and the streaming maintenance form
+    val a = (0 until 900).map(i => ("g", (i * 7919L) % 5000L)).toDF("g", "v")
+    val b = (0 until 700).map(i => ("g", (i * 104729L) % 90000L)).toDF("g", "v")
+    val merged = Sketches.logHistogram(a, Seq("g"), "v")
+      .unionByName(Sketches.logHistogram(b, Seq("g"), "v"))
+      .groupBy("g", "s", "top").agg(sum(col("cnt")).as("cnt"))
+    val whole = Sketches.logHistogram(a.unionByName(b), Seq("g"), "v")
+    assert(merged.withColumnRenamed("cnt", "c1")
+      .join(whole.withColumnRenamed("cnt", "c2"), Seq("g", "s", "top"), "full")
+      .where(coalesce(col("c1"), lit(0L)) =!= coalesce(col("c2"), lit(0L)))
+      .isEmpty)
+  }
+
   test("streaming sketch maintenance equals the whole-corpus sketch (CMS sum-merge, HLL max-merge)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
