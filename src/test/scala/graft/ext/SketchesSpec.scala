@@ -193,4 +193,42 @@ class SketchesSpec extends SparkSpecBase {
     val b = Sketches.hllDistinct(whole, Seq("g"), "v").head().getDouble(1)
     assert(a == b)
   }
+
+  test("streaming log-histogram maintenance equals the whole-corpus histogram (cell sum-merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // third leg of the maintenance law: per-micro-batch histograms
+    // cell-sum into running state; quantiles read from the maintained
+    // state equal the one-pass whole-corpus quantiles exactly
+    val chunks = Seq(
+      (0 until 400).map(i => ("g", (i * 7919L) % 30000L)),
+      (0 until 300).map(i => ("g", (i * 104729L) % 900000L)),
+      (0 until 350).map(i => ("g", (i * 2654435761L) % 5000L)))
+    var hist: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("g", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bh = Sketches.logHistogram(batch, Seq("g"), "v")
+        hist = if (hist == null) bh.persist() else
+          hist.unionByName(bh).groupBy("g", "s", "top")
+            .agg(sum(col("cnt")).as("cnt")).persist()
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val whole = Sketches.logHistogram(
+      chunks.flatten.toDF("g", "v"), Seq("g"), "v")
+    assert(hist.withColumnRenamed("cnt", "c1")
+      .join(whole.withColumnRenamed("cnt", "c2"), Seq("g", "s", "top"), "full")
+      .where(coalesce(col("c1"), lit(0L)) =!= coalesce(col("c2"), lit(0L)))
+      .isEmpty)
+    val specs = Seq(("p50", 1, 2), ("p99", 99, 100))
+    val fromState = Sketches.histQuantiles(hist, Seq("g"), specs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val onePass = Sketches.histQuantiles(whole, Seq("g"), specs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fromState == onePass)
+  }
 }
