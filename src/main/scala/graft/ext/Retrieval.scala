@@ -57,4 +57,47 @@ object Retrieval {
       Seq(col("_bm25").desc, col(idCol)), k)
       .select(col(idCol), round(col("_bm25"), 6).as("bm25"))
   }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009): fuse the BM25 lexical top-`poolK` with the exact
+    * dense-cosine top-`poolK` ([[graft.ext.Similarity.bruteForceTopK]])
+    * as score(d) = Σ_lists 1/(rrfK + rank_d), the standard way a
+    * curation pipeline combines sparse and dense evidence without score
+    * calibration (ranks, not raw scores, so the two lists' incomparable
+    * scales never meet). Documents and vectors are joined on id
+    * (doc_id ≡ vec_id in this corpus).
+    *
+    * Shape at 100 TB: both branches are the existing scale-safe top-k
+    * plans (filtered-posting BM25, scan + TakeOrdered cosine); ranks are
+    * assigned AFTER the cut, so the unpartitioned row_number windows
+    * sort ≤ poolK rows — bounded by construction, not by data size. The
+    * fusion itself is a full-outer join of two ≤ poolK-row lists: free.
+    * Rank ties are broken on (rounded score desc, id asc) so the fused
+    * ranking is fully deterministic and engine-portable.
+    */
+  def rrfHybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVec: Seq[Float], k: Int = 10,
+      poolK: Int = 10, rrfK: Int = 60, textCol: String = "text",
+      idCol: String = "doc_id", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, poolK, textCol = textCol,
+        idCol = idCol)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("r_lex"))
+    val den = Similarity.bruteForceTopK(embeddings, queryVec, poolK,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col(vecIdCol).as(idCol), round(col("sim"), 6).as("sim"))
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
+      .select(col(idCol), col("r_dense"))
+    lex.join(den, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rrf"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Address, Tables, User}
-import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, MultiModal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Bpe, Chunking, Dedup, Drift, Dsir, Graph, MultiModal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.operators.{AsofJoin, EnrichmentJoin, Envelope, Skew, WindowCounts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2136,6 +2136,34 @@ object Queries {
       .select(col("media_id"), col("width"), col("height"), col("bands"),
         col("mean_r"), col("mean_g"), col("mean_b"))
 
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    * ([[graft.ext.Retrieval.rrfHybridTopK]]): the graded BM25 top-10
+    * (q128's lexical list) fused with the graded exact-cosine top-10
+    * (q25's dense list) at the standard rrfK = 60 — the calibration-free
+    * way production curation combines the two retrieval modalities.
+    */
+  def q148RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Retrieval.rrfHybridTopK(
+      Tables.load(spark, dir, "documents"), emb,
+      Seq("spark", "stream", "window"), Similarity.probeVector(emb), k = 10)
+  }
+
+  /** PageRank centrality over the verified near-dup pair graph
+    * ([[graft.ext.Graph.pageRankUndirected]]): 3 power-iteration rounds,
+    * damping 0.85, over the same jaccard ≥ 0.5 edges the CC family
+    * (q60/q74/q121) consumes — the link-analysis canonicalization signal
+    * (which member anchors its duplicate family). Oracle: the shared
+    * minhash pair chain + the three rounds unrolled as CTEs.
+    */
+  def q149PagerankCentrality(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankUndirected(
+      Dedup.verifiedNearDups(Tables.load(spark, dir, "documents"),
+        threshold = 0.5),
+      iters = 3)
+      .select(col("node").as("doc_id"),
+        round(col("pagerank"), 6).as("pagerank"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2285,7 +2313,9 @@ object Queries {
     "q144_hll_distinct" -> (q144HllDistinct _),
     "q145_cms_heavy_hitters" -> (q145CmsHeavyHitters _),
     "q146_hist_quantiles" -> (q146HistQuantiles _),
-    "q147_hll_overlap" -> (q147HllOverlap _))
+    "q147_hll_overlap" -> (q147HllOverlap _),
+    "q148_rrf_fusion" -> (q148RrfFusion _),
+    "q149_pagerank_centrality" -> (q149PagerankCentrality _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3109,6 +3139,89 @@ GROUP BY d.source"""
          JOIN sest sb ON sb.source = p.source_b
          JOIN pest pe ON pe.source_a = p.source_a
            AND pe.source_b = p.source_b""",
+    // q148: the q128 BM25 chain and the q25 cosine chain, each cut to a
+    // top-10 pool, ranked on (rounded score desc, id asc), fused by RRF
+    "q148_rrf_fusion" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         base AS (SELECT doc_id, len(toks) AS dl, toks FROM w),
+         fp AS (
+           SELECT doc_id, dl, term FROM (
+             SELECT doc_id, dl, unnest(toks) AS term FROM base)
+           WHERE term IN ('spark', 'stream', 'window')),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM fp GROUP BY 1, 2),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT t.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))) AS bm25
+           FROM tf t JOIN dft d USING (term) CROSS JOIN stats s
+           GROUP BY t.doc_id),
+         lexpool AS (
+           SELECT doc_id, ROUND(bm25, 6) AS bm25
+           FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         lex AS (
+           SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+           FROM lexpool),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         simt AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               k -> CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE))) /
+             (NULLIF(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                 k -> CAST(q.qe[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))), 0)) AS sim
+           FROM embeddings e, q),
+         denpool AS (
+           SELECT vec_id AS doc_id, ROUND(sim, 6) AS sim
+           FROM simt ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         den AS (
+           SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r_dense
+           FROM denpool)
+         SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf
+         FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+         ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
+    // q149: the shared minhash pair chain feeds a symmetrized edge list;
+    // three PageRank rounds unrolled as CTEs, intermediate ranks rounded
+    // to 12 dp on both sides (see Graph.pageRankUndirected's contract)
+    "q149_pagerank_centrality" -> (MinHashOracleCtes +
+      """,
+         e AS (SELECT id1 AS u, id2 AS v FROM pairs WHERE jaccard >= 0.5
+               UNION SELECT id2, id1 FROM pairs WHERE jaccard >= 0.5),
+         deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY u),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         r0 AS (SELECT u, ROUND(1.0 / n, 12) AS pr FROM deg, nn),
+         r1 AS (
+           SELECT u, ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * m, 12) AS pr
+           FROM (SELECT e.v AS u, SUM(r0.pr / deg.d) AS m
+                 FROM e JOIN r0 ON r0.u = e.u JOIN deg ON deg.u = e.u
+                 GROUP BY e.v) s, nn),
+         r2 AS (
+           SELECT u, ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * m, 12) AS pr
+           FROM (SELECT e.v AS u, SUM(r1.pr / deg.d) AS m
+                 FROM e JOIN r1 ON r1.u = e.u JOIN deg ON deg.u = e.u
+                 GROUP BY e.v) s, nn),
+         r3 AS (
+           SELECT u, ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * m, 12) AS pr
+           FROM (SELECT e.v AS u, SUM(r2.pr / deg.d) AS m
+                 FROM e JOIN r2 ON r2.u = e.u JOIN deg ON deg.u = e.u
+                 GROUP BY e.v) s, nn)
+         SELECT u AS doc_id, ROUND(pr, 6) AS pagerank FROM r3"""),
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

@@ -29,6 +29,32 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got(1L) > got(2L) && got(1L) > got(3L))
   }
 
+  test("rrf fusion matches the closed-form reciprocal-rank sums") {
+    // lexical ranks: doc1 (all three terms) > doc2 (spark, dl 4) >
+    // doc4 (stream, dl 6); doc3 has no query terms → dense-only
+    val fdocs = Seq(
+      (1L, "spark stream window"),
+      (2L, "spark alpha beta gamma"),
+      (3L, "nothing relevant here"),
+      (4L, "stream delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    // dense ranks vs query (1,0): v1 > v2 > v3 > v4
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.rrfHybridTopK(fdocs, emb,
+        Seq("spark", "stream", "window"), Seq(1f, 0f), k = 10, poolK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      1L -> r6(1.0 / 61 + 1.0 / 61),
+      2L -> r6(1.0 / 62 + 1.0 / 62),
+      4L -> r6(1.0 / 63 + 1.0 / 64),
+      3L -> r6(1.0 / 63)))
+  }
+
   test("bm25 ranking is deterministic under repartitioning") {
     val a = Retrieval.bm25TopK(docs, Seq("spark", "stream"), k = 2)
       .collect().toSeq
