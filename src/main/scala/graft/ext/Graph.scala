@@ -56,10 +56,17 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(math.abs(damping + teleport - 1.0) < 1e-9,
       s"damping + teleport must be 1, got $damping + $teleport")
-    // symmetrize; distinct guards against duplicate input pairs (and is
-    // a no-op shuffle-wise relative to the groupBy that follows)
-    val e = pairs.select(col(id1).as("u"), col(id2).as("v"))
-      .union(pairs.select(col(id2).as("u"), col(id1).as("v")))
+    // Cut the pair lineage BEFORE symmetrizing: the union below
+    // references its input twice, so checkpointing after it would run
+    // the (expensive) pair-generator chain twice inside one job —
+    // measured 2× the whole-query cost at 30× before this ordering.
+    val p = pairs.select(col(id1).as("u"), col(id2).as("v"))
+      .localCheckpoint()
+    // symmetrize; distinct guards against duplicate input pairs. Also
+    // checkpointed (tiny — the pair list is already materialized) so the
+    // deg/nRow/r0 derivations below stay scans in the final plan instead
+    // of re-inlining the union+distinct per reference.
+    val e = p.union(p.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).cast("double").as("d"))
