@@ -87,4 +87,59 @@ object Graph {
     }
     r.select(col("u").as("node"), col("pr").as("pagerank"))
   }
+
+  /** Triangle census + global transitivity of an undirected pair graph —
+    * the cluster-SHAPE health metric for a dedup run: true duplicate
+    * families are near-cliques (transitivity → 1), while chain-like
+    * components (transitivity → 0) are the signature of transitive
+    * over-merging (A≈B≈C with A≉C), the classic LSH-dedup failure mode
+    * a scalar pair count cannot see.
+    *
+    * All-integer until the final ratio: n_triangles by the oriented
+    * edge-iterator join (Schank & Wagner 2005) — each triangle a<b<c is
+    * found exactly once as path (a,b)+(b,c) closed by edge (a,c), so
+    * the count needs no division — and n_wedges = Σ C(deg,2) via an
+    * exact shift-right halving (d·(d−1) is always even). Transitivity
+    * = 3·triangles/wedges. Output is ONE row.
+    *
+    * Shape at 100 TB: two self-equi-joins of the (capped, checkpointed)
+    * edge list — shuffled on the shared vertex and on the closing
+    * (a, c) key respectively — plus degree/count aggregates; nothing
+    * scales with the corpus, only with the bounded pair graph. The
+    * high-degree-vertex blowup the oriented join avoids: a hub of
+    * degree d contributes only its HIGHER-numbered neighbors' pairs to
+    * the path join, the same asymmetry that keeps [[Dedup]]'s CC
+    * contraction skew-safe.
+    */
+  def triangleCensus(pairs: DataFrame,
+      id1: String = "id1", id2: String = "id2"): DataFrame = {
+    // canonical orientation u < v (every pair generator in Dedup emits
+    // id1 < id2 already; normalize defensively), lineage cut ONCE before
+    // the self-joins below reference the list three times
+    val p = pairs.select(
+        least(col(id1), col(id2)).as("u"),
+        greatest(col(id1), col(id2)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val sym = p.select(col("u").as("x")).union(p.select(col("v").as("x")))
+    val nNodes = sym.distinct().agg(count(lit(1)).as("n_nodes"))
+    val nEdges = p.agg(count(lit(1)).as("n_edges"))
+    val wedges = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(shiftright(col("d") * (col("d") - 1), 1)), lit(0L))
+        .as("n_wedges"))
+    val paths = p.select(col("u").as("a"), col("v").as("b"))
+      .join(p.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = paths
+      .join(p.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
+          .as("transitivity"))
+  }
 }

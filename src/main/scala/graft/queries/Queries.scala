@@ -2164,6 +2164,19 @@ object Queries {
       .select(col("node").as("doc_id"),
         round(col("pagerank"), 6).as("pagerank"))
 
+  /** Triangle census of the verified near-dup graph
+    * ([[graft.ext.Graph.triangleCensus]]): node/edge/wedge/triangle
+    * counts and global transitivity over the jaccard ≥ 0.5 pair graph —
+    * the cluster-shape audit that separates clique-like true duplicate
+    * families (transitivity → 1) from chain-like transitive over-merges
+    * (→ 0). All-integer until the final ratio, so the oracle replays it
+    * exactly.
+    */
+  def q150TriangleCensus(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCensus(
+      Dedup.verifiedNearDups(Tables.load(spark, dir, "documents"),
+        threshold = 0.5))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2315,7 +2328,8 @@ object Queries {
     "q146_hist_quantiles" -> (q146HistQuantiles _),
     "q147_hll_overlap" -> (q147HllOverlap _),
     "q148_rrf_fusion" -> (q148RrfFusion _),
-    "q149_pagerank_centrality" -> (q149PagerankCentrality _))
+    "q149_pagerank_centrality" -> (q149PagerankCentrality _),
+    "q150_triangle_census" -> (q150TriangleCensus _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3222,6 +3236,31 @@ GROUP BY d.source"""
                  FROM e JOIN r2 ON r2.u = e.u JOIN deg ON deg.u = e.u
                  GROUP BY e.v) s, nn)
          SELECT u AS doc_id, ROUND(pr, 6) AS pagerank FROM r3"""),
+    // q150: oriented edge-iterator triangle count (each a<b<c found once
+    // as (a,b)+(b,c) closed by (a,c)); wedges = Σ d(d−1)/2 exact integer
+    "q150_triangle_census" -> (MinHashOracleCtes +
+      """,
+         pe AS (SELECT DISTINCT id1 AS u, id2 AS v FROM pairs
+                WHERE jaccard >= 0.5),
+         nodes AS (
+           SELECT COUNT(DISTINCT x) AS n_nodes FROM
+             (SELECT u AS x FROM pe UNION SELECT v FROM pe)),
+         ecnt AS (SELECT COUNT(*) AS n_edges FROM pe),
+         wed AS (
+           SELECT COALESCE(CAST(SUM(d * (d - 1) // 2) AS BIGINT), 0)
+             AS n_wedges
+           FROM (SELECT x, COUNT(*) AS d FROM
+                   (SELECT u AS x FROM pe UNION ALL SELECT v FROM pe)
+                 GROUP BY x)),
+         tri AS (
+           SELECT COUNT(*) AS n_triangles
+           FROM pe e1
+           JOIN pe e2 ON e2.u = e1.v
+           JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(CASE WHEN n_wedges = 0 THEN 0.0
+                 ELSE 3.0 * n_triangles / n_wedges END, 6) AS transitivity
+         FROM nodes, ecnt, wed, tri"""),
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

@@ -39,6 +39,33 @@ class GraphSpec extends SparkSpecBase {
     assert(clean == noisy)
   }
 
+  private def census(pairs: Seq[(Long, Long)]) =
+    Graph.triangleCensus(pairs.toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).head
+
+  test("triangle census on closed-form graphs") {
+    // single triangle: 3 wedges, 1 triangle, transitivity 1
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 3L, 3L, 1L, 1.0)))
+    // path 1-2-3: one wedge, no triangle
+    assert(census(Seq((1L, 2L), (2L, 3L))) == ((3L, 2L, 1L, 0L, 0.0)))
+    // K4: C(4,2)=6 edges, 4·C(3,2)=12 wedges, 4 triangles, transitivity 1
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      == ((4L, 6L, 12L, 4L, 1.0)))
+    // star around 1: 3 wedges at the hub, no triangle
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((4L, 3L, 3L, 0L, 0.0)))
+    // triangle + pendant edge: wedges 3 + C(3,2)... deg = (3,2,2,1):
+    // 3+1+1+0 = 5 wedges, 1 triangle, transitivity 3/5
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+      == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("triangle census normalizes duplicate and reversed pairs") {
+    val clean = census(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val noisy = census(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)))
+    assert(clean == noisy)
+  }
+
   test("result is deterministic under repartitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = Graph.pageRankUndirected(pairs.toDF("id1", "id2"))
