@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bounded-iteration link analysis over pair graphs the dedup pipeline
@@ -111,6 +111,51 @@ object Graph {
     * the path join, the same asymmetry that keeps [[Dedup]]'s CC
     * contraction skew-safe.
     */
+  /** Per-edge triangle support for a marked subset of edges — the
+    * corroboration audit for newly-admitted near-dup pairs: a pair
+    * embedded in triangles (common neighbors in the dup graph) is a
+    * corroborated duplicate; a support-0 pair is an isolated claim, the
+    * first thing to re-verify when tuning thresholds (support is the
+    * quantity k-truss denoising cuts on). Batch×history shape: only the
+    * marked (batch) edges are scored, but support counts common
+    * neighbors in the FULL graph — the same
+    * only-new-work-per-refresh contract as the incremental dedup
+    * admission family.
+    *
+    * Shape at 100 TB: two equi-joins of the batch edge list against the
+    * symmetric adjacency of the (capped, checkpointed) pair graph —
+    * shuffled on the endpoint then on (endpoint, candidate-neighbor) —
+    * plus one count aggregate; support-0 edges are restored by a final
+    * left join against the batch list itself. Nothing scales with the
+    * corpus, only with the bounded pair graph.
+    *
+    * @param isBatch predicate over the input pair columns marking the
+    *                newly-arrived edges to score
+    * @return (id1, id2, n_common) — one row per batch edge, canonical
+    *         orientation, n_common ≥ 0
+    */
+  def edgeSupport(pairs: DataFrame, isBatch: Column,
+      id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val p = pairs.select(
+        least(col(id1), col(id2)).as("u"),
+        greatest(col(id1), col(id2)).as("v"),
+        isBatch.as("_b"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val adj = p.select(col("u").as("x"), col("v").as("y"))
+      .union(p.select(col("v").as("x"), col("u").as("y")))
+    val b = p.filter(col("_b")).select(col("u"), col("v"))
+    val counts = b
+      .join(adj.select(col("x").as("u"), col("y").as("c")), Seq("u"))
+      .join(adj.select(col("x").as("v"), col("y").as("c")), Seq("v", "c"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    b.join(counts, Seq("u", "v"), "left_outer")
+      .select(col("u").as(id1), col("v").as(id2),
+        coalesce(col("n"), lit(0L)).as("n_common"))
+  }
+
   def triangleCensus(pairs: DataFrame,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
     // canonical orientation u < v (every pair generator in Dedup emits

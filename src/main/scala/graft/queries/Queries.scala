@@ -2177,6 +2177,20 @@ object Queries {
       Dedup.verifiedNearDups(Tables.load(spark, dir, "documents"),
         threshold = 0.5))
 
+  /** Triangle support for freshly-admitted near-dup pairs
+    * ([[graft.ext.Graph.edgeSupport]]): pairs touching a refresh-batch
+    * doc (doc_id % 5 == 0, the q90/q133 split convention) scored by
+    * common-neighbor count in the FULL dup graph — corroborated
+    * duplicates sit in triangles; support-0 pairs are isolated claims
+    * to re-verify. The graph-side completion of the incremental
+    * admission family.
+    */
+  def q151EdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    Graph.edgeSupport(
+      Dedup.verifiedNearDups(Tables.load(spark, dir, "documents"),
+        threshold = 0.5),
+      col("id1") % 5 === 0 || col("id2") % 5 === 0)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2329,7 +2343,8 @@ object Queries {
     "q147_hll_overlap" -> (q147HllOverlap _),
     "q148_rrf_fusion" -> (q148RrfFusion _),
     "q149_pagerank_centrality" -> (q149PagerankCentrality _),
-    "q150_triangle_census" -> (q150TriangleCensus _))
+    "q150_triangle_census" -> (q150TriangleCensus _),
+    "q151_edge_support" -> (q151EdgeSupport _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3261,6 +3276,24 @@ GROUP BY d.source"""
            ROUND(CASE WHEN n_wedges = 0 THEN 0.0
                  ELSE 3.0 * n_triangles / n_wedges END, 6) AS transitivity
          FROM nodes, ecnt, wed, tri"""),
+    // q151: common-neighbor (triangle-support) count per batch edge,
+    // support counted over the full symmetric adjacency
+    "q151_edge_support" -> (MinHashOracleCtes +
+      """,
+         pe AS (SELECT DISTINCT id1 AS u, id2 AS v FROM pairs
+                WHERE jaccard >= 0.5),
+         adj AS (SELECT u AS x, v AS y FROM pe
+                 UNION ALL SELECT v, u FROM pe),
+         b AS (SELECT u, v FROM pe WHERE u % 5 = 0 OR v % 5 = 0),
+         cn AS (
+           SELECT b.u, b.v, COUNT(*) AS n
+           FROM b
+           JOIN adj a1 ON a1.x = b.u
+           JOIN adj a2 ON a2.x = b.v AND a2.y = a1.y
+           GROUP BY b.u, b.v)
+         SELECT b.u AS id1, b.v AS id2,
+           COALESCE(cn.n, 0) AS n_common
+         FROM b LEFT JOIN cn ON cn.u = b.u AND cn.v = b.v"""),
     // q143: closed-form replay of the resize round-trip — ceil(dims/2)
     // and the solid color preserved by any resampling of a solid image
     "q143_image_resize" ->

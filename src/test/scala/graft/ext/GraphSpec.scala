@@ -66,6 +66,73 @@ class GraphSpec extends SparkSpecBase {
     assert(clean == noisy)
   }
 
+  test("edge support matches hand-computed common-neighbor counts") {
+    // triangle 1-2-3 plus pendant 1-4; mark edges touching node 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = Graph.edgeSupport(pairs,
+        org.apache.spark.sql.functions.col("id1") === 2 ||
+          org.apache.spark.sql.functions.col("id2") === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): common neighbor 3; (2,3): common neighbor 1
+    assert(out == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L))
+    // support counted over the FULL graph even for unmarked-edge checks:
+    // marking everything scores the pendant edge at support 0
+    val all = Graph.edgeSupport(pairs,
+        org.apache.spark.sql.functions.lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all((1L, 4L)) == 0L && all((1L, 3L)) == 1L)
+  }
+
+  test("randomized graphs agree with brute-force local references") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 4 + rng.nextInt(8)
+      val es = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rng.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keys.toSeq.sorted
+        // brute-force references
+        val refTri = (for {
+          a <- nodes; b <- nodes if a < b && adj(a)(b)
+          c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+        } yield 1).size.toLong
+        val refWedges = nodes.map { x =>
+          val d = adj(x).size.toLong; d * (d - 1) / 2
+        }.sum
+        val (gn, ge, gw, gt, _) = census(es)
+        assert((gn, ge, gw, gt) ==
+          ((nodes.size.toLong, es.size.toLong, refWedges, refTri)),
+          s"census trial $trial: edges $es")
+        // 3-round PageRank vs a local power iteration (same rounding)
+        val got = ranks(es.map { case (u, v) => (u, v) }, iters = 3)
+        var pr = nodes.map(_ -> 1.0 / nodes.size).toMap
+        for (_ <- 1 to 3)
+          pr = nodes.map { x =>
+            val m = adj(x).toSeq.map(y => pr(y) / adj(y).size).sum
+            x -> BigDecimal(0.15 / nodes.size + 0.85 * m)
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.toMap
+        nodes.foreach { x =>
+          assert(math.abs(got(x) - pr(x)) < 1e-9,
+            s"pagerank trial $trial node $x: ${got(x)} vs ${pr(x)}")
+        }
+        // edge support vs local common-neighbor counts (all edges marked)
+        val sup = Graph.edgeSupport(es.toDF("id1", "id2"),
+            org.apache.spark.sql.functions.lit(true))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        es.foreach { case (u, v) =>
+          assert(sup((u, v)) == adj(u).intersect(adj(v)).size.toLong,
+            s"support trial $trial edge ($u,$v)")
+        }
+      }
+    }
+  }
+
   test("result is deterministic under repartitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = Graph.pageRankUndirected(pairs.toDF("id1", "id2"))
