@@ -88,29 +88,6 @@ object Graph {
     r.select(col("u").as("node"), col("pr").as("pagerank"))
   }
 
-  /** Triangle census + global transitivity of an undirected pair graph —
-    * the cluster-SHAPE health metric for a dedup run: true duplicate
-    * families are near-cliques (transitivity → 1), while chain-like
-    * components (transitivity → 0) are the signature of transitive
-    * over-merging (A≈B≈C with A≉C), the classic LSH-dedup failure mode
-    * a scalar pair count cannot see.
-    *
-    * All-integer until the final ratio: n_triangles by the oriented
-    * edge-iterator join (Schank & Wagner 2005) — each triangle a<b<c is
-    * found exactly once as path (a,b)+(b,c) closed by edge (a,c), so
-    * the count needs no division — and n_wedges = Σ C(deg,2) via an
-    * exact shift-right halving (d·(d−1) is always even). Transitivity
-    * = 3·triangles/wedges. Output is ONE row.
-    *
-    * Shape at 100 TB: two self-equi-joins of the (capped, checkpointed)
-    * edge list — shuffled on the shared vertex and on the closing
-    * (a, c) key respectively — plus degree/count aggregates; nothing
-    * scales with the corpus, only with the bounded pair graph. The
-    * high-degree-vertex blowup the oriented join avoids: a hub of
-    * degree d contributes only its HIGHER-numbered neighbors' pairs to
-    * the path join, the same asymmetry that keeps [[Dedup]]'s CC
-    * contraction skew-safe.
-    */
   /** Per-edge triangle support for a marked subset of edges — the
     * corroboration audit for newly-admitted near-dup pairs: a pair
     * embedded in triangles (common neighbors in the dup graph) is a
@@ -136,12 +113,19 @@ object Graph {
     */
   def edgeSupport(pairs: DataFrame, isBatch: Column,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
+    // ONE row per canonical edge with the batch flag AGGREGATED (max):
+    // the same undirected edge arriving in both orientations under an
+    // orientation-sensitive `isBatch` predicate must not survive as two
+    // (u, v, _b) rows — that would double its row in `adj` (inflating
+    // every common-neighbor count it participates in) and score the
+    // edge twice. An edge marked batch in ANY orientation is batch.
     val p = pairs.select(
         least(col(id1), col(id2)).as("u"),
         greatest(col(id1), col(id2)).as("v"),
         isBatch.as("_b"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .groupBy(col("u"), col("v"))
+      .agg(max(col("_b")).as("_b"))
       .localCheckpoint()
     val adj = p.select(col("u").as("x"), col("v").as("y"))
       .union(p.select(col("v").as("x"), col("u").as("y")))
@@ -156,6 +140,29 @@ object Graph {
         coalesce(col("n"), lit(0L)).as("n_common"))
   }
 
+  /** Triangle census + global transitivity of an undirected pair graph —
+    * the cluster-SHAPE health metric for a dedup run: true duplicate
+    * families are near-cliques (transitivity → 1), while chain-like
+    * components (transitivity → 0) are the signature of transitive
+    * over-merging (A≈B≈C with A≉C), the classic LSH-dedup failure mode
+    * a scalar pair count cannot see.
+    *
+    * All-integer until the final ratio: n_triangles by the oriented
+    * edge-iterator join (Schank & Wagner 2005) — each triangle a<b<c is
+    * found exactly once as path (a,b)+(b,c) closed by edge (a,c), so
+    * the count needs no division — and n_wedges = Σ C(deg,2) via an
+    * exact shift-right halving (d·(d−1) is always even). Transitivity
+    * = 3·triangles/wedges. Output is ONE row.
+    *
+    * Shape at 100 TB: two self-equi-joins of the (capped, checkpointed)
+    * edge list — shuffled on the shared vertex and on the closing
+    * (a, c) key respectively — plus degree/count aggregates; nothing
+    * scales with the corpus, only with the bounded pair graph. The
+    * high-degree-vertex blowup the oriented join avoids: a hub of
+    * degree d contributes only its HIGHER-numbered neighbors' pairs to
+    * the path join, the same asymmetry that keeps [[Dedup]]'s CC
+    * contraction skew-safe.
+    */
   def triangleCensus(pairs: DataFrame,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
     // canonical orientation u < v (every pair generator in Dedup emits

@@ -24,7 +24,11 @@ object Retrieval {
   /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) over distinct-doc df.
     * Returns (idCol, bm25 rounded to 6dp) for the `k` best documents
-    * (score desc, id asc — fully deterministic).
+    * (score desc, id asc — fully deterministic). The cut itself ranks
+    * on the ROUNDED score: pool membership must tie-break identically
+    * in any engine replaying the published 6dp scores, and a raw-score
+    * cut would let a 7th-dp difference pick different pool members than
+    * a replay that only sees the rounded column.
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
@@ -52,10 +56,10 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(idCol))
-      .agg(sum(col("_s")).as("_bm25"))
+      .agg(round(sum(col("_s")), 6).as("bm25"))
     graft.operators.TopK.topKPerKey(scored, Seq.empty,
-      Seq(col("_bm25").desc, col(idCol)), k)
-      .select(col(idCol), round(col("_bm25"), 6).as("bm25"))
+      Seq(col("bm25").desc, col(idCol)), k)
+      .select(col(idCol), col("bm25"))
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
@@ -72,8 +76,12 @@ object Retrieval {
     * assigned AFTER the cut, so the unpartitioned row_number windows
     * sort ≤ poolK rows — bounded by construction, not by data size. The
     * fusion itself is a full-outer join of two ≤ poolK-row lists: free.
-    * Rank ties are broken on (rounded score desc, id asc) so the fused
-    * ranking is fully deterministic and engine-portable.
+    * BOTH pool cuts and the rank windows order on the 6dp-ROUNDED
+    * branch scores (ties then by id asc): a raw-score cut could admit
+    * different pool members than a replay that only sees the rounded
+    * scores whenever two raw scores tie at 6dp across the pool
+    * boundary, so rounding before the cut is what makes the fused
+    * ranking fully deterministic and engine-portable.
     */
   def rrfHybridTopK(docs: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVec: Seq[Float], k: Int = 10,
@@ -86,9 +94,17 @@ object Retrieval {
       .withColumn("r_lex",
         row_number().over(Window.orderBy(col("bm25").desc, col(idCol))))
       .select(col(idCol), col("r_lex"))
-    val den = Similarity.bruteForceTopK(embeddings, queryVec, poolK,
-        idCol = vecIdCol, vecCol = vecCol)
-      .select(col(vecIdCol).as(idCol), round(col("sim"), 6).as("sim"))
+    // the [[graft.ext.Similarity.bruteForceTopK]] plan shape (scan →
+    // project(sim) → TakeOrderedAndProject) with the cut on the ROUNDED
+    // score — bruteForceTopK itself cuts raw (its q25 oracle replays the
+    // raw ranking), but the hybrid pools are defined on published 6dp
+    // scores so membership tie-breaks identically in any engine
+    val qArr = array(queryVec.map(v => lit(v)): _*)
+    val den = embeddings
+      .select(col(vecIdCol).as(idCol),
+        round(Similarity.cosine(col(vecCol), qArr), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(poolK)
       .withColumn("r_dense",
         row_number().over(Window.orderBy(col("sim").desc, col(idCol))))
       .select(col(idCol), col("r_dense"))
