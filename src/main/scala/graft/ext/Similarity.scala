@@ -943,23 +943,36 @@ object Similarity {
     * run before trusting an (nlist, nprobe) operating point: for each
     * probe query, the fraction of the EXACT cosine top-k that the IVF
     * search returned. Output (qidCol, n_hits, recall) per query. The
-    * exact side is the Q·N brute ranking — at production scale the
-    * audit runs on a SAMPLED query set (the point is estimating the
-    * recall distribution, not auditing every probe), and both rankings
-    * ride the bounded two-phase [[graft.operators.TopK]], never a
-    * global sort. The embedding-space sibling of the rproj recall
-    * audit (q78).
+    * exact side is the Q·N brute ranking — irreducible per audited
+    * query (a recall audit needs exact ground truth) — so at production
+    * scale the audit runs on a SAMPLED query set: `sampleRate` < 1
+    * keeps each query iff the md5-derived uniform of its id clears the
+    * rate (the [[Sampling.uniformHash]] idiom — deterministic, stable
+    * under query-set growth, and replayable by any engine, so an
+    * external oracle reproduces the exact sample). The point is
+    * estimating the recall DISTRIBUTION, not auditing every probe:
+    * sampling bounds the brute side at rate·Q·N while leaving each
+    * audited query's recall exact. Both rankings ride the bounded
+    * two-phase [[graft.operators.TopK]], never a global sort. The
+    * embedding-space sibling of the rproj recall audit (q78).
     */
   def ivfBatchRecallAudit(bucketed: DataFrame,
       centroids: Seq[(Int, Seq[Float])], queries: DataFrame, k: Int,
       nprobe: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", qidCol: String = "query_id",
-      qvecCol: String = "qvec"): DataFrame = {
-    val ann = ivfTopKBatch(bucketed, centroids, queries, k, nprobe,
+      qvecCol: String = "qvec", sampleRate: Double = 1.0,
+      sampleSalt: String = "recall"): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val audited =
+      if (sampleRate >= 1.0) queries
+      else queries.filter(
+        Sampling.uniformHash(col(qidCol), sampleSalt) < sampleRate)
+    val ann = ivfTopKBatch(bucketed, centroids, audited, k, nprobe,
         idCol, vecCol, qidCol, qvecCol)
       .withColumn("_hit", lit(1))
     val bruteCands = bucketed
-      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(audited))
       .select(col(qidCol), col(idCol),
         cosine(col(vecCol), col(qvecCol)).as("_sim"))
       .repartition(col(qidCol))

@@ -2166,6 +2166,30 @@ object Queries {
         threshold = 0.5),
       col("id1") % 5 === 0 || col("id2") % 5 === 0)
 
+  /** Sampled-probe recall audit
+    * ([[graft.ext.Similarity.ivfBatchRecallAudit]] with
+    * `sampleRate` < 1) — the PRODUCTION form of q137: the brute ground
+    * truth is irreducibly Q·N per audited query, so at scale the audit
+    * estimates the recall distribution from an md5-uniform sample of
+    * the query set (deterministic, stable under growth, replayed
+    * exactly by the oracle's identical md5 decision) instead of paying
+    * the exact side for every probe. Probe pool here is every 10th
+    * vector sampled at rate 0.2 — a 50× denser raw pool than q137's
+    * every-500th, cut down to ~10× its audited volume by the sampler
+    * doing its production job. Same derived-⌈√N⌉ operating point as
+    * q132/q137.
+    */
+  def q152IvfRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nlist = Similarity.indexParams(emb.count()).nlist
+    val centroids = Similarity.sampleCentroids(emb, m = nlist)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfBatchRecallAudit(Similarity.assignBuckets(emb, centroids),
+      centroids, queries, k = 10, nprobe = 3,
+      sampleRate = 0.2, sampleSalt = "recall")
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2316,7 +2340,8 @@ object Queries {
     "q148_rrf_fusion" -> (q148RrfFusion _),
     "q149_pagerank_centrality" -> (q149PagerankCentrality _),
     "q150_triangle_census" -> (q150TriangleCensus _),
-    "q151_edge_support" -> (q151EdgeSupport _))
+    "q151_edge_support" -> (q151EdgeSupport _),
+    "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2871,24 +2896,17 @@ GROUP BY d.source"""
         " SELECT query_id, vec_id FROM annres"),
     // recall@10 of the q132 search vs the exact brute top-10 per query —
     // audited at the SAME derived-⌈√N⌉ operating point q132 runs
-    "q137_ivf_recall" -> (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) + """,
-         brute AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.query_id, e.vec_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                 CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
-                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
-                             CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
-                           / (e.nrm * q.qnrm) END DESC,
-                 e.vec_id ASC) AS rn
-             FROM en e CROSS JOIN qs q)
-           WHERE rn <= 10)
-         SELECT b.query_id, COUNT(a.vec_id) AS n_hits,
-           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
-         FROM brute b LEFT JOIN annres a
-           ON b.query_id = a.query_id AND b.vec_id = a.vec_id
-         GROUP BY 1"""),
+    "q137_ivf_recall" ->
+      (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) + RecallAuditTail),
+    // q152: the sampled-probe production form of the same audit — the
+    // probe set is every 10th vector kept iff the md5-derived uniform
+    // of its id clears rate 0.2 (the q65 sampling idiom), replaying the
+    // engine's Sampling.uniformHash decision exactly
+    "q152_ivf_recall_sampled" ->
+      (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte),
+        probePred = "vec_id % 10 = 0 AND " +
+          "('0x' || substr(md5(vec_id::VARCHAR || ':recall'), 1, 15))::BIGINT" +
+          " / 1152921504606846976.0 < 0.2") + RecallAuditTail),
     // q133/q135: direct and snapshot forms of the same admission —
     // identical decisions by construction (spec-pinned), same
     // whole-corpus replay, band width derived in SQL from count(*)
@@ -4543,11 +4561,37 @@ GROUP BY d.source"""
     */
   /** The batched-probe IVF oracle chain up through `annres` (query_id,
     * vec_id — the top-10 per probe) over any assignment CTE block:
-    * shared by the search final (q132) and the recall audit final
-    * (q137), both on the derived-⌈√N⌉ quantizer ([[AutoCentCte]]). */
-  private def ivfBatchCtesOf(asgCtes: String): String = asgCtes + """,
+    * shared by the search final (q132) and the recall audit finals
+    * (q137 full probe set, q152 md5-sampled probe set via `probePred`),
+    * all on the derived-⌈√N⌉ quantizer ([[AutoCentCte]]). */
+  /** The recall@k aggregation over the [[ivfBatchCtesOf]] chain: exact
+    * brute top-10 per audited query, left-joined against `annres`,
+    * per-query hit count and recall (denominator = the exact result
+    * size, so sub-k corpora still score 1.0 on a perfect search).
+    * Shared by q137 (full probe set) and q152 (sampled probe set). */
+  private def RecallAuditTail: String = """,
+         brute AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CASE WHEN e.nrm * q.qnrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+                           / (e.nrm * q.qnrm) END DESC,
+                 e.vec_id ASC) AS rn
+             FROM en e CROSS JOIN qs q)
+           WHERE rn <= 10)
+         SELECT b.query_id, COUNT(a.vec_id) AS n_hits,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         FROM brute b LEFT JOIN annres a
+           ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+         GROUP BY 1"""
+
+  private def ivfBatchCtesOf(asgCtes: String,
+      probePred: String = "vec_id % 500 = 0"): String = asgCtes + s""",
          qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
-                FROM en WHERE vec_id % 500 = 0),
+                FROM en WHERE $probePred),
          probe AS (
            SELECT query_id, cid FROM (
              SELECT q.query_id, c.cid,

@@ -429,6 +429,39 @@ class SimilaritySpec extends SparkSpecBase {
       s"oversized k must not understate recall: ${over.toSeq}")
   }
 
+  test("sampled recall audit: md5 subset of the full audit, rows intact") {
+    val cents = Seq(0 -> ax.toSeq, 1 -> ay.toSeq)
+    val bucketed = Similarity.assignBuckets(embeddings, cents)
+    val queries = embeddings
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val rate = 0.5
+    val sampled = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 4, nprobe = 2, sampleRate = rate)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // the sample is exactly the md5-uniform keep set — deterministic,
+    // and each audited query's recall is IDENTICAL to the full audit's
+    // (sampling selects queries, it never perturbs a query's result)
+    val expected = queries.select(col("query_id"))
+      .filter(Sampling.uniformHash(col("query_id"), "recall") < rate)
+      .as[Long].collect().toSet
+    assert(sampled.keySet == expected,
+      s"sampled=${sampled.keySet} expected=$expected")
+    assert(expected.nonEmpty && expected.size < full.size,
+      s"fixture must make the sample a strict nonempty subset: $expected")
+    assert(sampled.forall { case (q, v) => full(q) == v })
+    // rate 1.0 short-circuits to the full audit
+    val all = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 4, nprobe = 2, sampleRate = 1.0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(all == full)
+  }
+
   test("bands=0 auto-derivation refuses non-64-bit signatures") {
     intercept[IllegalArgumentException] {
       Similarity.cosineNearDupPairs(embeddings, threshold = 0.9, planes = 32)
