@@ -33,12 +33,17 @@ import org.apache.spark.sql.types._
   * round-trip (solid-color GIF frames palettize losslessly, so decoded
   * per-frame stats are exactly predictable). An MP4/H.264 deployment
   * swaps the reader inside the same partition-batched kernel for a JNI
-  * codec; nothing Spark-side changes. The remaining byte-level stubs
-  * below (`fakeDecodeFeatures`/`fakeResize`/`sampleChunks`) stand in
-  * for codec-specific transforms (re-encode, rescale) that genuinely
-  * need native libraries absent from this container — clearly marked —
-  * while everything Spark-side (schema, partitioning, batch iteration
-  * shape, pruning behavior) is real and tested.
+  * codec; nothing Spark-side changes.
+  *
+  * LOSSY RE-ENCODE is REAL: ImageIO also ships a JPEG writer, so
+  * [[reencodeJpeg]] / [[jpegReencodeFeatures]] run an actual
+  * decode → quality-controlled JPEG encode → decode round-trip; q153
+  * grades the codec-exact parts (dims/bands) and pins the lossy part
+  * behind a spec-measured tolerance column. The remaining byte-level
+  * stubs below (`fakeDecodeFeatures`/`fakeResize`/`sampleChunks`) stand
+  * in only for transforms whose codecs genuinely aren't in the JDK —
+  * clearly marked — while everything Spark-side (schema, partitioning,
+  * batch iteration shape, pruning behavior) is real and tested.
   */
 object MultiModal {
 
@@ -637,6 +642,93 @@ object MultiModal {
       }
       .toDF("media_id", "width", "height", "bands",
         "mean_r", "mean_g", "mean_b", "orig_bytes", "resized_bytes")
+  }
+
+  // ------------------------------------------------ real lossy re-encode
+
+  /** REAL lossy JPEG re-encode: decode, redraw onto an RGB raster (the
+    * JDK JPEG writer takes no alpha), and re-encode through
+    * `javax.imageio`'s JPEG writer at an EXPLICIT `quality` factor — the
+    * storage-tiering transform a media pipeline runs on archival tiers
+    * (PNG masters → JPEG serving copies). Returns None for
+    * null/empty/undecodable payloads, keeping failures auditable.
+    */
+  def reencodeJpeg(payload: Array[Byte],
+      quality: Float = 0.75f): Option[Array[Byte]] = {
+    require(quality > 0f && quality <= 1f,
+      s"quality must be in (0, 1], got $quality")
+    if (payload == null || payload.isEmpty) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      Option(img).map { im =>
+        val rgb =
+          if (im.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) im
+          else {
+            val t = new java.awt.image.BufferedImage(im.getWidth,
+              im.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = t.createGraphics()
+            try g.drawImage(im, 0, 0, null) finally g.dispose()
+            t
+          }
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(null,
+            new javax.imageio.IIOImage(rgb, null, null), param)
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Lossy re-encode audit pass — decode → JPEG re-encode → decode THE
+    * JPEG, partition-batched like every media kernel here. Lossy output
+    * splits into two classes of audit column: the parts the codec
+    * contract makes EXACT (dimensions and band count survive any JPEG
+    * round-trip) are emitted raw for exact replay, while the lossy part
+    * (pixel values) is graded as `within_tol` — max per-channel
+    * |mean(jpeg) − mean(original)| ≤ `tol` — because no external oracle
+    * can replay a lossy codec's exact output, only bound it. The
+    * tolerance is pinned empirically by MultiModalSpec over the full
+    * fixture color/dimension period. Byte sizes of both payloads ride
+    * along as (non-replayable, deterministic) report columns for the
+    * storage-tiering decision the transform exists to inform.
+    */
+  def jpegReencodeFeatures(media: DataFrame, quality: Float = 0.75f,
+      tol: Double = 8.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for {
+            orig <- decodeImageStats(payload)
+            jpeg <- reencodeJpeg(payload, quality)
+            s <- decodeImageStats(jpeg)
+          } yield {
+            val err = math.max(math.abs(s.meanR - orig.meanR),
+              math.max(math.abs(s.meanG - orig.meanG),
+                math.abs(s.meanB - orig.meanB)))
+            (id, s.width, s.height, s.bands, err <= tol,
+              payload.length.toLong, jpeg.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "bands", "within_tol",
+        "orig_bytes", "jpeg_bytes")
   }
 
   /** ======================== STUB ========================

@@ -2190,6 +2190,26 @@ object Queries {
       sampleRate = 0.2, sampleSalt = "recall")
   }
 
+  /** REAL lossy JPEG re-encode
+    * ([[graft.ext.MultiModal.jpegReencodeFeatures]]): every doc id's
+    * deterministic PNG master is decoded, re-encoded through the JDK's
+    * JPEG writer at quality 0.75, and the JPEG is decoded again — the
+    * storage-tiering transform, closing the last byte-level stand-in in
+    * the multimodal surface. Lossy output splits into two audit
+    * classes: the codec-contract-EXACT parts (dims, band count) are
+    * graded closed-form from the id, and the lossy part is graded as
+    * `within_tol` (max per-channel mean error ≤ 8) — sound because
+    * MultiModalSpec proves the JDK codec's solid-color round-trip error
+    * ≤ 3 exhaustively over the fixture's full (dims × color) period.
+    * Byte-size report columns are dropped here: deterministic but not
+    * external-engine-replayable (no DuckDB JPEG codec).
+    */
+  def q153JpegReencode(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.jpegReencodeFeatures(
+      MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")))
+      .select(col("media_id"), col("width"), col("height"), col("bands"),
+        col("within_tol"))
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2341,7 +2361,8 @@ object Queries {
     "q149_pagerank_centrality" -> (q149PagerankCentrality _),
     "q150_triangle_census" -> (q150TriangleCensus _),
     "q151_edge_support" -> (q151EdgeSupport _),
-    "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _))
+    "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _),
+    "q153_jpeg_reencode" -> (q153JpegReencode _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2925,6 +2946,17 @@ GROUP BY d.source"""
            CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
            CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
            CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
+         FROM documents""",
+    // q153: the lossy JPEG round-trip — dims/bands are codec-contract
+    // exact (closed-form in the id), and within_tol = TRUE is sound
+    // because MultiModalSpec proves the JDK codec's solid-color error
+    // ≤ 3 (< the 8.0 tolerance) over the fixture's full 8960-id period
+    "q153_jpeg_reencode" ->
+      """SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 7 AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS bands,
+           TRUE AS within_tol
          FROM documents""",
     // q141: closed-form replay of the WAV round-trip — the fixture's
     // format/sample formulas re-derived per id, integer sum-of-squares

@@ -186,4 +186,56 @@ class MultiModalSpec extends SparkSpecBase {
     assert(MultiModal.resizeImageFeatures(bad, 2).collect().isEmpty)
     assert(MultiModal.resizeImage(null, 2).isEmpty)
   }
+
+  test("REAL lossy JPEG re-encode: dims/bands exact, color error bounded over the full fixture period") {
+    // dims exact, bands 3, payload really is a JPEG (SOI marker), and the
+    // round-trip error of a solid color is small but (being lossy)
+    // usually nonzero
+    val png = MultiModal.encodeSolidPng(7, 5, 200, 10, 99)
+    val jpeg = MultiModal.reencodeJpeg(png).get
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8, "missing JPEG SOI marker")
+    val s = MultiModal.decodeImageStats(jpeg).get
+    assert(s.width == 7 && s.height == 5 && s.bands == 3)
+    // THE TOLERANCE PIN: the q153 oracle asserts within_tol = TRUE for
+    // every row, which is only sound if tol bounds the JDK JPEG codec's
+    // solid-color round-trip error for EVERY (w, h, r, g, b) combination
+    // the fixture can produce. The fixture is periodic in the id with
+    // period lcm(7, 5, 256) = 8960 (dims mod 7/5, channels mod 256), so
+    // sweeping one full period IS an exhaustive proof over the fixture
+    // space, not a sample.
+    var worst = 0.0
+    var id = 0L
+    while (id < 8960L) {
+      val w = (1 + id % 7).toInt
+      val h = (1 + id % 5).toInt
+      val (r, g, b) = (((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+        ((id * 83) % 256).toInt)
+      val p = MultiModal.encodeSolidPng(w, h, r, g, b)
+      val st = MultiModal.decodeImageStats(MultiModal.reencodeJpeg(p).get).get
+      assert(st.width == w && st.height == h && st.bands == 3,
+        s"id=$id dims/bands not preserved: $st")
+      val err = math.max(math.abs(st.meanR - r),
+        math.max(math.abs(st.meanG - g), math.abs(st.meanB - b)))
+      if (err > worst) worst = err
+      id += 1
+    }
+    info(f"max solid-color JPEG round-trip channel-mean error: $worst%.3f")
+    assert(worst <= 8.0, f"fixture-period max error $worst%.3f exceeds " +
+      "the q153 tolerance 8.0 — the oracle's within_tol=TRUE is unsound")
+    // distributed pass: same contract through the DataFrame kernel
+    val ids = Seq(0L, 1L, 13L, 299L).toDF("doc_id")
+    val got = MultiModal.jpegReencodeFeatures(MultiModal.syntheticPngMedia(ids))
+      .as[(Long, Int, Int, Int, Boolean, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for (id2 <- Seq(0L, 1L, 13L, 299L)) {
+      val (_, w, h, b, ok, ob, jb) = got(id2)
+      assert(w == (1 + id2 % 7).toInt && h == (1 + id2 % 5).toInt && b == 3)
+      assert(ok, s"id=$id2 outside tolerance")
+      assert(ob > 0 && jb > 0)
+    }
+    // undecodable payloads emit no rows; null payload is None
+    val bad = Seq((7L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(MultiModal.jpegReencodeFeatures(bad).collect().isEmpty)
+    assert(MultiModal.reencodeJpeg(null).isEmpty)
+  }
 }
