@@ -40,7 +40,12 @@ object Similarity {
     * `nlist` is capped at 65536: past that the flat centroid matrix
     * stops being a sane driver/broadcast object and a production build
     * shards the coarse quantizer (IVF-HNSW territory) instead of growing
-    * a flat one.
+    * a flat one. The cap is also the assignment-path threshold: at or
+    * below it, [[assignBuckets]] embeds the matrix in the plan (literal
+    * structs / the flat-matrix kernel — one expression node, zero
+    * joins); a centroid table bigger than that (or one living in
+    * storage rather than driver memory) takes [[assignBucketsJoin]],
+    * the broadcast-join form with identical results.
     */
   final case class IndexParams(nlist: Int, planes: Int, bands: Int) {
     def perBand: Int = planes / bands
@@ -345,6 +350,40 @@ object Similarity {
         element_at(nearestCentroidCol(centroids, col(vecCol), nprobe = 1,
           tiesLarger = true), 1))
     }
+
+  /** Broadcast-join centroid assignment — the form for quantizers past
+    * the expression-embedding ceiling. [[assignBuckets]] carries the
+    * centroid matrix INSIDE the plan (literal structs ≤ 16 lists, the
+    * flat-matrix kernel above), which is the right shape up to the
+    * [[indexParams]] nlist cap of 65536 (≲ 17 MB of float literals at
+    * dim 64 — a sane task binary / broadcast object). A 10¹¹-vector
+    * corpus wants more coarse lists than any expression should embed,
+    * and its centroid table lives in storage, not driver memory — so
+    * this path takes the centroids as a DATAFRAME: one broadcast join
+    * replicates the (cid, centroid) table to every task, per-vector
+    * cosine scores ride the same codegen'd [[dot]] kernel, and the
+    * argmax is a (sim, cid) struct-max aggregate whose map-side partial
+    * collapses the N·nlist candidate stream back to one row per vector
+    * BEFORE the exchange — the shuffle carries N narrow (id, bucket)
+    * rows, never the scored pairs. Tie-break (larger cid, NaN greatest)
+    * and accumulation order are identical to both [[assignBuckets]]
+    * physical forms, so all three paths agree bit-for-bit (spec-pinned).
+    *
+    * Returns the (idCol, bucket) assignment table — at scale that IS
+    * the artifact the index build writes (the physical layout join
+    * happens in the partitioned write), so no payload columns ride
+    * through the aggregate.
+    */
+  def assignBucketsJoin(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "cid", centCol: String = "centroid"): DataFrame =
+    embeddings
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(centCol))))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col(centCol)).as("sim"),
+          col(cidCol).as("cid")).as("_sc"))
+      .groupBy(col(idCol))
+      .agg(max(col("_sc")).getField("cid").as("bucket"))
 
   /** The flat-matrix kernel probe: top-`nprobe` centroid ids for a
     * vector column, requiring the 0..n-1 cid convention every builder

@@ -712,6 +712,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(literal(99L) == 2, s"NaN row must take the largest cid: ${literal(99L)}")
   }
 
+  test("broadcast-join assignment agrees with both in-plan forms (incl. NaN rows)") {
+    val withNaN = embeddings.unionByName(
+      Seq((99L, Seq(Float.NaN, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    // literal-struct regime (≤ 16 lists) and kernel regime (> 16) both
+    // compared against the join path on the same inputs
+    val few = Seq(0 -> ax.toSeq, 1 -> ay.toSeq, 2 -> Seq(0f, 0f, 1f, 0f))
+    val many = (0 until 17).map(i =>
+      i -> vec(if (i % 2 == 0) ax else ay, 0.3f, 1000 + i))
+    for (cents <- Seq(few, many)) {
+      val inPlan = Similarity.assignBuckets(withNaN, cents)
+        .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+      val centTable = cents.toDF("cid", "centroid")
+      val joined = Similarity.assignBucketsJoin(withNaN, centTable)
+        .as[(Long, Int)].collect().toMap
+      assert(joined == inPlan,
+        s"nlist=${cents.size}: join=$joined inPlan=$inPlan")
+      // NaN vector must land on the largest cid in every physical form
+      assert(joined(99L) == cents.size - 1)
+    }
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
