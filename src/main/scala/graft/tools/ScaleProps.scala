@@ -1,0 +1,136 @@
+package graft.tools
+
+/** The scale-regression gate's shared pieces — the 30×/100× analog of
+  * [[PlanProps]]: parsing of the committed sweep artifacts
+  * (`bench_sweep{30x,100x}_r{N}.json`, written by `graft.Bench` with
+  * `SPARK_GRAFT_BENCH_PASSES=1`), the per-query ratio-envelope TSV
+  * (`src/test/resources/scale_baseline.tsv`), and the envelope
+  * derivation rule. `ScaleBaseline` regenerates the envelope from a
+  * fresh pair of sweeps; `ScaleAuditSpec` fails `sbt test` when a
+  * query's measured 30×→100× ratio leaves its recorded envelope —
+  * superlinear drift then self-reports (the way round-10's q134 should
+  * have) instead of waiting for judge arithmetic.
+  */
+object ScaleProps {
+
+  /** Extract the `"queries":{...}` per-query seconds map from one
+    * sweep-JSON line. The artifact is machine-written by `Bench` (flat
+    * object, numeric values, no nesting inside the queries map), so a
+    * scoped regex parse is exact for this format.
+    */
+  def queryTimes(sweepJson: String): Map[String, Double] = {
+    val start = sweepJson.indexOf("\"queries\":{")
+    require(start >= 0, "no \"queries\" object in sweep json")
+    val body = sweepJson.substring(start + "\"queries\":{".length)
+    val end = body.indexOf('}')
+    require(end >= 0, "unterminated \"queries\" object in sweep json")
+    val entry = """"([^"]+)":([-+0-9.Ee]+)""".r
+    entry.findAllMatchIn(body.substring(0, end))
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+  }
+
+  /** The errors map must be empty for a sweep to certify anything. */
+  def sweepErrors(sweepJson: String): Map[String, String] = {
+    val start = sweepJson.indexOf("\"errors\":{")
+    require(start >= 0, "no \"errors\" object in sweep json")
+    val body = sweepJson.substring(start + "\"errors\":{".length)
+    val end = body.indexOf('}')
+    val entry = """"([^"]+)":"([^"]*)"""".r
+    entry.findAllMatchIn(body.substring(0, end))
+      .map(m => m.group(1) -> m.group(2))
+      .toMap
+  }
+
+  /** Ratio denominators are floored: a 0.2 s 30× time makes any ratio
+    * meaningless jitter.
+    */
+  val ratioFloorSec = 0.5
+
+  /** Violations only matter above this 100× absolute time — a 2 s query
+    * 6× over a 0.5 s floor is noise, not a scale problem.
+    */
+  val materialitySec = 5.0
+
+  def ratio(t30: Double, t100: Double): Double =
+    t100 / math.max(t30, ratioFloorSec)
+
+  /** Envelope rule: linear for 3.33× data is ratio 3.33; 4.5 absorbs
+    * single-cold-pass jitter on well-behaved queries, and measured-
+    * ratio × 1.6 gives the documented superlinear audit forms (exact
+    * brute ground truth, N^1.5 assignment) headroom proportional to
+    * their own physics rather than exempting them from the gate.
+    */
+  def allowedRatio(measured: Double): Double =
+    BigDecimal(math.max(4.5, measured * 1.6))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------- baseline (TSV) I/O
+
+  /** scale_baseline.tsv line: name, allowed 30×→100× ratio, and (as
+    * regeneration provenance, not gate inputs) the measured 30×/100×
+    * seconds the allowance was derived from.
+    */
+  def toTsv(rows: Seq[(String, Double, Double, Double)]): String =
+    rows.sortBy(_._1).map { case (name, allowed, t30, t100) =>
+      f"$name\t$allowed%.2f\t$t30%.3f\t$t100%.3f"
+    }.mkString("", "\n", "\n")
+
+  def fromTsv(tsv: String): Map[String, Double] =
+    tsv.linesIterator.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      require(f.length == 4, s"bad scale baseline line: $line")
+      f(0) -> f(1).toDouble
+    }.toMap
+
+  /** Latest committed sweep pair in `dir`: the highest round N with
+    * BOTH bench_sweep30x_rN.json and bench_sweep100x_rN.json.
+    */
+  def latestSweepPair(dir: java.io.File): Option[(java.io.File, java.io.File)] = {
+    val pat = """bench_sweep30x_r(\d+)\.json""".r
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case pat(n) => Some(n.toInt -> f)
+        case _ => None
+      })
+      .sortBy(-_._1)
+      .flatMap { case (n, f30) =>
+        val f100 = new java.io.File(dir, s"bench_sweep100x_r$n.json")
+        if (f100.isFile) Some((f30, f100)) else None
+      }
+      .headOption
+  }
+}
+
+/** Regenerate `src/test/resources/scale_baseline.tsv` from a fresh
+  * sweep pair: `runMain graft.tools.ScaleBaseline [sweep30 sweep100
+  * [out]]` (defaults: the latest committed pair in the CWD). Refuses
+  * sweeps containing errors — an errored sweep certifies nothing.
+  */
+object ScaleBaseline {
+  def main(args: Array[String]): Unit = {
+    val (f30, f100) = (args.lift(0), args.lift(1)) match {
+      case (Some(a), Some(b)) => (new java.io.File(a), new java.io.File(b))
+      case _ => ScaleProps.latestSweepPair(new java.io.File("."))
+        .getOrElse(sys.error("no bench_sweep{30x,100x}_rN.json pair in CWD"))
+    }
+    val out = args.lift(2).getOrElse("src/test/resources/scale_baseline.tsv")
+    def read(f: java.io.File) =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val (j30, j100) = (read(f30), read(f100))
+    require(ScaleProps.sweepErrors(j30).isEmpty, s"$f30 has errors")
+    require(ScaleProps.sweepErrors(j100).isEmpty, s"$f100 has errors")
+    val (t30, t100) = (ScaleProps.queryTimes(j30), ScaleProps.queryTimes(j100))
+    val common = t30.keySet & t100.keySet
+    require(common.nonEmpty, "sweeps share no queries")
+    val rows = common.toSeq.sorted.map { q =>
+      val r = ScaleProps.ratio(t30(q), t100(q))
+      (q, ScaleProps.allowedRatio(r), t30(q), t100(q))
+    }
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, ScaleProps.toTsv(rows).getBytes("UTF-8"))
+    println(s"wrote ${rows.size} envelope rows to $out " +
+      s"(from ${f30.getName} / ${f100.getName})")
+  }
+}
