@@ -744,39 +744,4 @@ object MultiModal {
         "orig_bytes", "jpeg_bytes")
   }
 
-  /** ======================== STUB ========================
-    * Deterministic fake "resize": byte decimation keeping every `factor`-th
-    * byte — standing in for an image downscale (a real impl decodes,
-    * rescales, re-encodes in this kernel). Output length is
-    * ceil(len / factor), the size contract a real downscale also obeys.
-    */
-  def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] = {
-    require(factor >= 1, s"factor must be >= 1, got $factor")
-    if (payload == null) return Array.emptyByteArray
-    val out = new Array[Byte]((payload.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-    out
-  }
-
-  /** Resize pass over the media table — same partition-batched
-    * `mapPartitions` shape as [[extractFeatures]] (per-partition codec
-    * init amortizes; records stream through). Emits the resized payload
-    * plus both sizes, the audit columns a media-pipeline run publishes.
-    */
-  def resizePayloads(media: DataFrame, factor: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media
-      .select(col("media_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition codec init would go here (STUB: none needed)
-        it.map { case (id, p) =>
-          val r = fakeResize(p, factor)
-          (id, r, if (p == null) 0L else p.length.toLong, r.length.toLong)
-        }
-      }
-      .toDF("media_id", "resized", "orig_bytes", "resized_bytes")
-  }
 }

@@ -91,7 +91,8 @@ class EmptyInputSpec extends SparkSpecBase {
     val emptyMedia = MultiModal.syntheticMediaFromDocs(
       Seq.empty[(Long, String, String, String, Long)]
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
-    assert(MultiModal.resizePayloads(emptyMedia, factor = 2).count() == 0)
+    assert(MultiModal.resizeImageFeatures(emptyMedia, factor = 2).count() == 0)
+    assert(MultiModal.jpegReencodeFeatures(emptyMedia).count() == 0)
     assert(MultiModal.sampleChunks(emptyMedia).count() == 0)
     assert(TextAnalysis.scrubBoilerplate(emptyDocs).count() == 0)
     assert(TextAnalysis.scrubBoilerplateAgainst(emptyDocs,

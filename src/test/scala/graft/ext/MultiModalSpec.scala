@@ -33,20 +33,6 @@ class MultiModalSpec extends SparkSpecBase {
     assert(new String(chunks.head._2.head) == "hell")
   }
 
-  test("stubbed resize decimates bytes with the ceil(len/factor) size contract") {
-    val out = MultiModal.resizePayloads(media, factor = 3)
-      .orderBy("media_id")
-      .as[(Long, Array[Byte], Long, Long)].collect()
-    // "hello world" (11 bytes), every 3rd byte = indices 0,3,6,9 → "hlwl"
-    assert(out.head._3 == 11L && out.head._4 == 4L)
-    assert(new String(out.head._2) == "hlwl")
-    assert(out(1)._3 == 0L && out(1)._4 == 0L) // empty payload
-    // deterministic
-    val again = MultiModal.resizePayloads(media, factor = 3)
-      .orderBy("media_id").as[(Long, Array[Byte], Long, Long)].collect()
-    assert(again.map(r => new String(r._2)).toSeq == out.map(r => new String(r._2)).toSeq)
-  }
-
   test("metadata-only scan prunes the payload column (ReadSchema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
