@@ -984,29 +984,44 @@ object Similarity {
     * search returned. Output (qidCol, n_hits, recall) per query. The
     * exact side is the Q·N brute ranking — irreducible per audited
     * query (a recall audit needs exact ground truth) — so at production
-    * scale the audit runs on a SAMPLED query set: `sampleRate` < 1
-    * keeps each query iff the md5-derived uniform of its id clears the
-    * rate (the [[Sampling.uniformHash]] idiom — deterministic, stable
-    * under query-set growth, and replayable by any engine, so an
-    * external oracle reproduces the exact sample). The point is
+    * scale the audit runs on a SAMPLED query set, and the two sampling
+    * knobs bound it differently: `sampleRate` < 1 keeps each query iff
+    * the md5-derived uniform of its id clears the rate (the
+    * [[Sampling.uniformHash]] idiom — deterministic, stable under
+    * query-set growth, replayable by any engine) — but a RATE keeps the
+    * audited count proportional to the query set, so when the probe
+    * stream grows with the corpus the brute side is still Q·N ∝ N².
+    * `maxProbes` > 0 is the production bound: a FIXED audit budget —
+    * the `maxProbes` queries with the smallest uniform hash (ties by
+    * id; the exact-k holdout idiom, replayed by the oracle as an
+    * ORDER-BY-hash row_number cut) — which pins the brute side at
+    * budget·N, linear in the corpus at any query volume. The point is
     * estimating the recall DISTRIBUTION, not auditing every probe:
-    * sampling bounds the brute side at rate·Q·N while leaving each
-    * audited query's recall exact. Both rankings ride the bounded
-    * two-phase [[graft.operators.TopK]], never a global sort. The
-    * embedding-space sibling of the rproj recall audit (q78).
+    * either knob leaves each audited query's recall exact. Both
+    * rankings ride the bounded two-phase [[graft.operators.TopK]],
+    * never a global sort (the budget cut itself is a TakeOrdered of
+    * the id/hash pairs). The embedding-space sibling of the rproj
+    * recall audit (q78).
     */
   def ivfBatchRecallAudit(bucketed: DataFrame,
       centroids: Seq[(Int, Seq[Float])], queries: DataFrame, k: Int,
       nprobe: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", qidCol: String = "query_id",
       qvecCol: String = "qvec", sampleRate: Double = 1.0,
-      sampleSalt: String = "recall"): DataFrame = {
+      sampleSalt: String = "recall", maxProbes: Int = 0): DataFrame = {
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
-    val audited =
+    require(maxProbes >= 0, s"maxProbes must be >= 0, got $maxProbes")
+    val rated =
       if (sampleRate >= 1.0) queries
       else queries.filter(
         Sampling.uniformHash(col(qidCol), sampleSalt) < sampleRate)
+    val audited =
+      if (maxProbes == 0) rated
+      else rated
+        .orderBy(Sampling.uniformHash(col(qidCol), sampleSalt).asc,
+          col(qidCol).asc)
+        .limit(maxProbes)
     val ann = ivfTopKBatch(bucketed, centroids, audited, k, nprobe,
         idCol, vecCol, qidCol, qvecCol)
       .withColumn("_hit", lit(1))

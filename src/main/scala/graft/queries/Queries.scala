@@ -2166,18 +2166,18 @@ object Queries {
         threshold = 0.5),
       col("id1") % 5 === 0 || col("id2") % 5 === 0)
 
-  /** Sampled-probe recall audit
-    * ([[graft.ext.Similarity.ivfBatchRecallAudit]] with
-    * `sampleRate` < 1) — the PRODUCTION form of q137: the brute ground
-    * truth is irreducibly Q·N per audited query, so at scale the audit
-    * estimates the recall distribution from an md5-uniform sample of
-    * the query set (deterministic, stable under growth, replayed
-    * exactly by the oracle's identical md5 decision) instead of paying
-    * the exact side for every probe. Probe pool here is every 10th
-    * vector sampled at rate 0.2 — a 50× denser raw pool than q137's
-    * every-500th, cut down to ~10× its audited volume by the sampler
-    * doing its production job. Same derived-⌈√N⌉ operating point as
-    * q132/q137.
+  /** Budgeted-probe recall audit
+    * ([[graft.ext.Similarity.ivfBatchRecallAudit]] with `maxProbes`) —
+    * the PRODUCTION form of q137: the brute ground truth is irreducibly
+    * Q·N per audited query, and any RATE keeps Q ∝ the query stream —
+    * quadratic whenever probes grow with the corpus (q137's documented
+    * physics). A FIXED audit budget is the scale-safe form: the 256
+    * pool queries with the smallest md5 uniform (deterministic, exact-k
+    * — replayed by the oracle as an ORDER-BY-hash row_number cut) pin
+    * the brute side at 256·N, linear at any corpus size. Pool is every
+    * 10th vector — 50× denser than q137's, irrelevant to cost because
+    * the budget, not the pool, sizes the audit. Same derived-⌈√N⌉
+    * operating point as q132/q137.
     */
   def q152IvfRecallSampled(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -2187,7 +2187,7 @@ object Queries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity.ivfBatchRecallAudit(Similarity.assignBuckets(emb, centroids),
       centroids, queries, k = 10, nprobe = 3,
-      sampleRate = 0.2, sampleSalt = "recall")
+      sampleSalt = "recall", maxProbes = 256)
   }
 
   /** REAL lossy JPEG re-encode
@@ -2919,15 +2919,17 @@ GROUP BY d.source"""
     // audited at the SAME derived-⌈√N⌉ operating point q132 runs
     "q137_ivf_recall" ->
       (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) + RecallAuditTail),
-    // q152: the sampled-probe production form of the same audit — the
-    // probe set is every 10th vector kept iff the md5-derived uniform
-    // of its id clears rate 0.2 (the q65 sampling idiom), replaying the
-    // engine's Sampling.uniformHash decision exactly
+    // q152: the budgeted-probe production form of the same audit — the
+    // audited set is the 256 every-10th-pool queries with the smallest
+    // md5 uniform (the exact-k holdout idiom), replaying the engine's
+    // Sampling.uniformHash ranking exactly
     "q152_ivf_recall_sampled" ->
       (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte),
-        probePred = "vec_id % 10 = 0 AND " +
-          "('0x' || substr(md5(vec_id::VARCHAR || ':recall'), 1, 15))::BIGINT" +
-          " / 1152921504606846976.0 < 0.2") + RecallAuditTail),
+        probePred = """vec_id % 10 = 0
+                QUALIFY ROW_NUMBER() OVER (ORDER BY
+                  ('0x' || substr(md5(vec_id::VARCHAR || ':recall'), 1, 15))::BIGINT
+                    / 1152921504606846976.0 ASC, vec_id ASC) <= 256""") +
+        RecallAuditTail),
     // q133/q135: direct and snapshot forms of the same admission —
     // identical decisions by construction (spec-pinned), same
     // whole-corpus replay, band width derived in SQL from count(*)

@@ -460,6 +460,21 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
       .toMap
     assert(all == full)
+    // maxProbes: the FIXED audit budget — exactly the `n` queries with
+    // the smallest md5 uniform (ties by id), results untouched
+    val budget = 3
+    val capped = Similarity.ivfBatchRecallAudit(bucketed, cents, queries,
+        k = 4, nprobe = 2, maxProbes = budget)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ranked = queries
+      .select(col("query_id"),
+        Sampling.uniformHash(col("query_id"), "recall").as("u"))
+      .orderBy(col("u").asc, col("query_id").asc)
+      .limit(budget).select("query_id").as[Long].collect().toSet
+    assert(ranked.size == budget)
+    assert(capped.keySet == ranked, s"capped=${capped.keySet} want=$ranked")
+    assert(capped.forall { case (q, v) => full(q) == v })
   }
 
   test("bands=0 auto-derivation refuses non-64-bit signatures") {
