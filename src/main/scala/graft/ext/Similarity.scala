@@ -1083,6 +1083,95 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * 2019) — the standard constructor of mined translation/paraphrase
+    * pairs for multilingual training data: a cross-side pair (x ∈ src
+    * slice, y ∈ tgt slice) is mined when its cosine stands OUT of both
+    * vectors' neighborhoods, score(x, y) = cos(x, y) / (½·avgₖNN(x) +
+    * ½·avgₖNN(y)) ≥ `threshold` — raw cosine alone can't separate true
+    * pairs from hubs (vectors globally close to everything), which is
+    * exactly what the margin denominator normalizes away.
+    *
+    * Candidate generation is the SemDeDup shape, not all-pairs: both
+    * slices are assigned to a derived-⌈√N⌉ coarse quantizer
+    * ([[indexParams]] over the combined slice population, seed sample =
+    * smallest ids) and pairs form only ACROSS sides WITHIN a cluster,
+    * capped by `maxBucketSize` — the quadratic term is bounded by the
+    * largest cluster, never the corpus, and kNN averages are taken over
+    * the same candidate sets (the production approximation; a deployment
+    * raises recall with multi-probe assignment, same plan shape).
+    *
+    * Engine-portable by integer-exact arithmetic: cosines are fixed to
+    * 6dp integers (c6 = ROUND(cos·10⁶) as a long), neighborhood sums are
+    * integer sums (order-independent, exact), and the margin is ONE
+    * double division of integer-valued operands — margin =
+    * 2·c6·nX·nY / (sX·nY + sY·nX), rounded to 6dp — so an external
+    * oracle replays every mined pair hash-exactly. Non-positive
+    * denominators (all-negative neighborhoods) are not mined. Output is
+    * the forward-best pair per source vector (margin desc, cosine desc,
+    * tgt id asc): (src_id, tgt_id, cos, margin).
+    */
+  def marginMinedPairs(embeddings: DataFrame, srcLabel: Int, tgtLabel: Int,
+      k: Int = 4, threshold: Double = 1.02, maxBucketSize: Int = 10000,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", n: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val slice = embeddings
+      .filter(col(labelCol) === srcLabel || col(labelCol) === tgtLabel)
+      .select(col(idCol), col(vecCol),
+        (col(labelCol) === srcLabel).as("_src"))
+    val pop = if (n >= 0) n else slice.count()
+    val centroids = sampleCentroids(slice, indexParams(pop).nlist,
+      idCol, vecCol)
+    val sized = assignBuckets(slice, centroids, idCol, vecCol)
+      .withColumn("_csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("_csize") <= maxBucketSize)
+      .withColumn("_nrm", l2Norm(col(vecCol)))
+    val xs = sized.filter(col("_src"))
+      .select(col("bucket"), col(idCol).as("xid"), col(vecCol).as("xv"),
+        col("_nrm").as("xn"))
+    val ys = sized.filter(!col("_src"))
+      .select(col("bucket"), col(idCol).as("yid"), col(vecCol).as("yv"),
+        col("_nrm").as("yn"))
+    val scored = xs.join(ys, Seq("bucket"))
+      .withColumn("_cos",
+        when(col("xn") === 0.0 || col("yn") === 0.0, lit(0.0))
+          .otherwise(dot(col("xv"), col("yv")) / (col("xn") * col("yn"))))
+      .select(col("xid"), col("yid"),
+        round(col("_cos") * 1e6).cast("long").as("c6"))
+    import org.apache.spark.sql.expressions.Window
+    val topx = scored
+      .withColumn("_rn", row_number().over(Window.partitionBy("xid")
+        .orderBy(col("c6").desc, col("yid").asc)))
+      .filter(col("_rn") <= k)
+      .groupBy(col("xid"))
+      .agg(sum(col("c6")).as("sx"), count(lit(1)).as("nx"))
+    val topy = scored
+      .withColumn("_rn", row_number().over(Window.partitionBy("yid")
+        .orderBy(col("c6").desc, col("xid").asc)))
+      .filter(col("_rn") <= k)
+      .groupBy(col("yid"))
+      .agg(sum(col("c6")).as("sy"), count(lit(1)).as("ny"))
+    val margins = scored
+      .join(topx, Seq("xid"))
+      .join(topy, Seq("yid"))
+      .withColumn("_den", col("sx") * col("ny") + col("sy") * col("nx"))
+      .filter(col("_den") > 0)
+      .withColumn("margin",
+        round((lit(2) * col("c6") * col("nx") * col("ny"))
+          .cast("double") / col("_den").cast("double"), 6))
+      .filter(col("margin") >= threshold)
+    margins
+      .withColumn("_rn", row_number().over(Window.partitionBy("xid")
+        .orderBy(col("margin").desc, col("c6").desc, col("yid").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("xid").as("src_id"), col("yid").as("tgt_id"),
+        (col("c6").cast("double") / 1e6).as("cos"), col("margin"))
+  }
+
   /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
     * vector that is the larger-id member of a within-cluster pair at or
     * above `threshold` (compose with `Dedup.dropByComponents` for the

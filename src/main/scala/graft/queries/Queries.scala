@@ -2210,6 +2210,23 @@ object Queries {
       .select(col("media_id"), col("width"), col("height"), col("bands"),
         col("within_tol"))
 
+  /** Margin-based parallel-pair mining
+    * ([[graft.ext.Similarity.marginMinedPairs]] — Artetxe & Schwenk
+    * 2019): label-0 vectors as the source slice, label-1 as the target,
+    * a pair mined when its cosine stands out of BOTH vectors'
+    * k=4 neighborhoods (margin ≥ 1.02) — the standard constructor of
+    * mined translation/paraphrase pairs for multilingual training data,
+    * where raw cosine cannot separate true pairs from hub vectors.
+    * Candidates form across sides within derived-⌈√N⌉ coarse clusters
+    * (the SemDeDup shape — bounded by the largest cluster, never the
+    * corpus); margins are integer-exact (6dp-fixed cosines, integer
+    * neighborhood sums, one double division), so the oracle replays
+    * every mined pair hash-exactly.
+    */
+  def q154MarginMining(spark: SparkSession, dir: String): DataFrame =
+    Similarity.marginMinedPairs(Tables.load(spark, dir, "embeddings"),
+      srcLabel = 0, tgtLabel = 1)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2362,7 +2379,8 @@ object Queries {
     "q150_triangle_census" -> (q150TriangleCensus _),
     "q151_edge_support" -> (q151EdgeSupport _),
     "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _),
-    "q153_jpeg_reencode" -> (q153JpegReencode _))
+    "q153_jpeg_reencode" -> (q153JpegReencode _),
+    "q154_margin_mining" -> (q154MarginMining _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2949,6 +2967,76 @@ GROUP BY d.source"""
            CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
            CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
          FROM documents""",
+    // q154: margin-based mining replayed end-to-end — derived-⌈√N⌉
+    // cluster assignment over the two label slices (ties to the larger
+    // cid, the assignBuckets contract), cross-side within-cluster
+    // candidates, 6dp-integer cosines, integer kNN sums, ONE double
+    // division for the margin, forward-best per source vector
+    "q154_margin_mining" ->
+      """WITH sl AS (
+           SELECT vec_id, embedding, (label = 0) AS is_src
+           FROM embeddings WHERE label IN (0, 1)),
+         cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             embedding
+           FROM sl
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+             LEAST(65536, GREATEST(1,
+               CAST(ceil(sqrt((SELECT COUNT(*) FROM sl))) AS BIGINT)))),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM cent),
+         en AS (SELECT vec_id, embedding, is_src,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM sl),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm, e.is_src,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE)))
+                            / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         ok AS (
+           SELECT * FROM asg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         sc AS (
+           SELECT x.vec_id AS xid, y.vec_id AS yid,
+             CAST(ROUND(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(x.embedding)+1), k ->
+                      CAST(x.embedding[k] AS DOUBLE) * CAST(y.embedding[k] AS DOUBLE)))
+                    / (x.nrm * y.nrm) END * 1000000) AS BIGINT) AS c6
+           FROM ok x JOIN ok y ON x.bucket = y.bucket
+           WHERE x.is_src AND NOT y.is_src),
+         tx AS (
+           SELECT xid, SUM(c6) AS sx, COUNT(*) AS nx FROM (
+             SELECT xid, c6,
+               ROW_NUMBER() OVER (PARTITION BY xid
+                 ORDER BY c6 DESC, yid ASC) AS rn
+             FROM sc) WHERE rn <= 4 GROUP BY xid),
+         ty AS (
+           SELECT yid, SUM(c6) AS sy, COUNT(*) AS ny FROM (
+             SELECT yid, c6,
+               ROW_NUMBER() OVER (PARTITION BY yid
+                 ORDER BY c6 DESC, xid ASC) AS rn
+             FROM sc) WHERE rn <= 4 GROUP BY yid),
+         mg AS (
+           SELECT s.xid, s.yid, s.c6,
+             t1.sx * t2.ny + t2.sy * t1.nx AS den,
+             ROUND(CAST(2 * s.c6 * t1.nx * t2.ny AS DOUBLE)
+               / CAST(t1.sx * t2.ny + t2.sy * t1.nx AS DOUBLE), 6) AS margin
+           FROM sc s JOIN tx t1 USING (xid) JOIN ty t2 USING (yid))
+         SELECT xid AS src_id, yid AS tgt_id,
+           CAST(c6 AS DOUBLE) / 1000000.0 AS cos, margin
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+             ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
+           FROM mg WHERE den > 0 AND margin >= 1.02)
+         WHERE rn = 1""",
     // q153: the lossy JPEG round-trip — dims/bands are codec-contract
     // exact (closed-form in the id), and within_tol = TRUE is sound
     // because MultiModalSpec proves the JDK codec's solid-color error

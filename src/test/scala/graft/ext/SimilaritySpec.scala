@@ -748,6 +748,71 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("margin mining: aligned cross-side pair mined, weak pair rejected") {
+    // 4 vectors, nlist = ceil(sqrt(4)) = 2, centroids = ids 0/1:
+    // id0 -> bucket 0 (alone, no target side -> contributes nothing);
+    // id1(tgt), id2(src), id3(tgt) -> bucket 1. Cross pairs there:
+    // (2,3) cos = 0.9/sqrt(0.82) ~ 0.9939 -> margin 1.29 (mined);
+    // (2,1) cos ~ 0.11 -> margin 0.33 (rejected).
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 1),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0.9f, 0.1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.marginMinedPairs(emb, srcLabel = 0, tgtLabel = 1)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1, s"expected one mined pair, got ${got.toSeq}")
+    val (src, tgt, cos, margin) = got.head
+    assert(src == 2L && tgt == 3L)
+    // cos is the 6dp-fixed integer divided back out — recompute the
+    // fixed-point value locally from the same float inputs
+    val raw = 0.9f.toDouble * 1.0 /
+      (1.0 * math.sqrt(0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble))
+    assert(cos == math.round(raw * 1e6).toDouble / 1e6, s"cos=$cos raw=$raw")
+    assert(margin > 1.02 && margin < 2.0, s"margin=$margin")
+    // deterministic
+    val again = Similarity.marginMinedPairs(emb, srcLabel = 0, tgtLabel = 1)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+    // a label with no members mines nothing
+    assert(Similarity.marginMinedPairs(emb, srcLabel = 0, tgtLabel = 7)
+      .count() == 0)
+  }
+
+  test("margin mining demotes hubs relative to true pairs") {
+    // nlist = ceil(sqrt(7)) = 3, seeded from ids 0..2: id0 anchors the
+    // cluster of interest, ids 1/2 are orthogonal junk axes that soak up
+    // the other two centroids (each alone in its bucket -> no pairs).
+    // Inside bucket 0: source x has a true match y1 (cos .99, and y1 is
+    // FAR from the spare sources) and a hub target yh (cos ~.8 to x AND
+    // to both spares). The margin must rank (x, y1) above every
+    // hub-mediated pair even though yh's raw cosines are respectable.
+    val emb = Seq(
+      (0L, Seq(0.8f, 0.6f, 0f, 0f), 0),        // x (also centroid 0)
+      (1L, Seq(0f, 1f, 0f, 0f), 0),            // junk axis -> own bucket
+      (2L, Seq(0f, 0f, 1f, 0f), 0),            // junk axis -> own bucket
+      (3L, Seq(0.88f, 0.475f, 0f, 0f), 1),     // y1: close to x only
+      (4L, Seq(0.8f, 0f, 0.05f, 0.05f), 1),    // yh: ~.8 to x AND spares
+      (5L, Seq(0.8f, -0.58f, 0.1f, 0f), 0),    // spare sources whose only
+      (6L, Seq(0.8f, -0.58f, 0f, 0.1f), 0)     // good target is the hub
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.marginMinedPairs(emb, srcLabel = 0, tgtLabel = 1,
+        threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(got.contains(0L), s"source x mined nothing: $got")
+    val (xBest, xMargin) = got(0L)
+    assert(xBest == 3L, s"x's forward-best must be the true match: $got")
+    assert(xMargin > 1.02, s"true pair under the default threshold: $got")
+    for (spare <- Seq(5L, 6L)) {
+      val (t, m) = got(spare)
+      assert(t == 4L, s"spare $spare's best candidate is the hub: $got")
+      assert(xMargin > m,
+        s"true pair ($xMargin) must outrank hub pair of $spare ($m)")
+    }
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
