@@ -1172,6 +1172,70 @@ object Similarity {
         (col("c6").cast("double") / 1e6).as("cos"), col("margin"))
   }
 
+  /** kNN label propagation — semi-supervised auto-labeling of an
+    * unlabeled corpus slice from a labeled seed set (the standard
+    * bootstrap when a quality/domain classifier's training labels only
+    * cover a sliver of the corpus): each unlabeled vector takes the
+    * majority label of its `k` nearest seeds. Candidates are
+    * seed×target pairs WITHIN a derived-⌈√N⌉ coarse cluster (the same
+    * SemDeDup shape as [[semanticDedupPairs]]/[[marginMinedPairs]] —
+    * bounded by the largest cluster, never seeds×corpus), so a target
+    * with no same-cluster seed yields no row: unpredictable rows stay
+    * auditable by anti-join instead of being silently mislabeled by a
+    * distant seed.
+    *
+    * Fully integer decision path for oracle replay: 6dp-fixed cosines,
+    * kNN cut by (c6 desc, seed id asc), votes counted per label among
+    * the ≤ k survivors, winner by (votes desc, then the TOP-RANKED
+    * cosine carrying that label desc, then label asc) — the
+    * similarity-weighted tie-break that keeps two-label ties
+    * deterministic without any float summation. Output: (idCol,
+    * pred_label, votes, n_neighbors).
+    */
+  def knnLabelPropagation(embeddings: DataFrame, isSeed: Column,
+      k: Int = 5, maxBucketSize: Int = 10000, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      n: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tagged = embeddings.select(col(idCol), col(vecCol), col(labelCol),
+      isSeed.as("_seed"))
+    val pop = if (n >= 0) n else tagged.count()
+    val centroids = sampleCentroids(tagged, indexParams(pop).nlist,
+      idCol, vecCol)
+    val sized = assignBuckets(tagged, centroids, idCol, vecCol)
+      .withColumn("_csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("_csize") <= maxBucketSize)
+      .withColumn("_nrm", l2Norm(col(vecCol)))
+    val seeds = sized.filter(col("_seed"))
+      .select(col("bucket"), col(idCol).as("sid"), col(vecCol).as("sv"),
+        col("_nrm").as("sn"), col(labelCol).as("slabel"))
+    val targets = sized.filter(!col("_seed"))
+      .select(col("bucket"), col(idCol), col(vecCol).as("tv"),
+        col("_nrm").as("tn"))
+    import org.apache.spark.sql.expressions.Window
+    val knn = targets.join(seeds, Seq("bucket"))
+      .withColumn("_cos",
+        when(col("tn") === 0.0 || col("sn") === 0.0, lit(0.0))
+          .otherwise(dot(col("tv"), col("sv")) / (col("tn") * col("sn"))))
+      .select(col(idCol), col("sid"), col("slabel"),
+        round(col("_cos") * 1e6).cast("long").as("c6"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("c6").desc, col("sid").asc)))
+      .filter(col("_rn") <= k)
+    knn
+      .groupBy(col(idCol), col("slabel"))
+      .agg(count(lit(1)).as("votes"), max(col("c6")).as("_best"))
+      .withColumn("_rk", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("votes").desc, col("_best").desc, col("slabel").asc)))
+      .filter(col("_rk") === 1)
+      .join(knn.groupBy(col(idCol)).agg(count(lit(1)).as("n_neighbors")),
+        Seq(idCol))
+      .select(col(idCol), col("slabel").as("pred_label"), col("votes"),
+        col("n_neighbors"))
+  }
+
   /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
     * vector that is the larger-id member of a within-cluster pair at or
     * above `threshold` (compose with `Dedup.dropByComponents` for the

@@ -2227,6 +2227,21 @@ object Queries {
     Similarity.marginMinedPairs(Tables.load(spark, dir, "embeddings"),
       srcLabel = 0, tgtLabel = 1)
 
+  /** kNN label propagation
+    * ([[graft.ext.Similarity.knnLabelPropagation]]): vectors with
+    * vec_id % 3 == 0 act as the labeled seed set; every other vector is
+    * auto-labeled by the majority of its 5 nearest same-cluster seeds —
+    * the semi-supervised bootstrap a curation pipeline runs when
+    * quality/domain labels cover only a sliver of the corpus. Candidates
+    * are cluster-bounded (derived ⌈√N⌉, the SemDeDup shape), the
+    * decision path is all-integer (6dp-fixed cosines, vote counts,
+    * best-cosine tie-break), and targets with no same-cluster seed emit
+    * no row (auditable by anti-join) rather than taking a distant label.
+    */
+  def q155KnnLabels(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelPropagation(Tables.load(spark, dir, "embeddings"),
+      isSeed = col("vec_id") % 3 === 0)
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2380,7 +2395,8 @@ object Queries {
     "q151_edge_support" -> (q151EdgeSupport _),
     "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _),
     "q153_jpeg_reencode" -> (q153JpegReencode _),
-    "q154_margin_mining" -> (q154MarginMining _))
+    "q154_margin_mining" -> (q154MarginMining _),
+    "q155_knn_labels" -> (q155KnnLabels _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3037,6 +3053,45 @@ GROUP BY d.source"""
              ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
            FROM mg WHERE den > 0 AND margin >= 1.02)
          WHERE rn = 1""",
+    // q155: kNN label propagation — the derived-⌈√N⌉ assignment chain
+    // (shared CTEs), seed×target candidates within a cluster, 5-NN cut
+    // on (c6 desc, seed id asc), majority vote with the best-cosine
+    // then smaller-label tie-break — all integer, hash-exact
+    "q155_knn_labels" -> (ivfAsgCtesWith(AutoCentCte) + """,
+         okq AS (
+           SELECT * FROM asg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         sd AS (
+           SELECT o.vec_id AS sid, o.embedding AS sv, o.nrm AS sn,
+             o.bucket, e.label AS slabel
+           FROM okq o JOIN embeddings e ON e.vec_id = o.vec_id
+           WHERE o.vec_id % 3 = 0),
+         tg AS (
+           SELECT vec_id, embedding AS tv, nrm AS tn, bucket
+           FROM okq WHERE vec_id % 3 <> 0),
+         sc AS (
+           SELECT t.vec_id, s.sid, s.slabel,
+             CAST(ROUND(CASE WHEN t.tn * s.sn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(t.tv)+1), k ->
+                      CAST(t.tv[k] AS DOUBLE) * CAST(s.sv[k] AS DOUBLE)))
+                    / (t.tn * s.sn) END * 1000000) AS BIGINT) AS c6
+           FROM tg t JOIN sd s ON t.bucket = s.bucket),
+         knn AS (
+           SELECT vec_id, sid, slabel, c6 FROM (
+             SELECT vec_id, sid, slabel, c6,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM sc) WHERE rn <= 5),
+         vt AS (
+           SELECT vec_id, slabel, COUNT(*) AS votes, MAX(c6) AS best
+           FROM knn GROUP BY 1, 2),
+         nn AS (SELECT vec_id, COUNT(*) AS n_neighbors FROM knn GROUP BY 1)
+         SELECT v.vec_id, v.slabel AS pred_label, v.votes, nn.n_neighbors
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY votes DESC, best DESC, slabel ASC) AS rk
+           FROM vt) v
+         JOIN nn USING (vec_id) WHERE v.rk = 1"""),
     // q153: the lossy JPEG round-trip — dims/bands are codec-contract
     // exact (closed-form in the id), and within_tol = TRUE is sound
     // because MultiModalSpec proves the JDK codec's solid-color error

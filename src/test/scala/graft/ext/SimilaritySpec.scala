@@ -813,6 +813,38 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("kNN label propagation: majority vote, cosine tie-break, no-seed clusters excluded") {
+    // nlist = ceil(sqrt(8)) = 3, centroids = ids 0..2 (three axes).
+    // Cluster 0: seeds labeled 7,7,8 + one target -> majority 7.
+    // Cluster 1: seeds labeled 5 (id1) and 9 (id7, off-axis) + two
+    //   targets that split 1-1 between them -> the BEST-COSINE tie-break
+    //   decides, not the smaller label.
+    // Cluster 2: target id2 alone, no seed -> NO row (auditable).
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 7),
+      (1L, Seq(0f, 1f, 0f, 0f), 5),
+      (2L, Seq(0f, 0f, 1f, 0f), 0),
+      (3L, Seq(0.95f, 0.05f, 0f, 0f), 7),
+      (4L, Seq(0.9f, 0.1f, 0f, 0f), 8),
+      (5L, Seq(0.97f, 0.03f, 0f, 0f), 0),
+      (6L, Seq(0f, 0.95f, 0.05f, 0f), 0),
+      (7L, Seq(0f, 0.9f, 0.1f, 0f), 9),
+      (8L, Seq(0f, 0.92f, 0.08f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelPropagation(emb,
+        isSeed = col("vec_id").isin(0L, 1L, 3L, 4L, 7L))
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(!got.contains(2L), s"no-seed cluster must emit no row: $got")
+    assert(got(5L) == ((7, 2L, 3L)), s"majority of {7,7,8}: ${got(5L)}")
+    // id6 is nearer the label-5 seed; id8 is nearer the label-9 seed —
+    // both are 1-1 vote ties resolved by best cosine
+    assert(got(6L)._1 == 5 && got(6L)._2 == 1L && got(6L)._3 == 2L,
+      s"tie toward the closer label-5 seed: ${got(6L)}")
+    assert(got(8L)._1 == 9, s"tie toward the closer label-9 seed " +
+      s"(NOT the smaller label): ${got(8L)}")
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
