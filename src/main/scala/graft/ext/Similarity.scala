@@ -338,7 +338,13 @@ object Similarity {
     */
   def assignBuckets(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    if (centroids.size <= 16) {
+    if (centroids.isEmpty)
+      // an empty quantizer (empty corpus at build time — e.g. an empty
+      // refresh micro-batch) assigns nothing: null buckets fall out of
+      // every downstream equi-join instead of crashing the plan on a
+      // zero-length literal array
+      embeddings.withColumn("bucket", lit(null).cast("int"))
+    else if (centroids.size <= 16) {
       val scored = centroids.map { case (cid, cvec) =>
         struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("sim"),
           lit(cid).as("cid"))

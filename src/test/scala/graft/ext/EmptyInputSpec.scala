@@ -54,6 +54,27 @@ class EmptyInputSpec extends SparkSpecBase {
       threshold = 0.99, planes = 64).count() == 0)
     // derived sizing on a zero-count corpus is well-defined
     assert(Similarity.indexParams(0) == Similarity.IndexParams(1, 64, 4))
+    // round-11 cluster-bounded ops: empty corpus, and one-empty-side
+    val emptyLbl = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val lbl = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.marginMinedPairs(emptyLbl, 0, 1).count() == 0)
+    // target side empty -> nothing to mine; source side empty -> ditto
+    assert(Similarity.marginMinedPairs(lbl, 0, 9).count() == 0)
+    assert(Similarity.marginMinedPairs(lbl, 9, 1).count() == 0)
+    assert(Similarity.knnLabelPropagation(emptyLbl,
+      isSeed = col("vec_id") % 3 === 0).count() == 0)
+    // all seeds -> no targets to label; no seeds -> nothing predictable
+    assert(Similarity.knnLabelPropagation(lbl, isSeed = lit(true))
+      .count() == 0)
+    assert(Similarity.knnLabelPropagation(lbl, isSeed = lit(false))
+      .count() == 0)
+    // join-path assignment over empty vectors and empty centroid table
+    assert(Similarity.assignBucketsJoin(emptyEmb,
+      Seq((0, Seq(1f, 0f))).toDF("cid", "centroid")).count() == 0)
+    assert(Similarity.assignBucketsJoin(vecs,
+      Seq.empty[(Int, Seq[Float])].toDF("cid", "centroid")).count() == 0)
   }
 
   test("round-4 second-half operators on empty inputs") {
