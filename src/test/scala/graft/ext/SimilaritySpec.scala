@@ -845,6 +845,30 @@ class SimilaritySpec extends SparkSpecBase {
       s"(NOT the smaller label): ${got(8L)}")
   }
 
+  test("margin mining and label propagation are partitioning-invariant") {
+    // the determinism contract behind the hash-exact oracles: every cut
+    // (kNN rank, vote winner, forward-best) carries a full tie-break, so
+    // physical row order must not leak into results. Perturb the layout
+    // hard (odd partition count + a shuffling repartition) and demand
+    // bit-identical output.
+    val emb = (0L until 40L).map(i =>
+      (i, vec(if (i % 2 == 0) ax else ay, 0.4f, 7000 + i.toInt),
+        (i % 3).toInt)).toDF("vec_id", "embedding", "label")
+    val shuffled = emb.repartition(7, col("label"))
+    val m1 = Similarity.marginMinedPairs(emb, 0, 1, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    val m2 = Similarity.marginMinedPairs(shuffled, 0, 1, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    assert(m1 == m2 && m1.nonEmpty, s"mined set depends on layout")
+    val l1 = Similarity.knnLabelPropagation(emb,
+        isSeed = col("vec_id") % 3 === 0)
+      .collect().map(_.toSeq).toSet
+    val l2 = Similarity.knnLabelPropagation(shuffled,
+        isSeed = col("vec_id") % 3 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(l1 == l2 && l1.nonEmpty, s"label set depends on layout")
+  }
+
   test("autoCentroids builds a sqrt(N) quantizer the batch probe can use") {
     val cents = Similarity.autoCentroids(embeddings, iters = 1)
     assert(cents.size == Similarity.indexParams(11).nlist) // ceil(sqrt(11)) = 4
