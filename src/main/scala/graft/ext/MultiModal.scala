@@ -39,11 +39,12 @@ import org.apache.spark.sql.types._
   * [[reencodeJpeg]] / [[jpegReencodeFeatures]] run an actual
   * decode → quality-controlled JPEG encode → decode round-trip; q153
   * grades the codec-exact parts (dims/bands) and pins the lossy part
-  * behind a spec-measured tolerance column. The remaining byte-level
-  * stubs below (`fakeDecodeFeatures`/`fakeResize`/`sampleChunks`) stand
-  * in only for transforms whose codecs genuinely aren't in the JDK —
-  * clearly marked — while everything Spark-side (schema, partitioning,
-  * batch iteration shape, pruning behavior) is real and tested.
+  * behind a spec-measured tolerance column. Feature extraction
+  * ([[extractImageFeatures]]) and frame sampling ([[sampleVideoFrames]])
+  * are decode-based too — as of round 12 no verb in this surface stands
+  * in for its transform with byte arithmetic; a non-JDK codec (MP4,
+  * FLAC, …) swaps into the same partition-batched kernels via JNI with
+  * nothing Spark-side changing.
   */
 object MultiModal {
 
@@ -55,10 +56,20 @@ object MultiModal {
   // is exactly the context-dependent q134 drift seen in rounds 9–10:
   // fast isolated, slow and high-variance inside a full-suite bench or a
   // 100× sweep (500k temp-file churns per media query). Every payload
-  // here is already a byte array, so the disk cache buys nothing —
-  // disable it process-wide, once, on first touch of this object (all
-  // media kernels route through it; executors initialize it per JVM).
-  javax.imageio.ImageIO.setUseCache(false)
+  // here is already a byte array, so the disk cache buys nothing.
+  /** Switch ImageIO to memory-cached streams. NOTE: the setting is
+    * JVM-GLOBAL by construction (`ImageIO.setUseCache` has no narrower
+    * scope), so it affects all image IO in the process, not just these
+    * kernels — documented in ARCHITECTURE.md. To keep the intent scoped
+    * anyway, it is invoked (idempotently) at each media kernel's
+    * per-partition init rather than as a class-load side effect — code
+    * that merely references this object no longer flips a process knob
+    * — and `-Dgraft.imageio.disk.cache=true` restores the JDK default
+    * for hosts that want disk-backed streams.
+    */
+  private[ext] def useMemoryCachedImageIo(): Unit =
+    if (!java.lang.Boolean.getBoolean("graft.imageio.disk.cache"))
+      javax.imageio.ImageIO.setUseCache(false)
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -175,6 +186,7 @@ object MultiModal {
     import spark.implicits._
     keyed.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>
           val w = (1 + id % 7).toInt
           val h = (1 + id % 5).toInt
@@ -204,6 +216,7 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.map { case (id, payload) =>
           decodeImageStats(payload) match {
             case Some(s) => (id, Some(s.width), Some(s.height), Some(s.bands),
@@ -401,52 +414,94 @@ object MultiModal {
     */
   def decodeFrameStats(payload: Array[Byte], stride: Int = 1): Option[Seq[FrameStats]] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    withFrameReader(payload) { (reader, n) =>
+      val out = Vector.newBuilder[FrameStats]
+      var f = 0
+      while (f < n) {
+        if (f % stride == 0) out += frameStatsOf(reader, f)
+        f += 1
+      }
+      out.result()
+    }.filter(_.nonEmpty)
+  }
+
+  /** Open a multi-frame ImageIO reader over the payload, discover the
+    * container's frame count, run `body(reader, n)` — the shared decode
+    * scaffolding of [[decodeFrameStats]] and [[decodeSampledFrameStats]].
+    * None for null/empty/unreadable payloads or a body that throws
+    * (decode failures stay auditable rows, never dead tasks).
+    */
+  private def withFrameReader[A](payload: Array[Byte])(
+      body: (javax.imageio.ImageReader, Int) => A): Option[A] = {
     if (payload == null || payload.isEmpty) None
     else {
-      val res =
-        try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) { iis.close(); None }
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              // allowSearch: the frame count comes from the container
-              val n = reader.getNumImages(true)
-              val out = Vector.newBuilder[FrameStats]
-              var f = 0
-              while (f < n) {
-                if (f % stride == 0) {
-                  val im = reader.read(f)
-                  val w = im.getWidth; val h = im.getHeight
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  val row = new Array[Int](w) // bulk row fetch, reused buffer
-                  var y = 0
-                  while (y < h) {
-                    im.getRGB(0, y, w, 1, row, 0, w)
-                    var x = 0
-                    while (x < w) {
-                      val p = row(x)
-                      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val px = w.toLong * h
-                  out += FrameStats(f, w, h,
-                    sr.toDouble / px, sg.toDouble / px, sb.toDouble / px)
-                }
-                f += 1
-              }
-              Some(out.result())
-            } finally { reader.dispose(); iis.close() }
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
-      res.filter(_.nonEmpty)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // allowSearch: the frame count comes from the container
+            Some(body(reader, reader.getNumImages(true)))
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
+
+  /** Raster-decode one frame and compute its stats (bulk row fetch with
+    * a reused buffer — the q134 lesson; per-pixel getRGB pays a
+    * ColorModel conversion per call).
+    */
+  private def frameStatsOf(reader: javax.imageio.ImageReader,
+      f: Int): FrameStats = {
+    val im = reader.read(f)
+    val w = im.getWidth; val h = im.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val px = w.toLong * h
+    FrameStats(f, w, h, sr.toDouble / px, sg.toDouble / px, sb.toDouble / px)
+  }
+
+  /** The `n` evenly spaced frame indices over a `total`-frame clip —
+    * first and last frame inclusive, integer-exact (idx_i =
+    * ⌊i·(total−1)/(n−1)⌋, collapsing duplicates for clips shorter than
+    * the sample count), so an external oracle replays the selection
+    * with integer division alone.
+    */
+  def evenFrameIndices(total: Int, n: Int): Seq[Int] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    if (total <= 0) Seq.empty
+    else if (n == 1) Seq(0)
+    else (0 until n).map(i => i * (total - 1) / (n - 1)).distinct
+  }
+
+  /** REAL evenly-spaced frame sampling: decode the container's frame
+    * count, raster-decode only the [[evenFrameIndices]] frames (first
+    * and last always included — the standard thumbnail/preview access
+    * pattern, where [[decodeFrameStats]]'s stride is the keyframe
+    * pattern), return (total frame count, sampled frames' stats). The
+    * non-sampled frames are never rasterized — the whole point at scale.
+    */
+  def decodeSampledFrameStats(payload: Array[Byte],
+      n: Int): Option[(Int, Seq[FrameStats])] =
+    withFrameReader(payload) { (reader, total) =>
+      (total, evenFrameIndices(total, n).map(frameStatsOf(reader, _)))
+    }.filter(_._2.nonEmpty)
 
   /** Deterministic animated-GIF encoder for fixtures and the q142
     * oracle: `frames` solid-color frames of `width`×`height`, frame f
@@ -498,6 +553,7 @@ object MultiModal {
     import spark.implicits._
     keyed.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>
           val w = (1 + id % 7).toInt
           val h = (1 + id % 5).toInt
@@ -531,6 +587,7 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           decodeFrameStats(payload, stride).iterator.flatMap { fs =>
             fs.iterator.map(s => (id, s.frameIdx, fs.size, s.width, s.height,
@@ -542,54 +599,62 @@ object MultiModal {
         "mean_r", "mean_g", "mean_b")
   }
 
-  /** ======================== STUB ========================
-    * Deterministic fake "decode + feature extraction": an 8-bin byte
-    * histogram normalized to [0,1]. A real implementation swaps the body of
-    * `fakeDecodeFeatures` for a JNI/native codec call; the partition-batched
-    * iteration shape (one reusable "decoder" per partition, records streamed
-    * through it) is exactly what a real codec needs and is what this stub
-    * exercises.
+  /** REAL decode-based feature extraction (the round-12 replacement of
+    * the last byte-histogram stand-in): decode the image and emit a
+    * compact dense feature vector — [width, height, bands, meanR/255,
+    * meanG/255, meanB/255] (`array<double>`, channel means normalized
+    * to [0, 1] the way a vision model's preprocessing would). Batched
+    * per partition via mapPartitions — per-partition setup (codec init,
+    * model load) amortizes across the partition, the key property at
+    * scale; a learned feature extractor swaps into the same kernel via
+    * JNI/ONNX with the schema and batching unchanged. Undecodable
+    * payloads emit no rows (auditable by anti-join).
     */
-  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val bins = new Array[Double](8)
-    if (payload == null || payload.isEmpty) return bins
-    payload.foreach { b => bins((b & 0xFF) >> 5) += 1.0 }
-    bins.map(_ / payload.length)
-  }
-
-  /** Feature-extract over the media table, batched per partition via
-    * mapPartitions (the per-partition setup cost — codec init, model load —
-    * amortizes across the partition, the key property at scale).
-    */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val out = media
+    media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (STUB: none needed)
-        it.map { case (id, payload) => (id, fakeDecodeFeatures(payload)) }
+        useMemoryCachedImageIo() // per-partition codec init
+        it.flatMap { case (id, payload) =>
+          decodeImageStats(payload).map(s => (id, Array(
+            s.width.toDouble, s.height.toDouble, s.bands.toDouble,
+            s.meanR / 255.0, s.meanG / 255.0, s.meanB / 255.0)))
+        }
       }
       .toDF("media_id", "features")
-    out
   }
 
-  /** ======================== STUB ========================
-    * Frame/chunk sampling: slice the payload into `n` evenly spaced chunks
-    * of `chunkSize` bytes (a real video impl samples decoded frames; the
-    * slicing/batching plumbing is identical). Pure Spark expressions.
+  /** REAL evenly-spaced frame sampling over a media table (the round-12
+    * replacement of the byte-slice chunk sampler): for each clip, the
+    * container frame count plus one row per [[evenFrameIndices]]-sampled
+    * decoded frame — (media_id, n_frames, frame_idx, width, height,
+    * mean_r, mean_g, mean_b). Partition-batched; only sampled frames
+    * are rasterized; undecodable payloads emit no rows (auditable by
+    * anti-join). Complements [[decodeVideoFrames]]: stride sampling is
+    * the keyframe pattern, even-index sampling the fixed-budget
+    * preview/thumbnail pattern.
     */
-  def sampleChunks(media: DataFrame, n: Int = 4, chunkSize: Int = 16): DataFrame = {
-    val len = octet_length(col("payload"))
-    val idxs = sequence(lit(0), lit(n - 1))
-    media.select(
-      col("media_id"),
-      transform(idxs, i =>
-        // substr on binary is positional like on strings (1-based)
-        col("payload").substr(
-          (i * greatest((len - lit(chunkSize)) / lit(math.max(n - 1, 1)), lit(0)) + lit(1)).cast("int"),
-          lit(chunkSize))).as("chunks"))
+  def sampleVideoFrames(media: DataFrame, n: Int = 4): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
+        it.flatMap { case (id, payload) =>
+          decodeSampledFrameStats(payload, n).iterator.flatMap {
+            case (total, fs) =>
+              fs.iterator.map(s => (id, total, s.frameIdx, s.width, s.height,
+                s.meanR, s.meanG, s.meanB))
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b")
   }
 
   /** Metadata-only projection — must NOT read the payload column; the test
@@ -645,6 +710,7 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           for {
             resized <- resizeImage(payload, factor)
@@ -726,6 +792,7 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           for {
             orig <- decodeImageStats(payload)

@@ -682,24 +682,26 @@ object Queries {
       .select(col("vec_id"))
   }
 
-  /** Multimodal: payload metadata + stubbed feature extraction. The fake
-    * decode is a deterministic byte histogram, so the oracle replays it
-    * over the (ASCII) document text: bin b = fraction of bytes with
-    * value >> 5 == b. Emitted: payload size, bin 0 (control chars), bin 3
-    * (lowercase letters).
+  /** Multimodal: REAL decode-based feature extraction
+    * ([[graft.ext.MultiModal.extractImageFeatures]] — the round-12
+    * replacement of the formerly-stubbed byte histogram): every doc id's
+    * deterministic solid-color PNG is decoded and summarized into a
+    * dense feature vector (dims, band count, [0,1]-normalized channel
+    * means). PNG is lossless and the fixture is closed-form in the id,
+    * so the oracle predicts every feature exactly — a real
+    * encode→decode→featurize round-trip, graded end to end.
     */
-  def q34MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = MultiModal.syntheticMediaFromDocs(
-      Tables.load(spark, dir, "documents"))
-    MultiModal.extractFeatures(media)
-      .join(media.select(col("media_id"),
-        MultiModal.payloadBytes(col("payload")).cast("long").as("n_bytes")), "media_id")
+  def q34MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.extractImageFeatures(
+      MultiModal.syntheticPngMedia(Tables.load(spark, dir, "documents")))
       .select(
         col("media_id"),
-        col("n_bytes"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 4), 6).as("f3"))
-  }
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("int").as("bands"),
+        round(element_at(col("features"), 4), 6).as("f_r"),
+        round(element_at(col("features"), 5), 6).as("f_g"),
+        round(element_at(col("features"), 6), 6).as("f_b"))
 
   /** End-to-end near-dup removal (keep-first over verified LSH pairs). */
   def q42DropNearDups(spark: SparkSession, dir: String): DataFrame =
@@ -1303,23 +1305,21 @@ object Queries {
     Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
       threshold = 0.6)
 
-  /** Frame/chunk sampling over the media table (the video-frame-sample
-    * plumbing with the decode stubbed): 4 evenly spaced 16-byte slices per
-    * payload, exploded to scalar rows. The corpus text is ASCII (pinned by
-    * q34's byte-histogram oracle), so DuckDB's character `substr` replays
-    * the binary slicing exactly; positions use an explicit FLOOR on both
-    * engines because ANSI double→int casts truncate in Spark but round in
-    * DuckDB.
+  /** REAL evenly-spaced frame sampling
+    * ([[graft.ext.MultiModal.sampleVideoFrames]] — the round-12
+    * replacement of the formerly-stubbed byte-slice chunk sampler): 4
+    * evenly spaced frames of each doc id's deterministic animated GIF
+    * are raster-decoded (first and last always included, non-sampled
+    * frames never rasterized); solid frames palettize losslessly, so
+    * the oracle predicts every sampled frame's index, dimensions, and
+    * exact channel means from (id, frame) in closed form — the
+    * fixed-budget preview/thumbnail access pattern, graded end to end
+    * (q142's stride sampling is the keyframe pattern sibling).
     */
-  def q93MediaChunks(spark: SparkSession, dir: String): DataFrame = {
-    val media = MultiModal.syntheticMediaFromDocs(
-      Tables.load(spark, dir, "documents"))
-    MultiModal.sampleChunks(media, n = 4, chunkSize = 16)
-      .select(col("media_id"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
-      .select(col("media_id"), col("chunk_idx"),
-        col("chunk").cast("string").as("chunk_str"))
-  }
+  def q93MediaFrames(spark: SparkSession, dir: String): DataFrame =
+    MultiModal.sampleVideoFrames(
+      MultiModal.syntheticGifMedia(Tables.load(spark, dir, "documents")),
+      n = 4)
 
   /** Fuzzy entity-matching self-join: customer-name pairs within edit
     * distance 1, via deletion-neighborhood blocking + exact levenshtein
@@ -1878,8 +1878,14 @@ object Queries {
     * point q132 runs (auditing a quantizer nothing deploys answers
     * nothing). The acceptance check before trusting an (nlist, nprobe)
     * operating point, completing the ANN audit family (q78 is the rproj
-    * sibling). This is the EXACT whole-query-set audit — its brute side
-    * is Q·N by definition; q152 is the sampled-probe production form.
+    * sibling). BUDGETED since round 12: the audited set is the 128
+    * smallest-uniform-hash members of the q132 probe pool, pinning the
+    * brute ground-truth side at 128·N — the formerly-exact whole-pool
+    * form made Q grow with the corpus (Q·N = the last N²-family plan in
+    * the registry, 75.6 s at 100× in round 11) for no extra information
+    * about the recall DISTRIBUTION, and it survives in SimilaritySpec,
+    * not here. q152 is the same budgeted audit over the denser %10 pool
+    * at budget 256.
     */
   def q137IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -1888,7 +1894,7 @@ object Queries {
     val queries = emb.filter(col("vec_id") % 500 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity.ivfBatchRecallAudit(Similarity.assignBuckets(emb, centroids),
-      centroids, queries, k = 10, nprobe = 3)
+      centroids, queries, k = 10, nprobe = 3, maxProbes = 128)
   }
 
   /** NB margin-reliability audit
@@ -2242,6 +2248,65 @@ object Queries {
     Similarity.knnLabelPropagation(Tables.load(spark, dir, "embeddings"),
       isSeed = col("vec_id") % 3 === 0)
 
+  /** Budgeted mining-recall audit
+    * ([[graft.ext.Similarity.knnPropagationRecallAudit]]): for the 256
+    * audited targets with the smallest md5-uniform hash, the fraction of
+    * the exact cosine top-5 seeds that q155's cluster-bounded candidate
+    * generation recovers — the measurement round 11 flagged as missing
+    * for the mining family (q154/q155 bounded their cost but nothing
+    * priced what single-probe bounding misses). The q152 shape: the
+    * exact side is budget·|seeds| via one broadcast, linear in the
+    * corpus at any target volume. Targets whose true neighbors straddle
+    * a cluster boundary (or live in a capped cluster) score below 1.0
+    * here instead of being silently mislabeled there; q157 runs the
+    * multi-probe mitigation this audit prices.
+    */
+  def q156KnnRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnPropagationRecallAudit(
+      Tables.load(spark, dir, "embeddings"),
+      isSeed = col("vec_id") % 3 === 0, maxProbes = 256)
+
+  /** Multi-probe kNN label propagation
+    * ([[graft.ext.Similarity.knnLabelPropagation]] at nprobe=2): the
+    * q155 workload with each TARGET probing its 2 nearest clusters
+    * (seeds stay home-assigned — the IVF index/query split), recovering
+    * seed neighbors across cluster boundaries that single-probe
+    * bounding misses (q156 measures exactly that gap). Candidates stay
+    * cluster-bounded — the quadratic term doubles, never reverts to
+    * seeds×corpus — and each (target, seed) pair still forms at most
+    * once, so the decision path (integer votes, 6dp cosines, best-cosine
+    * tie-break) is unchanged and the oracle replays it hash-exactly with
+    * a top-2 probe CTE.
+    */
+  def q157KnnLabelsMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelPropagation(Tables.load(spark, dir, "embeddings"),
+      isSeed = col("vec_id") % 3 === 0, nprobe = 2)
+
+  /** Batched IVF search on the K-MEANS quantizer
+    * ([[graft.ext.Similarity.kmeansCentroidsExact]], 2 Lloyd rounds) —
+    * the round-11 gap closed: k-means existed but only the seed sample
+    * was graded, because float Lloyd means are reduction-order-
+    * dependent and can never hash-match an external replay. The exact
+    * variant computes each per-bucket mean from 6dp fixed-point INTEGER
+    * sums (order-independent, `SUM(CAST(ROUND(x·10⁶) AS BIGINT))` in
+    * the oracle) + one double division + one IEEE float cast, so DuckDB
+    * replays both Lloyd rounds and the final assignment bit-exactly —
+    * and `tools/RecallCompare` measures its recall IDENTICAL to float
+    * k-means at 2 iterations (0.3845 vs 0.3845 at sf0.1, 0.2328 vs
+    * 0.2328 at 30×) and above the seed sample (+6 points sf0.1,
+    * +1.5 points 30×). q132 (seed sample) stays registered as the
+    * zero-build-cost operating point; this is the refined one.
+    */
+  def q158IvfKmeansBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nlist = Similarity.indexParams(emb.count()).nlist
+    val centroids = Similarity.kmeansCentroidsExact(emb, nlist, iters = 2)
+    val queries = emb.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopKBatch(Similarity.assignBuckets(emb, centroids),
+      centroids, queries, k = 10, nprobe = 3)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2337,7 +2402,7 @@ object Queries {
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
     "q91_quality_budget" -> (q91QualityBudget _),
     "q92_containment_pairs" -> (q92ContainmentPairs _),
-    "q93_media_chunks" -> (q93MediaChunks _),
+    "q93_media_frames" -> (q93MediaFrames _),
     "q94_fuzzy_join" -> (q94FuzzyJoin _),
     "q95_source_overlap" -> (q95SourceOverlap _),
     "q96_boilerplate_scrub" -> (q96BoilerplateScrub _),
@@ -2396,7 +2461,10 @@ object Queries {
     "q152_ivf_recall_sampled" -> (q152IvfRecallSampled _),
     "q153_jpeg_reencode" -> (q153JpegReencode _),
     "q154_margin_mining" -> (q154MarginMining _),
-    "q155_knn_labels" -> (q155KnnLabels _))
+    "q155_knn_labels" -> (q155KnnLabels _),
+    "q156_knn_recall" -> (q156KnnRecall _),
+    "q157_knn_labels_multiprobe" -> (q157KnnLabelsMultiprobe _),
+    "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -2950,9 +3018,17 @@ GROUP BY d.source"""
       (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) +
         " SELECT query_id, vec_id FROM annres"),
     // recall@10 of the q132 search vs the exact brute top-10 per query —
-    // audited at the SAME derived-⌈√N⌉ operating point q132 runs
+    // audited at the SAME derived-⌈√N⌉ operating point q132 runs, over
+    // the 128 smallest-uniform-hash members of the q132 probe pool
+    // (budgeted since round 12: the whole-pool form's brute side was
+    // Q·N with Q ∝ corpus, the last N²-family plan in the registry)
     "q137_ivf_recall" ->
-      (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte)) + RecallAuditTail),
+      (ivfBatchCtesOf(ivfAsgCtesWith(AutoCentCte),
+        probePred = """vec_id % 500 = 0
+                QUALIFY ROW_NUMBER() OVER (ORDER BY
+                  ('0x' || substr(md5(vec_id::VARCHAR || ':recall'), 1, 15))::BIGINT
+                    / 1152921504606846976.0 ASC, vec_id ASC) <= 128""") +
+        RecallAuditTail),
     // q152: the budgeted-probe production form of the same audit — the
     // audited set is the 256 every-10th-pool queries with the smallest
     // md5 uniform (the exact-k holdout idiom), replaying the engine's
@@ -3092,6 +3168,116 @@ GROUP BY d.source"""
              ORDER BY votes DESC, best DESC, slabel ASC) AS rk
            FROM vt) v
          JOIN nn USING (vec_id) WHERE v.rk = 1"""),
+    // q156: the mining-recall audit — q155's cluster-bounded 5-NN per
+    // target replayed (shared CTEs), compared against the exact cosine
+    // top-5 over ALL seeds for the 256 smallest-md5-hash audited
+    // targets (the q152 budget idiom); per-target hit count and recall
+    "q156_knn_recall" -> (ivfAsgCtesWith(AutoCentCte) + """,
+         okq AS (
+           SELECT * FROM asg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         sd AS (
+           SELECT vec_id AS sid, embedding AS sv, nrm AS sn, bucket
+           FROM okq WHERE vec_id % 3 = 0),
+         tg AS (
+           SELECT vec_id, embedding AS tv, nrm AS tn, bucket
+           FROM okq WHERE vec_id % 3 <> 0),
+         sc AS (
+           SELECT t.vec_id, s.sid,
+             CAST(ROUND(CASE WHEN t.tn * s.sn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(t.tv)+1), k ->
+                      CAST(t.tv[k] AS DOUBLE) * CAST(s.sv[k] AS DOUBLE)))
+                    / (t.tn * s.sn) END * 1000000) AS BIGINT) AS c6
+           FROM tg t JOIN sd s ON t.bucket = s.bucket),
+         knn AS (
+           SELECT vec_id, sid FROM (
+             SELECT vec_id, sid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM sc) WHERE rn <= 5),
+         aud AS (
+           SELECT vec_id, embedding AS qv, nrm AS qn FROM en
+           WHERE vec_id % 3 <> 0
+           QUALIFY ROW_NUMBER() OVER (ORDER BY
+             ('0x' || substr(md5(vec_id::VARCHAR || ':knnrecall'), 1, 15))::BIGINT
+               / 1152921504606846976.0 ASC, vec_id ASC) <= 256),
+         sall AS (
+           SELECT vec_id AS sid, embedding AS sv, nrm AS sn FROM en
+           WHERE vec_id % 3 = 0),
+         exact AS (
+           SELECT vec_id, sid FROM (
+             SELECT a.vec_id, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 CAST(ROUND(CASE WHEN a.qn * s.sn = 0 THEN 0.0
+                   ELSE list_sum(list_transform(range(1, len(a.qv)+1), k ->
+                          CAST(a.qv[k] AS DOUBLE) * CAST(s.sv[k] AS DOUBLE)))
+                        / (a.qn * s.sn) END * 1000000) AS BIGINT) DESC,
+                 s.sid ASC) AS rn
+             FROM aud a CROSS JOIN sall s) WHERE rn <= 5)
+         SELECT e.vec_id, COUNT(k.sid) AS n_hits,
+           ROUND(CAST(COUNT(k.sid) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         FROM exact e LEFT JOIN knn k
+           ON e.vec_id = k.vec_id AND e.sid = k.sid
+         GROUP BY 1"""),
+    // q157: the q155 chain with targets probing their TOP-2 clusters
+    // (sim desc, ties to the larger cid — the kernel's multi-probe
+    // order); seeds stay home-assigned, probe rows restricted to
+    // cap-surviving buckets, decision path identical to q155
+    "q157_knn_labels_multiprobe" -> (ivfAsgCtesWith(AutoCentCte) + """,
+         okq AS (
+           SELECT * FROM asg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         okb AS (SELECT DISTINCT bucket FROM okq),
+         sd AS (
+           SELECT o.vec_id AS sid, o.embedding AS sv, o.nrm AS sn,
+             o.bucket, e.label AS slabel
+           FROM okq o JOIN embeddings e ON e.vec_id = o.vec_id
+           WHERE o.vec_id % 3 = 0),
+         tp AS (
+           SELECT vec_id, tv, tn, bucket FROM (
+             SELECT e.vec_id, e.embedding AS tv, e.nrm AS tn,
+               c.cid AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE)))
+                           / (e.nrm * c.nrm) END DESC,
+                 c.cid DESC) AS rn
+             FROM en e CROSS JOIN cn c WHERE e.vec_id % 3 <> 0)
+           WHERE rn <= 2),
+         tg AS (
+           SELECT t.vec_id, t.tv, t.tn, t.bucket
+           FROM tp t JOIN okb USING (bucket)),
+         sc AS (
+           SELECT t.vec_id, s.sid, s.slabel,
+             CAST(ROUND(CASE WHEN t.tn * s.sn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(t.tv)+1), k ->
+                      CAST(t.tv[k] AS DOUBLE) * CAST(s.sv[k] AS DOUBLE)))
+                    / (t.tn * s.sn) END * 1000000) AS BIGINT) AS c6
+           FROM tg t JOIN sd s ON t.bucket = s.bucket),
+         knn AS (
+           SELECT vec_id, sid, slabel, c6 FROM (
+             SELECT vec_id, sid, slabel, c6,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM sc) WHERE rn <= 5),
+         vt AS (
+           SELECT vec_id, slabel, COUNT(*) AS votes, MAX(c6) AS best
+           FROM knn GROUP BY 1, 2),
+         nn AS (SELECT vec_id, COUNT(*) AS n_neighbors FROM knn GROUP BY 1)
+         SELECT v.vec_id, v.slabel AS pred_label, v.votes, nn.n_neighbors
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY votes DESC, best DESC, slabel ASC) AS rk
+           FROM vt) v
+         JOIN nn USING (vec_id) WHERE v.rk = 1"""),
+    // q158: the q132 search on the EXACT-LLOYD k-means quantizer — two
+    // Lloyd rounds replayed in SQL via 6dp fixed-point integer sums
+    // (order-independent, hash-exact), then the shared probe/annres tail
+    "q158_ivf_kmeans_batch" ->
+      (ivfBatchCtesOf(kmeansExactAsgCtes(2)) +
+        " SELECT query_id, vec_id FROM annres"),
     // q153: the lossy JPEG round-trip — dims/bands are codec-contract
     // exact (closed-form in the id), and within_tol = TRUE is sound
     // because MultiModalSpec proves the JDK codec's solid-color error
@@ -3580,13 +3766,17 @@ GROUP BY d.source"""
            CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,
            array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
          FROM w""",
+    // the PNG fixture is solid-color with id-derived dims/colors and PNG
+    // is lossless, so every decoded feature is closed-form in the id;
+    // the /255 normalization is one exact IEEE division on both engines
     "q34_media_features" ->
       """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 0)) AS DOUBLE) / length(text), 6) END AS f0,
-         CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           ROUND(CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> unicode(substr(text, i, 1))), c -> (c // 32) = 3)) AS DOUBLE) / length(text), 6) END AS f3
+           CAST(1 + doc_id % 7 AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS bands,
+           ROUND(CAST((doc_id * 37) % 256 AS DOUBLE) / 255.0, 6) AS f_r,
+           ROUND(CAST((doc_id * 59) % 256 AS DOUBLE) / 255.0, 6) AS f_g,
+           ROUND(CAST((doc_id * 83) % 256 AS DOUBLE) / 255.0, 6) AS f_b
          FROM documents""",
     "q60_cc_dedup" -> (MinHashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ").stripTrailing() +
       """,
@@ -3931,18 +4121,26 @@ GROUP BY d.source"""
          SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
            ROUND(containment, 6) AS containment
          FROM pairs WHERE containment >= 0.6""",
-    // ASCII corpus → character substr == byte substr; FLOOR on both
-    // engines (Spark ANSI double->int truncates, DuckDB CAST rounds)
-    "q93_media_chunks" ->
-      """WITH m AS (
-           SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
-         c AS (
-           SELECT media_id, CAST(i AS INTEGER) AS chunk_idx,
-             substr(text,
-               CAST(FLOOR(i * GREATEST((len - 16) / 3.0, 0) + 1) AS INTEGER),
-               16) AS chunk_str
-           FROM m, range(0, 4) t(i))
-         SELECT media_id, chunk_idx, chunk_str FROM c""",
+    // the GIF fixture's frame count/dims/per-frame colors are closed-form
+    // in (id, frame) and solid frames palettize losslessly, so the
+    // evenly-spaced sample (integer-division indices, first/last
+    // inclusive, duplicates collapsed) replays exactly
+    "q93_media_frames" ->
+      """WITH params AS (
+           SELECT doc_id AS media_id,
+             CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+             CAST(1 + doc_id % 7 AS INTEGER) AS width,
+             CAST(1 + doc_id % 5 AS INTEGER) AS height
+           FROM documents),
+         idx AS (
+           SELECT DISTINCT media_id, n_frames, width, height,
+             CAST((i * (n_frames - 1)) // 3 AS INTEGER) AS frame_idx
+           FROM params, range(0, 4) t(i))
+         SELECT media_id, n_frames, frame_idx, width, height,
+           CAST((media_id * 37 + frame_idx * 11) % 256 AS DOUBLE) AS mean_r,
+           CAST((media_id * 59 + frame_idx * 23) % 256 AS DOUBLE) AS mean_g,
+           CAST((media_id * 83 + frame_idx * 31) % 256 AS DOUBLE) AS mean_b
+         FROM idx""",
     // deletion-neighborhood blocking replayed, exact levenshtein verify;
     // both engines use unit-cost Wagner-Fischer distance
     "q94_fuzzy_join" ->
@@ -4892,6 +5090,60 @@ GROUP BY d.source"""
            QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
              LEAST(65536, GREATEST(1,
                CAST(ceil(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT)))"""
+
+  /** DuckDB replay of [[graft.ext.Similarity.kmeansCentroidsExact]]'s
+    * `iters` exact-Lloyd rounds over the derived-⌈√N⌉ seed sample, plus
+    * the final corpus assignment — ending in the `cn`/`asg`/`en` CTE
+    * names [[ivfBatchCtesOf]] expects, so the k-means search (q158)
+    * rides the same probe/annres tail as the seed-sample one (q132).
+    * Each round: per-bucket 6dp fixed-point integer sums (exact,
+    * order-independent — the property that makes distributed Lloyd
+    * replayable at all), mean via one double division, IEEE cast to
+    * REAL; empty buckets COALESCE to their previous centroid.
+    */
+  private def kmeansExactAsgCtes(iters: Int): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def nrm(emb: String) =
+      s"sqrt(list_sum(list_transform(range(1, len($emb)+1), k -> " +
+        s"CAST($emb[k] AS DOUBLE) * CAST($emb[k] AS DOUBLE))))"
+    def argmax(cn: String) =
+      s"""(SELECT c.cid FROM $cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1)"""
+    val sb = new StringBuilder(
+      s"""WITH cent_0 AS (
+           $AutoCentCte),
+         en AS (SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM embeddings)""")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+         cn_$i AS (SELECT cid, embedding, ${nrm("embedding")} AS nrm FROM cent_$i),
+         asg_$i AS (
+           SELECT e.vec_id, e.embedding, e.nrm, ${argmax(s"cn_$i")} AS bucket
+           FROM en e),
+         sums_${i + 1} AS (
+           SELECT bucket, k,
+             SUM(CAST(ROUND(CAST(embedding[k] AS DOUBLE) * 1000000) AS BIGINT)) AS s6,
+             COUNT(*) AS cnt
+           FROM (SELECT bucket, embedding,
+                   generate_subscripts(embedding, 1) AS k FROM asg_$i)
+           GROUP BY 1, 2),
+         cent_${i + 1} AS (
+           SELECT c.cid, COALESCE(m.emb, c.embedding) AS embedding
+           FROM cent_$i c LEFT JOIN (
+             SELECT bucket AS cid,
+               list(CAST((CAST(s6 AS DOUBLE) / cnt) / 1000000.0 AS REAL) ORDER BY k) AS emb
+             FROM sums_${i + 1} GROUP BY bucket) m ON m.cid = c.cid)""")
+    }
+    sb.append(s""",
+         cn AS (SELECT cid, embedding, ${nrm("embedding")} AS nrm FROM cent_$iters),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm, ${argmax("cn")} AS bucket
+           FROM en e)""")
+    sb.toString
+  }
 
   private def ivfAsgCtesWith(centCte: String): String =
     s"""WITH cent AS (

@@ -2,14 +2,25 @@ package graft.tools
 
 /** The scale-regression gate's shared pieces — the 30×/100× analog of
   * [[PlanProps]]: parsing of the committed sweep artifacts
-  * (`bench_sweep{30x,100x}_r{N}.json`, written by `graft.Bench` with
-  * `SPARK_GRAFT_BENCH_PASSES=1`), the per-query ratio-envelope TSV
+  * (`bench_sweep{30x,100x}_r{N}.json`, written by `graft.Bench`), the
+  * per-query ratio-envelope TSV
   * (`src/test/resources/scale_baseline.tsv`), and the envelope
   * derivation rule. `ScaleBaseline` regenerates the envelope from a
   * fresh pair of sweeps; `ScaleAuditSpec` fails `sbt test` when a
   * query's measured 30×→100× ratio leaves its recorded envelope —
   * superlinear drift then self-reports (the way round-10's q134 should
   * have) instead of waiting for judge arithmetic.
+  *
+  * MEASURE THE SWEEPS WARM (`SPARK_GRAFT_BENCH_PASSES=2`, since round
+  * 12): Bench scores each query by the MIN over passes, so two
+  * full-suite passes make the recorded ratio the warm min-of-2 —
+  * single-COLD-pass ratios carry JVM/IO startup noise of up to 8× over
+  * physics (round 11's q93 envelope allowed 27.34 where the warm ratio
+  * measured 2.3; q60 11.38 vs 3.26, both judge-verified via `QTime`),
+  * wide enough for a real scaling regression to pass the gate. The
+  * envelope then pins physics: linear families land near 3.33 × 1.6,
+  * and anything needing the cold allowance is exactly the drift the
+  * gate exists to catch.
   */
 object ScaleProps {
 
@@ -30,14 +41,36 @@ object ScaleProps {
       .toMap
   }
 
-  /** The errors map must be empty for a sweep to certify anything. */
+  /** The errors map must be empty for a sweep to certify anything.
+    * Error VALUES are free-form exception text (Bench escapes `\` and
+    * `"`, but braces and escaped quotes ride through), so the object's
+    * end is found by a string-aware scan — a naive first-`}` cut (or an
+    * escape-blind regex) could under-report errors and let the gate
+    * certify an errored sweep — and an unterminated object is a hard
+    * failure, not an silent empty map.
+    */
   def sweepErrors(sweepJson: String): Map[String, String] = {
     val start = sweepJson.indexOf("\"errors\":{")
     require(start >= 0, "no \"errors\" object in sweep json")
-    val body = sweepJson.substring(start + "\"errors\":{".length)
-    val end = body.indexOf('}')
-    val entry = """"([^"]+)":"([^"]*)"""".r
-    entry.findAllMatchIn(body.substring(0, end))
+    val from = start + "\"errors\":{".length
+    var i = from
+    var inStr = false
+    var esc = false
+    var end = -1
+    while (i < sweepJson.length && end < 0) {
+      val c = sweepJson.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == '}') end = i
+      i += 1
+    }
+    require(end >= 0, "unterminated \"errors\" object in sweep json")
+    // values may contain escaped quotes/backslashes; keys are query names
+    val entry = """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r
+    entry.findAllMatchIn(sweepJson.substring(from, end))
       .map(m => m.group(1) -> m.group(2))
       .toMap
   }
@@ -106,6 +139,9 @@ object ScaleProps {
   * sweep pair: `runMain graft.tools.ScaleBaseline [sweep30 sweep100
   * [out]]` (defaults: the latest committed pair in the CWD). Refuses
   * sweeps containing errors — an errored sweep certifies nothing.
+  * Run the sweeps with `SPARK_GRAFT_BENCH_PASSES=2` so the recorded
+  * times are warm min-of-2 (see the warm-measurement note on
+  * [[ScaleProps]]).
   */
 object ScaleBaseline {
   def main(args: Array[String]): Unit = {

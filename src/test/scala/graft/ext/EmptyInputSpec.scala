@@ -70,11 +70,22 @@ class EmptyInputSpec extends SparkSpecBase {
       .count() == 0)
     assert(Similarity.knnLabelPropagation(lbl, isSeed = lit(false))
       .count() == 0)
-    // join-path assignment over empty vectors and empty centroid table
+    // join-path assignment over empty vectors and empty centroid table:
+    // an empty QUANTIZER emits one null-bucket row per vector — the
+    // assignBuckets contract (round-12 fix: the crossJoin form silently
+    // dropped the corpus instead)
     assert(Similarity.assignBucketsJoin(emptyEmb,
       Seq((0, Seq(1f, 0f))).toDF("cid", "centroid")).count() == 0)
-    assert(Similarity.assignBucketsJoin(vecs,
-      Seq.empty[(Int, Seq[Float])].toDF("cid", "centroid")).count() == 0)
+    val nullAsg = Similarity.assignBucketsJoin(vecs,
+      Seq.empty[(Int, Seq[Float])].toDF("cid", "centroid"))
+    assert(nullAsg.count() == vecs.count())
+    assert(nullAsg.filter(col("bucket").isNull).count() == vecs.count())
+    // the recall audit and multi-probe paths are well-defined on empties
+    assert(Similarity.knnPropagationRecallAudit(emptyLbl,
+      isSeed = col("vec_id") % 3 === 0).count() == 0)
+    assert(Similarity.knnLabelPropagation(emptyLbl,
+      isSeed = col("vec_id") % 3 === 0, nprobe = 2).count() == 0)
+    assert(Similarity.marginMinedPairs(emptyLbl, 0, 1, nprobe = 2).count() == 0)
   }
 
   test("round-4 second-half operators on empty inputs") {
@@ -114,7 +125,8 @@ class EmptyInputSpec extends SparkSpecBase {
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     assert(MultiModal.resizeImageFeatures(emptyMedia, factor = 2).count() == 0)
     assert(MultiModal.jpegReencodeFeatures(emptyMedia).count() == 0)
-    assert(MultiModal.sampleChunks(emptyMedia).count() == 0)
+    assert(MultiModal.sampleVideoFrames(emptyMedia).count() == 0)
+    assert(MultiModal.extractImageFeatures(emptyMedia).count() == 0)
     assert(TextAnalysis.scrubBoilerplate(emptyDocs).count() == 0)
     assert(TextAnalysis.scrubBoilerplateAgainst(emptyDocs,
       TextAnalysis.segmentDf(someDocs),

@@ -15,22 +15,48 @@ class MultiModalSpec extends SparkSpecBase {
     assert(media.schema("meta").dataType.typeName == "struct")
   }
 
-  test("stubbed feature extraction is deterministic and normalized") {
-    val f1 = MultiModal.extractFeatures(media).orderBy("media_id")
+  test("decode-based feature extraction is deterministic and normalized") {
+    val pngMedia = MultiModal.syntheticPngMedia(
+      Seq(0L, 1L, 13L).toDF("doc_id"))
+    val f1 = MultiModal.extractImageFeatures(pngMedia).orderBy("media_id")
       .as[(Long, Seq[Double])].collect()
-    val f2 = MultiModal.extractFeatures(media).orderBy("media_id")
+    val f2 = MultiModal.extractImageFeatures(pngMedia).orderBy("media_id")
       .as[(Long, Seq[Double])].collect()
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.head._2.length == 8)
-    assert(math.abs(f1.head._2.sum - 1.0) < 1e-9) // histogram normalized
-    assert(f1(1)._2.sum == 0.0) // empty payload → zero features
+    // [w, h, bands, meanR/255, meanG/255, meanB/255]; channel features
+    // normalized to [0, 1] and exact for the solid-color fixture
+    assert(f1.forall(_._2.length == 6))
+    assert(f1.forall(_._2.drop(3).forall(v => v >= 0.0 && v <= 1.0)))
+    val f13 = f1.find(_._1 == 13L).get._2
+    assert(f13 == Seq((1 + 13 % 7).toDouble, (1 + 13 % 5).toDouble, 3.0,
+      (13 * 37 % 256) / 255.0, (13 * 59 % 256) / 255.0,
+      (13 * 83 % 256) / 255.0))
+    // undecodable payloads emit no rows (auditable by anti-join)
+    assert(MultiModal.extractImageFeatures(media).count() == 0)
   }
 
-  test("chunk sampling slices payloads into n chunks") {
-    val chunks = MultiModal.sampleChunks(media, n = 2, chunkSize = 4)
-      .orderBy("media_id").as[(Long, Seq[Array[Byte]])].collect()
-    assert(chunks.head._2.length == 2)
-    assert(new String(chunks.head._2.head) == "hell")
+  test("even frame sampling decodes first/last-inclusive spaced frames") {
+    // index arithmetic: integer-exact, duplicates collapsed on short clips
+    assert(MultiModal.evenFrameIndices(5, 4) == Seq(0, 1, 2, 4))
+    assert(MultiModal.evenFrameIndices(2, 4) == Seq(0, 1))
+    assert(MultiModal.evenFrameIndices(1, 4) == Seq(0))
+    assert(MultiModal.evenFrameIndices(9, 1) == Seq(0))
+    assert(MultiModal.evenFrameIndices(0, 4) == Seq.empty)
+    // distributed pass over the GIF fixture: ids 3 (5 frames) / 1 (3)
+    val got = MultiModal.sampleVideoFrames(
+        MultiModal.syntheticGifMedia(Seq(3L, 1L).toDF("doc_id")), n = 4)
+      .as[(Long, Int, Int, Int, Int, Double, Double, Double)]
+      .collect().groupBy(_._1)
+    val id3 = got(3L).sortBy(_._3)
+    assert(id3.map(_._3).toSeq == Seq(0, 1, 2, 4)) // frame indices
+    assert(id3.forall(r => r._2 == 5 && r._4 == 1 + 3 % 7 && r._5 == 1 + 3 % 5))
+    // solid frames round-trip their exact per-frame colors
+    assert(id3.map(r => (r._6, r._7, r._8)).toSeq ==
+      Seq(0, 1, 2, 4).map(f => (((3 * 37 + f * 11) % 256).toDouble,
+        ((3 * 59 + f * 23) % 256).toDouble, ((3 * 83 + f * 31) % 256).toDouble)))
+    assert(got(1L).map(_._3).sorted.toSeq == Seq(0, 1, 2)) // 3 frames, all
+    // non-GIF payloads emit no rows
+    assert(MultiModal.sampleVideoFrames(media).count() == 0)
   }
 
   test("metadata-only scan prunes the payload column (ReadSchema)") {

@@ -886,4 +886,133 @@ class SimilaritySpec extends SparkSpecBase {
     }.toSet
     assert(got == brute)
   }
+
+  test("exact-Lloyd k-means: local-arithmetic mirror, partitioning " +
+      "invariance, empty-bucket carry") {
+    // fixed6 is SQL ROUND (half AWAY from zero) — math.round would round
+    // -x.5 toward +inf and silently diverge from the oracle. v·10⁶ is
+    // ALWAYS exact in double (24-bit float mantissa × 2²⁰ < 2⁵³), and
+    // ±1/128 lands exactly on ∓7812.5 — a representable half case
+    import graft.functions.VectorFixedSumAggregator.fixed6
+    assert(fixed6(-1f / 128) == -7813L && fixed6(1f / 128) == 7813L)
+    assert(fixed6(-1.0f) == -1000000L)
+    // one Lloyd round mirrored locally with the same fixed-point math
+    val got = Similarity.kmeansCentroidsExact(embeddings, k = 2, iters = 1)
+    val seed = Similarity.sampleCentroids(embeddings, 2)
+    val asg = Similarity.assignBuckets(embeddings, seed)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val vecs = embeddings.as[(Long, Seq[Float])].collect().toMap
+    val expected = seed.map { case (cid, old) =>
+      val members = vecs.filter { case (id, _) => asg(id) == cid }.values
+      if (members.isEmpty) (cid, old)
+      else {
+        val dim = members.head.length
+        val sums = Array.fill(dim)(0L)
+        members.foreach(v => (0 until dim).foreach(i => sums(i) += fixed6(v(i))))
+        (cid, sums.map(s => ((s.toDouble / members.size) / 1e6).toFloat).toSeq)
+      }
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+    // bit-identical under any input partitioning (integer sums commute)
+    val reparted = Similarity.kmeansCentroidsExact(
+      embeddings.repartition(7, col("vec_id")), k = 2, iters = 1)
+    assert(reparted == got)
+    // a bucket that captures nothing keeps its seed centroid verbatim:
+    // duplicate seeds (ids 0/1 identical) tie every assignment to the
+    // LARGER cid, so bucket 0 starves and must carry its seed unchanged
+    val dup = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val carried = Similarity.kmeansCentroidsExact(dup, k = 2, iters = 1)
+    assert(carried.head == (0, Seq(1f, 0f, 0f, 0f)),
+      s"starved bucket must keep its seed: $carried")
+    assert(carried(1)._2 != Seq(1f, 0f, 0f, 0f), // bucket 1 really moved
+      s"winning bucket must take the member mean: $carried")
+  }
+
+  test("assignBucketsAuto flips physical form at the literal ceiling") {
+    val cents = (0 until 5).map(i =>
+      i -> vec(if (i % 2 == 0) ax else ay, 0.3f, 2000 + i))
+    // ceiling 5: in-plan form (no join); ceiling 4: broadcast-join form
+    val inPlan = Similarity.assignBucketsAuto(embeddings, cents,
+      literalCeiling = 5)
+    val viaJoin = Similarity.assignBucketsAuto(embeddings, cents,
+      literalCeiling = 4)
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Join"))
+    assert(joins(inPlan) == 0, "literal regime must not add joins")
+    assert(joins(viaJoin) > 0, "over-ceiling regime must take the join path")
+    // identical assignments either side of the flip, same output shape
+    val a = inPlan.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val b = viaJoin.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(a == b, s"inPlan=$a viaJoin=$b")
+    assert(inPlan.columns.toSeq.sorted == viaJoin.columns.toSeq.sorted)
+    // the default ceiling is the documented indexParams nlist cap
+    assert(Similarity.maxLiteralNlist == 65536)
+  }
+
+  test("multi-probe label propagation: nprobe=1 identical, nprobe=2 " +
+      "recovers a cross-cluster seed") {
+    // 9 vectors -> nlist = 3, centroids = ids 0/1/2 (x-axis at 0°,
+    // y-axis at 90°, diagonal at 45°). The ax/diag cluster boundary is
+    // 22.5°: target 8 sits at 25° (home = diag cluster, whose only seed
+    // is the 45° centroid), while its TRUE nearest seed 3 sits at 20°,
+    // one cluster over in the ax cluster — exactly the boundary case
+    // single-probe bounding misses and a second probe recovers.
+    val diag = Seq(0.7071f, 0.7071f, 0f, 0f)
+    val emb = Seq(
+      (0L, ax.toSeq, 0), (1L, ay.toSeq, 1), (2L, diag, 2),
+      (3L, Seq(0.9397f, 0.3420f, 0f, 0f), 0), // 20°: 8's true 1-NN, home ax
+      (4L, Seq(0.1f, 0.995f, 0f, 0f), 1),
+      (5L, Seq(0f, 0.1f, 0.99f, 0f), 2),
+      (6L, Seq(0.05f, 0.9f, 0.3f, 0f), 1),
+      (7L, Seq(0.9f, 0.1f, 0.4f, 0f), 0),
+      (8L, Seq(0.9063f, 0.4226f, 0f, 0f), 9)  // 25°: the target
+    ).toDF("vec_id", "embedding", "label")
+    val seedCond = col("vec_id") < 8
+    val single = Similarity.knnLabelPropagation(emb, seedCond, k = 1)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val singleExplicit = Similarity.knnLabelPropagation(emb, seedCond,
+      k = 1, nprobe = 1).as[(Long, Int, Long, Long)].collect().toSeq
+    assert(single == singleExplicit, "nprobe=1 must be the default path")
+    val multi = Similarity.knnLabelPropagation(emb, seedCond, k = 1,
+      nprobe = 2).as[(Long, Int, Long, Long)].collect().toSeq
+    // audit the fixture's premise, then the mitigation: single-probe
+    // finds a same-cluster seed but NOT the true 1-NN; nprobe=2 does
+    val cents = Similarity.sampleCentroids(emb, Similarity.indexParams(9).nlist)
+    val home = Similarity.assignBuckets(emb, cents)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(home(8L) != home(3L), "fixture: true 1-NN must be cross-cluster")
+    assert(single.nonEmpty && multi.nonEmpty)
+    val s8 = single.find(_._1 == 8L).get
+    val m8 = multi.find(_._1 == 8L).get
+    assert(s8._2 != 0, s"single-probe should miss the x-axis seed: $s8")
+    assert(m8._2 == 0, s"nprobe=2 must recover seed 3's label: $m8")
+    // the recall audit prices exactly that gap, and multi-probe closes it
+    val r1 = Similarity.knnPropagationRecallAudit(emb, seedCond, k = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val r2 = Similarity.knnPropagationRecallAudit(emb, seedCond, k = 1,
+      nprobe = 2).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(r1(8L) == 0.0, s"single-probe recall@1 of target 8: $r1")
+    assert(r2(8L) == 1.0, s"multi-probe recall@1 of target 8: $r2")
+  }
+
+  test("multi-probe margin mining is a candidate superset at nprobe=1 parity") {
+    val labeled = embeddings.withColumn("label",
+      when(col("vec_id") % 2 === 0, 0).otherwise(1))
+    val one = Similarity.marginMinedPairs(labeled, 0, 1, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    val oneExplicit = Similarity.marginMinedPairs(labeled, 0, 1,
+      threshold = 0.0, nprobe = 1).collect().map(_.toSeq).toSet
+    assert(one == oneExplicit, "nprobe=1 must be the default path")
+    // nprobe at the centroid count = every source sees every (uncapped)
+    // cluster: mined sources are a superset of the single-probe ones
+    val nlist = Similarity.indexParams(11).nlist
+    val all = Similarity.marginMinedPairs(labeled, 0, 1, threshold = 0.0,
+      nprobe = nlist).collect().map(_.toSeq).toSet
+    val srcOf = (s: Set[Seq[Any]]) => s.map(_.head.asInstanceOf[Long])
+    assert(srcOf(one).subsetOf(srcOf(all)),
+      s"single=${srcOf(one)} multi=${srcOf(all)}")
+  }
 }

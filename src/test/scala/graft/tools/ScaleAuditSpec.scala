@@ -71,4 +71,19 @@ class ScaleAuditSpec extends SparkSpecBase {
       "\n(if the new shape is intended and adjudicated, regenerate via " +
       "`runMain graft.tools.ScaleBaseline`)")
   }
+
+  test("sweepErrors survives braces/escaped quotes in free-form error text") {
+    // error values are exception messages: braces and escaped quotes ride
+    // through Bench's esc(), and a naive first-'}' cut under-reported them
+    val json = """{"queries":{"q1":1.0},""" +
+      """"errors":{"q2":"map {key} failed: \"boom\" at }","q3":"x"},"sf":"d"}"""
+    val errs = ScaleProps.sweepErrors(json)
+    assert(errs.keySet == Set("q2", "q3"), errs.toString)
+    assert(errs("q2").contains("{key}") && errs("q2").endsWith("at }"))
+    assert(ScaleProps.queryTimes(json) == Map("q1" -> 1.0))
+    // an unterminated errors object is a hard failure, not an empty map
+    intercept[IllegalArgumentException] {
+      ScaleProps.sweepErrors("""{"errors":{"q":"msg""")
+    }
+  }
 }
