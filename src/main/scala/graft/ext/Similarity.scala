@@ -1470,6 +1470,15 @@ object Similarity {
       labelCol, idCol, vecCol, n)
     val knn = clusterKnnPairs(tagged, centroids, k, maxBucketSize, nprobe,
       labelCol, idCol, vecCol)
+    votesOf(knn, idCol)
+  }
+
+  /** The integer vote tail shared by [[knnLabelPropagation]] and
+    * [[knnLabelsAgainstSeeds]]: majority label among the ≤ k candidate
+    * rows, (votes desc, best-cosine desc, label asc) tie-break,
+    * neighbor count denormalized per prediction.
+    */
+  private def votesOf(knn: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     knn
       .groupBy(col(idCol), col("slabel"))
@@ -1482,6 +1491,87 @@ object Similarity {
       .select(col(idCol), col("slabel").as("pred_label"), col("votes"),
         col("n_neighbors"))
   }
+
+  /** Ingest-form kNN labeling — [[knnLabelPropagation]]'s decisions
+    * restructured around a FIXED seed index, the shape a deployment
+    * actually serves (the q133→q135 move applied to the mining family):
+    * the quantizer and the degenerate-cluster cap are derived from the
+    * SEED corpus alone (the only population that exists at index-build
+    * time — the cap drops degenerate seed clusters, measured by seed
+    * membership), and arriving target batches flow through statelessly
+    * — assign (broadcast centroids + argmax, `nprobe` probes), join the
+    * capped seed lists, vote. Per-target decisions depend ONLY on the
+    * seed index, never on other targets, so the output is micro-batch
+    * composable: labeling two batches separately equals labeling their
+    * union (spec-pinned), which is what lets
+    * [[streamingKnnLabelIngest]] run it per micro-batch with no state
+    * store. A target probing only capped/empty seed buckets emits no
+    * row (auditable by anti-join, the q155 contract).
+    */
+  def knnLabelsAgainstSeeds(seeds: DataFrame, batch: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int = 5,
+      maxBucketSize: Int = 10000, nprobe: Int = 1,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val sd = assignBuckets(seeds, centroids, idCol, vecCol)
+      .withColumn("_csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
+      .filter(col("_csize") <= maxBucketSize)
+      .select(col("bucket"), col(idCol).as("sid"),
+        col(vecCol).as("sv"), l2Norm(col(vecCol)).as("sn"),
+        col(labelCol).as("slabel"))
+    val targets =
+      if (nprobe == 1 || centroids.isEmpty)
+        assignBuckets(batch, centroids, idCol, vecCol)
+          .select(col("bucket"), col(idCol), col(vecCol).as("tv"),
+            l2Norm(col(vecCol)).as("tn"))
+      else
+        batch
+          .withColumn("bucket",
+            explode(nearestCentroidCol(centroids, col(vecCol), nprobe,
+              tiesLarger = true)))
+          .select(col("bucket"), col(idCol), col(vecCol).as("tv"),
+            l2Norm(col(vecCol)).as("tn"))
+    import org.apache.spark.sql.expressions.Window
+    val knn = targets.join(sd, Seq("bucket"))
+      .withColumn("_cos",
+        when(col("tn") === 0.0 || col("sn") === 0.0, lit(0.0))
+          .otherwise(dot(col("tv"), col("sv")) / (col("tn") * col("sn"))))
+      .select(col(idCol), col("sid"), col("slabel"),
+        round(col("_cos") * 1e6).cast("long").as("c6"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("c6").desc, col("sid").asc)))
+      .filter(col("_rn") <= k)
+    votesOf(knn, idCol)
+  }
+
+  /** Streaming half of ingest-form labeling: each arriving micro-batch
+    * of unlabeled vectors is labeled against the fixed seed index by
+    * [[knnLabelsAgainstSeeds]] inside `foreachBatch` and appended to
+    * the output table. foreachBatch rather than a streaming window:
+    * per-target top-k needs a rank, which append-mode streaming plans
+    * cannot host — and none is needed, because micro-batch
+    * composability (per-target decisions read only the seed index) is
+    * exactly the property that makes the batch function correct per
+    * batch. Centroids and seeds stay fixed for the stream's lifetime
+    * (the IVF contract: re-seed/re-bucket is an offline compaction).
+    */
+  def streamingKnnLabelIngest(batches: DataFrame, seeds: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], path: String, checkpoint: String,
+      k: Int = 5, maxBucketSize: Int = 10000, nprobe: Int = 1,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        knnLabelsAgainstSeeds(seeds, b, centroids, k, maxBucketSize,
+            nprobe, labelCol, idCol, vecCol)
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
     * vector that is the larger-id member of a within-cluster pair at or

@@ -2307,6 +2307,27 @@ object Queries {
       centroids, queries, k = 10, nprobe = 3)
   }
 
+  /** Ingest-form kNN labeling
+    * ([[graft.ext.Similarity.knnLabelsAgainstSeeds]]): the q155
+    * decisions restructured around a FIXED seed index — quantizer
+    * (derived ⌈√Nseeds⌉ from the seed slice) and degenerate-cluster cap
+    * from the seed corpus alone, targets flowing through statelessly —
+    * the shape a deployment serves and the one
+    * [[graft.ext.Similarity.streamingKnnLabelIngest]] runs per
+    * micro-batch (per-target decisions read only the seed index, so the
+    * output is micro-batch composable, spec-pinned). The q133→q135 move
+    * applied to the mining family: q155 audits whole-corpus
+    * propagation, this audits the serving path.
+    */
+  def q159KnnLabelsIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") % 3 === 0)
+    val centroids = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(seeds.count()).nlist)
+    Similarity.knnLabelsAgainstSeeds(seeds,
+      emb.filter(col("vec_id") % 3 =!= 0), centroids)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2464,7 +2485,8 @@ object Queries {
     "q155_knn_labels" -> (q155KnnLabels _),
     "q156_knn_recall" -> (q156KnnRecall _),
     "q157_knn_labels_multiprobe" -> (q157KnnLabelsMultiprobe _),
-    "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _))
+    "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _),
+    "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3272,6 +3294,68 @@ GROUP BY d.source"""
              ORDER BY votes DESC, best DESC, slabel ASC) AS rk
            FROM vt) v
          JOIN nn USING (vec_id) WHERE v.rk = 1"""),
+    // q159: ingest-form labeling — quantizer and degenerate-cluster cap
+    // from the SEED slice alone (the index population), targets assigned
+    // against it statelessly; decision tail identical to q155
+    "q159_knn_labels_ingest" ->
+      """WITH sl AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             embedding
+           FROM sl
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+             LEAST(65536, GREATEST(1,
+               CAST(ceil(sqrt((SELECT COUNT(*) FROM sl))) AS BIGINT)))),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM cent),
+         en AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         sd AS (
+           SELECT a.vec_id AS sid, a.embedding AS sv, a.nrm AS sn,
+             a.bucket, e.label AS slabel
+           FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+           WHERE a.vec_id % 3 = 0
+           QUALIFY COUNT(*) OVER (PARTITION BY a.bucket) <= 10000),
+         tg AS (
+           SELECT vec_id, embedding AS tv, nrm AS tn, bucket
+           FROM asg WHERE vec_id % 3 <> 0),
+         sc AS (
+           SELECT t.vec_id, s.sid, s.slabel,
+             CAST(ROUND(CASE WHEN t.tn * s.sn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(t.tv)+1), k ->
+                      CAST(t.tv[k] AS DOUBLE) * CAST(s.sv[k] AS DOUBLE)))
+                    / (t.tn * s.sn) END * 1000000) AS BIGINT) AS c6
+           FROM tg t JOIN sd s ON t.bucket = s.bucket),
+         knn AS (
+           SELECT vec_id, sid, slabel, c6 FROM (
+             SELECT vec_id, sid, slabel, c6,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM sc) WHERE rn <= 5),
+         vt AS (
+           SELECT vec_id, slabel, COUNT(*) AS votes, MAX(c6) AS best
+           FROM knn GROUP BY 1, 2),
+         nn AS (SELECT vec_id, COUNT(*) AS n_neighbors FROM knn GROUP BY 1)
+         SELECT v.vec_id, v.slabel AS pred_label, v.votes, nn.n_neighbors
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY votes DESC, best DESC, slabel ASC) AS rk
+           FROM vt) v
+         JOIN nn USING (vec_id) WHERE v.rk = 1""",
     // q158: the q132 search on the EXACT-LLOYD k-means quantizer — two
     // Lloyd rounds replayed in SQL via 6dp fixed-point integer sums
     // (order-independent, hash-exact), then the shared probe/annres tail

@@ -80,9 +80,14 @@ class EmptyInputSpec extends SparkSpecBase {
       Seq.empty[(Int, Seq[Float])].toDF("cid", "centroid"))
     assert(nullAsg.count() == vecs.count())
     assert(nullAsg.filter(col("bucket").isNull).count() == vecs.count())
-    // the recall audit and multi-probe paths are well-defined on empties
+    // the recall audit, ingest-form, and multi-probe paths are
+    // well-defined on empties
     assert(Similarity.knnPropagationRecallAudit(emptyLbl,
       isSeed = col("vec_id") % 3 === 0).count() == 0)
+    assert(Similarity.knnLabelsAgainstSeeds(emptyLbl, lbl,
+      Seq.empty).count() == 0)
+    assert(Similarity.knnLabelsAgainstSeeds(lbl, emptyLbl,
+      Seq(0 -> Seq(1f, 0f))).count() == 0)
     assert(Similarity.knnLabelPropagation(emptyLbl,
       isSeed = col("vec_id") % 3 === 0, nprobe = 2).count() == 0)
     assert(Similarity.marginMinedPairs(emptyLbl, 0, 1, nprobe = 2).count() == 0)

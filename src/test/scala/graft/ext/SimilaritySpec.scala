@@ -998,6 +998,59 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r2(8L) == 1.0, s"multi-probe recall@1 of target 8: $r2")
   }
 
+  test("ingest-form labeling: micro-batch composable, agrees with the " +
+      "whole-corpus form when the seed index coincides") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // seeds = ids 0..5 (so the smallest-id quantizer sample is all-seed:
+    // the whole-corpus form derives the SAME centroids as the seed-index
+    // form and their decisions must coincide on these targets)
+    val seeds = (0L until 6L).map(i =>
+      (i, vec(if (i % 2 == 0) ax else ay, 0.1f, i.toInt), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val targets = Seq(
+      (100L, vec(ax, 0.05f, 50), 9),
+      (101L, vec(ay, 0.05f, 51), 9),
+      (102L, vec(ax, 0.08f, 52), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val nlist = Similarity.indexParams(9).nlist // 3: sample = seed ids 0..2
+    val cents = Similarity.sampleCentroids(seeds, nlist)
+    val ingest = Similarity.knnLabelsAgainstSeeds(seeds, targets, cents, k = 3)
+      .collect().map(_.toSeq).toSet
+    // whole-corpus form on seeds ∪ targets: same smallest-id centroids
+    // (all targets have larger ids), cap not binding → same decisions
+    val whole = Similarity.knnLabelPropagation(
+        seeds.unionByName(targets), isSeed = col("vec_id") < 6, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(ingest == whole && ingest.nonEmpty, s"ingest=$ingest whole=$whole")
+    // micro-batch composability: labeling two slices separately equals
+    // labeling their union (per-target decisions read only the seed index)
+    val b1 = targets.filter(col("vec_id") < 102)
+    val b2 = targets.filter(col("vec_id") >= 102)
+    val split =
+      Similarity.knnLabelsAgainstSeeds(seeds, b1, cents, k = 3)
+        .collect().map(_.toSeq).toSet ++
+      Similarity.knnLabelsAgainstSeeds(seeds, b2, cents, k = 3)
+        .collect().map(_.toSeq).toSet
+    assert(split == ingest, s"split=$split union=$ingest")
+    // streaming: foreachBatch labels each arriving micro-batch against
+    // the frozen seed index; the sink accumulates the same predictions
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ck").toString
+    val q = Similarity.streamingKnnLabelIngest(
+      input.toDF().toDF("vec_id", "embedding", "label"),
+      seeds, cents, out, ckpt, k = 3)
+    try {
+      input.addData((100L, vec(ax, 0.05f, 50), 9), (101L, vec(ay, 0.05f, 51), 9))
+      q.processAllAvailable()
+      input.addData((102L, vec(ax, 0.08f, 52), 9))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).collect().map(_.toSeq).toSet
+      assert(streamed == ingest, s"streamed=$streamed batch=$ingest")
+    } finally q.stop()
+  }
+
   test("multi-probe margin mining is a candidate superset at nprobe=1 parity") {
     val labeled = embeddings.withColumn("label",
       when(col("vec_id") % 2 === 0, 0).otherwise(1))
