@@ -431,8 +431,17 @@ object Similarity {
       import spark.implicits._
       val centDf = centroids.map { case (cid, v) => (cid, v) }
         .toDF("cid", "centroid")
+      // the source lineage is evaluated twice in this regime (once for
+      // the assignment aggregate, once as the join's payload side), so
+      // the assignment pass reads only the NARROW (id, vec) projection —
+      // column pruning keeps the second scan from re-reading payload
+      // columns. The id column must be deterministic across the two
+      // evaluations (true of every storage-backed source; a source
+      // minting ids with a non-deterministic expression must be
+      // materialized first).
       embeddings.join(
-        assignBucketsJoin(embeddings, centDf, idCol, vecCol),
+        assignBucketsJoin(embeddings.select(col(idCol), col(vecCol)),
+          centDf, idCol, vecCol),
         Seq(idCol), "left")
     }
 
@@ -495,6 +504,14 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    // the Lloyd loop's assignment embeds the centroid matrix IN the plan
+    // (the [[assignBuckets]] literal/kernel forms); past the literal
+    // ceiling that matrix belongs in a broadcast join and the quantizer
+    // itself belongs sharded — refuse rather than silently building an
+    // oversized plan (the [[maxLiteralNlist]] ceiling contract)
+    require(k <= maxLiteralNlist,
+      s"k=$k exceeds the in-plan centroid ceiling ($maxLiteralNlist); " +
+        "a flat quantizer this large should be sharded, not Lloyd-refined")
     val centroidOf = udaf(graft.functions.VectorMeanAggregator)
     var centroids = sampleCentroids(embeddings, k, idCol, vecCol)
     for (_ <- 0 until iters) {
@@ -530,6 +547,10 @@ object Similarity {
     */
   def kmeansCentroidsExact(embeddings: DataFrame, k: Int, iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Float])] = {
+    // same in-plan ceiling contract as [[kmeansCentroids]]
+    require(k <= maxLiteralNlist,
+      s"k=$k exceeds the in-plan centroid ceiling ($maxLiteralNlist); " +
+        "a flat quantizer this large should be sharded, not Lloyd-refined")
     val sumsOf = udaf(graft.functions.VectorFixedSumAggregator)
     var centroids = sampleCentroids(embeddings, k, idCol, vecCol)
     for (_ <- 0 until iters) {
@@ -1558,6 +1579,16 @@ object Similarity {
     * exactly the property that makes the batch function correct per
     * batch. Centroids and seeds stay fixed for the stream's lifetime
     * (the IVF contract: re-seed/re-bucket is an offline compaction).
+    *
+    * The sink is IDEMPOTENT by batch id: foreachBatch is at-least-once
+    * (a batch replayed after a failure between the write and the
+    * checkpoint commit runs again), so a blind append would double that
+    * batch's predictions and break the accumulation contract above.
+    * Each batch writes its rows under a `batch_id` partition with
+    * DYNAMIC partition overwrite — a replay rewrites exactly its own
+    * partition and nothing else, so the accumulated table equals the
+    * union of each batch's labels no matter how many times any batch
+    * ran. Readers that want the bare prediction schema drop `batch_id`.
     */
   def streamingKnnLabelIngest(batches: DataFrame, seeds: DataFrame,
       centroids: Seq[(Int, Seq[Float])], path: String, checkpoint: String,
@@ -1565,10 +1596,14 @@ object Similarity {
       labelCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
         knnLabelsAgainstSeeds(seeds, b, centroids, k, maxBucketSize,
             nprobe, labelCol, idCol, vecCol)
-          .write.mode("append").parquet(path)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -28,12 +28,21 @@ object VectorFixedSumAggregator
 
   override def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
 
-  private def grown(sums: Array[Long], dim: Int): Array[Long] =
-    if (sums.length >= dim) sums else java.util.Arrays.copyOf(sums, dim)
+  // UNIFORM-DIMENSION contract: the mean this aggregate feeds divides
+  // every component by the group's TOTAL row count, and the SQL replay
+  // ([[graft.queries.Queries]]' kmeansExactAsgCtes) unnests components
+  // and counts per (group, k) — the two agree ONLY when every vector in
+  // a group has the same length. A ragged corpus would silently diverge
+  // from the oracle, so mixed dimensions fail loudly here instead.
+  private def sameDim(have: Int, got: Int): Unit =
+    require(have == got, s"VectorFixedSumAggregator requires uniform " +
+      s"vector dimensions within a group: saw both $have and $got")
 
   override def reduce(b: (Array[Long], Long), v: Seq[Float]): (Array[Long], Long) = {
     if (v == null) return b
-    val acc = grown(b._1, v.length)
+    val acc =
+      if (b._2 == 0) new Array[Long](v.length)
+      else { sameDim(b._1.length, v.length); b._1 }
     var i = 0
     while (i < v.length) { acc(i) += fixed6(v(i)); i += 1 }
     (acc, b._2 + 1)
@@ -44,7 +53,8 @@ object VectorFixedSumAggregator
     // (zero-length vectors increment n while leaving sums empty)
     if (a._2 == 0) return b
     if (b._2 == 0) return a
-    val out = grown(a._1.clone(), b._1.length)
+    sameDim(a._1.length, b._1.length)
+    val out = a._1.clone()
     var i = 0
     while (i < b._1.length) { out(i) += b._1(i); i += 1 }
     (out, a._2 + b._2)

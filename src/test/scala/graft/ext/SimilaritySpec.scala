@@ -1046,8 +1046,25 @@ class SimilaritySpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData((102L, vec(ax, 0.08f, 52), 9))
       q.processAllAvailable()
-      val streamed = spark.read.parquet(out).collect().map(_.toSeq).toSet
+      val table = spark.read.parquet(out)
+      val streamed = table.drop("batch_id").collect().map(_.toSeq).toSet
       assert(streamed == ingest, s"streamed=$streamed batch=$ingest")
+      // the sink is batchId-partitioned so an at-least-once REPLAY of a
+      // micro-batch (foreachBatch's failure contract) overwrites its own
+      // partition instead of appending duplicates: re-running batch 1's
+      // body verbatim must leave the accumulated table unchanged
+      assert(table.select("batch_id").distinct().as[Long].collect().toSet
+        == Set(0L, 1L), "one partition per micro-batch")
+      Similarity.knnLabelsAgainstSeeds(seeds,
+          targets.filter(col("vec_id") >= 102), cents, k = 3)
+        .withColumn("batch_id", lit(1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+      val replayed = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(replayed == ingest, s"replay must be idempotent: $replayed")
     } finally q.stop()
   }
 
