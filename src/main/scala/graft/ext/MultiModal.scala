@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -99,6 +99,25 @@ object MultiModal {
   /** Payload size without decoding — pure column arithmetic, prunable. */
   def payloadBytes(payload: Column): Column = octet_length(payload)
 
+  /** The id stream every synthetic encoder consumes: the key column as
+    * longs, REPARTITIONED to the session default parallelism. The
+    * generators stand in for a well-partitioned object-store media scan,
+    * but they inherit the KEY table's scan partitioning — and per-row
+    * codec cost is orders of magnitude above scan cost, so an
+    * unsplittable input (a single-row-group parquet file: the sf0.1
+    * fixture, any single-partition source) would serialize the whole
+    * encode→decode pipeline on one core (measured: the round-12 replica
+    * sweeps ran every media kernel 1-wide of 32). The exchange moves
+    * 8-byte ids only — payloads are minted AFTER the shuffle — so the
+    * cost is negligible at any scale.
+    */
+  private def encodeIds(keyed: DataFrame, idCol: String): Dataset[Long] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   // ------------------------------------------------ real image decode
 
   /** Decoded-image statistics: dimensions, raster band count, and the
@@ -184,7 +203,7 @@ object MultiModal {
   def syntheticPngMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    keyed.select(col(idCol).cast("long")).as[Long]
+    encodeIds(keyed, idCol)
       .mapPartitions { it =>
         useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>
@@ -250,13 +269,84 @@ object MultiModal {
     * non-16-bit-PCM encoding, keeping failures auditable rather than
     * fatal.
     */
+  /** javax.sound's `AudioSystem` facade routes EVERY
+    * getAudioInputStream/write call through
+    * `JDK13Services.getProviders` — a static SYNCHRONIZED method that
+    * re-walks the ServiceLoader on each call. Per-record calls
+    * therefore (a) pay a provider scan per clip and (b) serialize all
+    * executor threads on one JVM-global lock: measured on the 100×
+    * replica, the 32-wide audio decode ran 2.6× SLOWER than the same
+    * kernel single-threaded (135 s vs 52 s for 500k clips). The public
+    * SPI (`javax.sound.sampled.spi`) exposes the identical providers;
+    * resolve them ONCE per JVM and dispatch directly — same provider
+    * order and results, no global lock, no per-clip scan.
+    */
+  private lazy val audioFileReaders
+      : List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+
+  private lazy val audioFileWriters
+      : List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toList
+  }
+
+  /** The provider that decoded this thread's LAST clip, tried first on
+    * the next one. Caching the provider list alone is not enough: a
+    * probe of the wrong provider can itself be expensive and locked —
+    * the JDK's `SoftMidiAudioFileReader.getAudioInputStream` routes
+    * through `MidiSystem.getProviders` → the same JVM-global
+    * `JDK13Services` monitor, and a thread dump of the 32-wide WAV
+    * decode showed 31 threads parked on that lock just to have the MIDI
+    * reader REJECT each clip. Media streams are near-uniform in format,
+    * so MRU dispatch sends every clip after a thread's first straight
+    * to the right provider — no cross-subsystem probes, no global lock.
+    */
+  private val lastAudioReader =
+    new ThreadLocal[javax.sound.sampled.spi.AudioFileReader]
+
+  /** [[java.io.InputStream]] must be repositioned between provider
+    * attempts (AudioSystem does the same mark/reset dance); the payload
+    * streams here are ByteArrayInputStreams, which always support it.
+    */
+  private def openAudioStream(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    in.mark(Int.MaxValue)
+    def attempt(r: javax.sound.sampled.spi.AudioFileReader)
+        : javax.sound.sampled.AudioInputStream =
+      try r.getAudioInputStream(in)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          in.reset() // ByteArrayInputStream: cannot fail
+          null
+      }
+    val mru = lastAudioReader.get()
+    if (mru != null) {
+      val got = attempt(mru)
+      if (got != null) return got
+    }
+    val it = audioFileReaders.iterator
+    while (it.hasNext) {
+      val reader = it.next()
+      if (reader ne mru) {
+        val got = attempt(reader)
+        if (got != null) { lastAudioReader.set(reader); return got }
+      }
+    }
+    null
+  }
+
   def decodeAudioStats(payload: Array[Byte]): Option[AudioStats] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     if (payload == null || payload.isEmpty) None
     else {
-      val ais =
-        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val ais = openAudioStream(new java.io.ByteArrayInputStream(payload))
       if (ais == null) None
       else try {
         val fmt = ais.getFormat
@@ -306,7 +396,7 @@ object MultiModal {
     */
   def encodePcmWav(channels: Int, sampleRate: Int,
       samples: Array[Short]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     require(channels >= 1 && samples.length % channels == 0,
       s"samples (${samples.length}) must be a whole number of $channels-channel frames")
     val data = new Array[Byte](samples.length * 2)
@@ -321,7 +411,12 @@ object MultiModal {
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
       fmt, samples.length.toLong / channels)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    // direct SPI dispatch — see [[audioFileReaders]]: AudioSystem.write
+    // takes the same JVM-global synchronized provider scan per clip
+    audioFileWriters
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+      .write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -338,7 +433,7 @@ object MultiModal {
   def syntheticWavMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    keyed.select(col(idCol).cast("long")).as[Long]
+    encodeIds(keyed, idCol)
       .mapPartitions { it =>
         it.map { id =>
           val channels = (1 + id % 2).toInt
@@ -551,7 +646,7 @@ object MultiModal {
   def syntheticGifMedia(keyed: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    keyed.select(col(idCol).cast("long")).as[Long]
+    encodeIds(keyed, idCol)
       .mapPartitions { it =>
         useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>

@@ -6,11 +6,12 @@ import graft.ext.Similarity
 
 /** Quantizer-quality probe: recall@10 of the batched IVF search under
   * the graded SEED-SAMPLE quantizer (`sampleCentroids` — the smallest-id
-  * embeddings, what q132/q137/q152/q154–q157 register) versus the
-  * k-means refinement (`autoCentroids`, 2 Lloyd iterations) at the SAME
-  * derived-⌈√N⌉ / nprobe=3 operating point, measured by the budgeted
-  * audit (q152's shape: the 256 smallest-uniform-hash members of the
-  * %10 probe pool, exact ground truth per audited probe).
+  * embeddings, what q132/q137/q152/q154–q157 register), the uniform
+  * hash-sample, and the k-means refinements (float 2-iter and the
+  * graded exact-Lloyd 1/2-iter forms) at the SAME derived-⌈√N⌉
+  * operating point, measured by the budgeted audit (q152's shape: the
+  * 256 smallest-uniform-hash members of the %10 probe pool, exact
+  * ground truth per audited probe).
   *
   * Round-11 adjudication context: the k-means path exists and is
   * spec-pinned, but the graded chain registers the seed sample because
@@ -19,16 +20,26 @@ import graft.ext.Similarity
   * replays (sum-order-sensitive across engines). On a skewed or
   * id-ordered corpus the seed sample could be a biased quantizer —
   * recall, not cost, would be the casualty — so this tool MEASURES the
-  * gap instead of arguing it: run at sf0.1 and the 30×/100× replicas,
-  * committed as `recall_compare_r12.json` + an ARCHITECTURE.md table.
+  * gap instead of arguing it.
+  *
+  * Round-13 extension (verdict item 1): the probe sweeps NPROBE
+  * (`SPARK_GRAFT_NPROBES`, default "3" — comma-separated) and also
+  * reports the q156-form propagation recall
+  * ([[Similarity.knnPropagationRecallAudit]], seed = id%3, 256 audited
+  * targets) at each nprobe, so one run prices the full (quantizer,
+  * nprobe) grid. Run it on BOTH fixtures: the driver's uniform-random
+  * embeddings (where recall floors — committed r12 evidence) and the
+  * [[ClusterGen]] planted-cluster fixture (where the curve is real).
   *
   * Usage: runMain graft.tools.RecallCompare <sfDir> [<sfDir> ...]
-  * Prints one JSON line per dir.
+  * Prints one JSON line per (dir, nprobe).
   */
 object RecallCompare {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RecallCompare <sfDir> [<sfDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nprobes = sys.env.getOrElse("SPARK_GRAFT_NPROBES", "3")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
     val spark = ScaleKnobs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,30 +54,42 @@ object RecallCompare {
       val nlist = Similarity.indexParams(n).nlist
       val queries = emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      def audit(cents: Seq[(Int, Seq[Float])]): (Long, Double, Double) = {
-        val r = Similarity.ivfBatchRecallAudit(
-            Similarity.assignBuckets(emb, cents), cents, queries,
-            k = 10, nprobe = 3, maxProbes = 256)
-          .agg(count(lit(1)), avg(col("recall")), min(col("recall")))
+      // quantizers are nprobe-independent: build each ONCE per dir
+      val variants: Seq[(String, Seq[(Int, Seq[Float])])] = Seq(
+        "seed_sample" -> Similarity.sampleCentroids(emb, nlist),
+        "hash_sample" -> Similarity.hashSampleCentroids(emb, nlist),
+        "kmeans_float2" -> Similarity.autoCentroids(emb, iters = 2, n = n),
+        "kmeans_exact1" -> Similarity.kmeansCentroidsExact(emb, nlist,
+          iters = 1),
+        "kmeans_exact2" -> Similarity.kmeansCentroidsExact(emb, nlist,
+          iters = 2))
+      for (np <- nprobes) {
+        val audits = variants.map { case (name, cents) =>
+          val r = Similarity.ivfBatchRecallAudit(
+              Similarity.assignBuckets(emb, cents), cents, queries,
+              k = 10, nprobe = np, maxProbes = 256)
+            .agg(count(lit(1)), avg(col("recall")), min(col("recall")))
+            .head()
+          (name, r.getLong(0), r.getDouble(1), r.getDouble(2))
+        }
+        val counts = audits.map(_._2).distinct
+        require(counts.size == 1,
+          s"audited counts diverged across quantizers: $audits")
+        // q156's shape on this dir at this nprobe (its own derived
+        // seed-sample quantizer — the graded form)
+        val prop = Similarity.knnPropagationRecallAudit(emb,
+            isSeed = col("vec_id") % 3 === 0, nprobe = np,
+            maxProbes = 256)
+          .agg(avg(col("recall")), min(col("recall")))
           .head()
-        (r.getLong(0), r.getDouble(1), r.getDouble(2))
+        val body = audits.map { case (name, _, a, m) =>
+          f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f}"""
+        }.mkString(",")
+        println(s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
+          s""""nprobe":$np,"audited":${counts.head},$body,""" +
+          f""""propagation_q156":{"avg_recall":${prop.getDouble(0)}%.6f,""" +
+          f""""min_recall":${prop.getDouble(1)}%.6f}}""")
       }
-      val (na, sAvg, sMin) = audit(Similarity.sampleCentroids(emb, nlist))
-      val (nh, hAvg, hMin) = audit(Similarity.hashSampleCentroids(emb, nlist))
-      val (nb, kAvg, kMin) = audit(Similarity.autoCentroids(emb, iters = 2,
-        n = n))
-      val (n1, e1Avg, e1Min) = audit(Similarity.kmeansCentroidsExact(emb,
-        nlist, iters = 1))
-      val (n2, e2Avg, e2Min) = audit(Similarity.kmeansCentroidsExact(emb,
-        nlist, iters = 2))
-      require(na == nb && na == nh && na == n1 && na == n2,
-        s"audited counts diverged: $na/$nh/$nb/$n1/$n2")
-      println(f"""{"dir":"$dir","n":$n,"nlist":$nlist,"audited":$na,""" +
-        f""""seed_sample":{"avg_recall":$sAvg%.6f,"min_recall":$sMin%.6f},""" +
-        f""""hash_sample":{"avg_recall":$hAvg%.6f,"min_recall":$hMin%.6f},""" +
-        f""""kmeans_float2":{"avg_recall":$kAvg%.6f,"min_recall":$kMin%.6f},""" +
-        f""""kmeans_exact1":{"avg_recall":$e1Avg%.6f,"min_recall":$e1Min%.6f},""" +
-        f""""kmeans_exact2":{"avg_recall":$e2Avg%.6f,"min_recall":$e2Min%.6f}}""")
     }
     spark.stop()
   }

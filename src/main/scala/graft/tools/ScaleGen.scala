@@ -30,14 +30,55 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sfx")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("full")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, n)
+    mode match {
+      case "full" => generate(spark, src, dst, n)
+      case "docsfixed" => generateDocsFixedVocab(spark, src, dst, n)
+      case other => sys.error(s"unknown mode '$other' (full|docsfixed)")
+    }
     spark.stop()
+  }
+
+  /** Documents-only replica with a FIXED vocabulary — the q80 scale
+    * adjudication probe. The full replica's per-replica token
+    * translation grows the vocabulary (and so the term-df table)
+    * ∝ corpus; a production corpus's vocabulary grows sublinearly
+    * (Heaps' law), so a query whose cost tracks VOCABULARY rather than
+    * corpus volume looks superlinear on the replica without being so in
+    * production. This mode isolates that variable: every non-zero
+    * replica's tokens get the SAME suffix (`_r<tag>x0` — identical
+    * length and transformation cost as the scale replica's `_r<tag>x<i>`
+    * family), so shuffle bytes and row counts match the full replica
+    * while the vocabulary stays ~2× base at ANY replication factor.
+    * Runtime that is linear here but superlinear on the full replica is
+    * vocabulary-driven — the fixture's artifact, not the operator's.
+    */
+  def generateDocsFixedVocab(spark: SparkSession, src: String, dst: String,
+      n: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docSpan = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    val vocabTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    docs.withColumn("_i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("doc_id", col("doc_id") + col("_i") * lit(docSpan + 1))
+      .withColumn("text",
+        when(col("_i") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              t => when(t === "", t).otherwise(
+                concat(t, lit(s"_r${vocabTag}x0")))),
+            " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("_i")
+      .repartition(math.min(n, 256))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"[scalegen] wrote ${n}x fixed-vocab documents of $src to $dst")
   }
 
   def generate(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
@@ -46,8 +87,20 @@ object ScaleGen {
     // BIGINT ts schema, which Tables.loadEvents handles transparently)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // An N× corpus is N× the FILES, not one N×-bigger row group: real
+    // growth appends files/partitions, and parquet scans can only split
+    // at row-group boundaries, so writing a replica as one explode-sized
+    // row group (what the single-partition source scan would produce)
+    // serializes every downstream scan STAGE on it — the round-12 sweeps
+    // ran tokenize/fingerprint/decode kernels on ONE core of 32 because
+    // documents/embeddings landed as single-row-group files (measured:
+    // the r11→r12 "drift" on the IO-heavy tail was serial-stage
+    // sensitivity to background load, not plan changes). Replicated
+    // fact tables therefore fan out to ~N files (capped), matching the
+    // source fixture's granularity per replica; shared dims stay single.
     def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      df.repartition(math.min(n, 256))
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c)).cast("long")).head().getLong(0)
 
@@ -57,8 +110,10 @@ object ScaleGen {
 
     def off(c: String, span: Long): Column = col(c) + col("_i") * lit(span + 1)
 
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    def wr1(df: DataFrame, t: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    wr1(rd("region"), "region")
+    wr1(rd("nation"), "nation")
 
     val cust = rd("customer")
     val custSpan = maxOf(cust, "c_custkey")
