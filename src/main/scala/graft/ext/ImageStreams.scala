@@ -1,0 +1,107 @@
+package graft.ext
+
+/** Disposer-free ImageIO streams over in-memory payloads.
+  *
+  * `ImageIO.read(InputStream)` / `createImageInputStream` /
+  * `createImageOutputStream` wrap every payload in a
+  * `MemoryCacheImageInput/OutputStream`, and each of those constructors
+  * registers a cleanup record with `sun.java2d.Disposer` — a JVM-GLOBAL
+  * synchronized monitor. At one short-lived stream per record that
+  * monitor becomes the hottest lock in the process: a thread dump of
+  * the 32-wide JPEG re-encode kernel on the 100× replica showed 22 of
+  * 32 executor threads BLOCKED on `Disposer.add` (and the same pattern
+  * made the audio path 2.6× slower parallel than serial before its SPI
+  * fix). A media payload already sitting in a byte array needs neither
+  * a cache nor a disposer: these implementations index the array
+  * directly through the PUBLIC `ImageInputStreamImpl` /
+  * `ImageOutputStreamImpl` scaffolding (seek/mark/bit-IO inherited), so
+  * per-record codec work touches no global state at all.
+  */
+private[ext] final class ByteArrayImageInputStream(buf: Array[Byte])
+    extends javax.imageio.stream.ImageInputStreamImpl {
+
+  override def read(): Int = {
+    checkClosed()
+    bitOffset = 0
+    if (streamPos >= buf.length) -1
+    else { val v = buf(streamPos.toInt) & 0xFF; streamPos += 1; v }
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    checkClosed()
+    bitOffset = 0
+    if (streamPos >= buf.length) -1
+    else {
+      val n = math.min(len, buf.length - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n
+      n
+    }
+  }
+
+  override def length(): Long = buf.length.toLong
+  override def isCached: Boolean = true
+  override def isCachedMemory: Boolean = true
+}
+
+/** Growable in-memory `ImageOutputStream` (see the Disposer rationale
+  * above). Fully seekable with readback — format writers patch headers
+  * and length fields after the fact (GIF logical-screen sizes, JPEG
+  * segment lengths), which is exactly why `OutputStream` alone is not
+  * an `ImageOutputStream`.
+  */
+private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
+    extends javax.imageio.stream.ImageOutputStreamImpl {
+  private var buf = new Array[Byte](math.max(16, initial))
+  private var end = 0
+
+  private def ensure(cap: Int): Unit =
+    if (cap > buf.length) {
+      var n = buf.length << 1
+      while (n < cap) n <<= 1
+      buf = java.util.Arrays.copyOf(buf, n)
+    }
+
+  override def write(b: Int): Unit = {
+    checkClosed()
+    flushBits() // pending writeBits() bits land before byte writes
+    ensure(streamPos.toInt + 1)
+    buf(streamPos.toInt) = b.toByte
+    streamPos += 1
+    if (streamPos > end) end = streamPos.toInt
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    checkClosed()
+    flushBits()
+    ensure(streamPos.toInt + len)
+    System.arraycopy(b, off, buf, streamPos.toInt, len)
+    streamPos += len
+    if (streamPos > end) end = streamPos.toInt
+  }
+
+  override def read(): Int = {
+    checkClosed()
+    bitOffset = 0
+    if (streamPos >= end) -1
+    else { val v = buf(streamPos.toInt) & 0xFF; streamPos += 1; v }
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    checkClosed()
+    bitOffset = 0
+    if (streamPos >= end) -1
+    else {
+      val n = math.min(len, end - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n
+      n
+    }
+  }
+
+  override def length(): Long = end.toLong
+  override def isCached: Boolean = true
+  override def isCachedMemory: Boolean = true
+
+  def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, end)
+}

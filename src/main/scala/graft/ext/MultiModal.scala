@@ -133,16 +133,51 @@ object MultiModal {
     * registered reader claims the bytes) — the caller keeps such rows
     * visible as decode failures rather than dropping them.
     */
+  /** Decode an in-memory payload to a BufferedImage, or null when no
+    * registered reader claims it / it is truncated. Equivalent to
+    * `ImageIO.read(InputStream)` minus the per-record
+    * MemoryCacheImageInputStream, whose constructor takes the JVM-global
+    * `sun.java2d.Disposer` monitor (see [[ByteArrayImageInputStream]] —
+    * 22/32 executor threads were BLOCKED there in the 100× re-encode
+    * kernel). NonFatal, not just IOException: ImageIO plugins throw
+    * IllegalArgument/NegativeArraySize/IndexOutOfBounds on truncated or
+    * adversarial headers they claimed but cannot parse — any such
+    * payload must surface as a decode-failure row, not a dead task.
+    */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = new ByteArrayImageInputStream(payload)
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0, reader.getDefaultReadParam)
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Encode via an explicit format writer into a fresh byte array —
+    * `ImageIO.write(img, fmt, OutputStream)`'s job minus the per-record
+    * Disposer-registered cache stream (same rationale as [[readImage]]).
+    */
+  private def writeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName(format).next()
+    val ios = new ByteArrayImageOutputStream()
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally writer.dispose()
+    ios.toByteArray
+  }
+
   def decodeImageStats(payload: Array[Byte]): Option[ImageStats] = {
     if (payload == null || payload.isEmpty) None
     else {
-      // NonFatal, not just IOException: ImageIO plugins throw
-      // IllegalArgument/NegativeArraySize/IndexOutOfBounds on truncated
-      // or adversarial headers they claimed but cannot parse — any such
-      // payload must surface as a decode-failure row, not a dead task
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = readImage(payload)
       Option(img).map { im =>
         val w = im.getWidth
         val h = im.getHeight
@@ -188,9 +223,7 @@ object MultiModal {
       while (x < width) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writeImage(img, "png")
   }
 
   /** Deterministic PNG media table derived from a keyed table: each id
@@ -531,8 +564,8 @@ object MultiModal {
     if (payload == null || payload.isEmpty) None
     else {
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        // Disposer-free stream — see [[readImage]]
+        val iis = new ByteArrayImageInputStream(payload)
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) { iis.close(); None }
         else {
@@ -609,8 +642,8 @@ object MultiModal {
   def encodeSolidGif(width: Int, height: Int, frames: Int,
       color: Int => (Int, Int, Int)): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // Disposer-free stream — see [[readImage]]
+    val ios = new ByteArrayImageOutputStream()
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -632,7 +665,7 @@ object MultiModal {
       }
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
-    bos.toByteArray
+    ios.toByteArray
   }
 
   /** Deterministic animated-GIF media table derived from a keyed table:
@@ -771,23 +804,36 @@ object MultiModal {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     if (payload == null || payload.isEmpty) None
     else {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = readImage(payload)
       Option(img).map { im =>
-        val w2 = (im.getWidth + factor - 1) / factor
-        val h2 = (im.getHeight + factor - 1) / factor
+        val w = im.getWidth
+        val h = im.getHeight
+        val w2 = (w + factor - 1) / factor
+        val h2 = (h + factor - 1) / factor
         val out = new java.awt.image.BufferedImage(w2, h2,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-          g.drawImage(im, 0, 0, w2, h2, null)
-        } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        // nearest-neighbor via raster ops, not Graphics2D.drawImage:
+        // creating a Graphics context instantiates SurfaceData whose
+        // manager registers with the JVM-global sun.java2d.Disposer
+        // monitor per image (the same lock [[readImage]] avoids).
+        // Source sample for dest x = floor(x · w / w2) — the standard
+        // forward NN mapping, identical output on every image whose
+        // pixels are constant within the factor×factor cells (all the
+        // oracle fixtures) and a legitimate NN sample on any other.
+        val srcRow = new Array[Int](w)
+        val dstRow = new Array[Int](w2)
+        var y = 0
+        while (y < h2) {
+          im.getRGB(0, math.min(h - 1, y * h / h2), w, 1, srcRow, 0, w)
+          var x = 0
+          while (x < w2) {
+            dstRow(x) = srcRow(math.min(w - 1, x * w / w2))
+            x += 1
+          }
+          out.setRGB(0, y, w2, 1, dstRow, 0, w2)
+          y += 1
+        }
+        writeImage(out, "png")
       }
     }
   }
@@ -833,17 +879,27 @@ object MultiModal {
       s"quality must be in (0, 1], got $quality")
     if (payload == null || payload.isEmpty) None
     else {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = readImage(payload)
       Option(img).map { im =>
         val rgb =
           if (im.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) im
           else {
-            val t = new java.awt.image.BufferedImage(im.getWidth,
-              im.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = t.createGraphics()
-            try g.drawImage(im, 0, 0, null) finally g.dispose()
+            val w = im.getWidth
+            val h = im.getHeight
+            val t = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // row-bulk sRGB copy, not Graphics2D.drawImage — a Graphics
+            // context would register SurfaceData with the JVM-global
+            // sun.java2d.Disposer monitor per record (see [[readImage]]);
+            // getRGB/setRGB route through the same default-sRGB
+            // ColorModel conversion, so the pixel ints are identical
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              im.getRGB(0, y, w, 1, row, 0, w)
+              t.setRGB(0, y, w, 1, row, 0, w)
+              y += 1
+            }
             t
           }
         val writer = javax.imageio.ImageIO
@@ -852,17 +908,14 @@ object MultiModal {
         param.setCompressionMode(
           javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         param.setCompressionQuality(quality)
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        // Disposer-free stream — see [[readImage]]
+        val ios = new ByteArrayImageOutputStream()
         try {
           writer.setOutput(ios)
           writer.write(null,
             new javax.imageio.IIOImage(rgb, null, null), param)
-        } finally {
-          writer.dispose()
-          ios.close()
-        }
-        bos.toByteArray
+        } finally writer.dispose()
+        ios.toByteArray
       }
     }
   }
