@@ -30,7 +30,10 @@ private[ext] final class ByteArrayImageInputStream(buf: Array[Byte])
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
     checkClosed()
     bitOffset = 0
-    if (streamPos >= buf.length) -1
+    // contract (see FileImageInputStream): a zero-length read is 0 even
+    // at EOF — only a real read attempt past the end signals -1
+    if (len == 0) 0
+    else if (streamPos >= buf.length) -1
     else {
       val n = math.min(len, buf.length - streamPos.toInt)
       System.arraycopy(buf, streamPos.toInt, b, off, n)
@@ -57,9 +60,11 @@ private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
 
   private def ensure(cap: Int): Unit =
     if (cap > buf.length) {
+      // doubling can overflow Int near 2^31; fall back to the exact
+      // requested capacity instead of looping forever on a negative n
       var n = buf.length << 1
-      while (n < cap) n <<= 1
-      buf = java.util.Arrays.copyOf(buf, n)
+      while (n > 0 && n < cap) n <<= 1
+      buf = java.util.Arrays.copyOf(buf, if (n < cap || n <= 0) cap else n)
     }
 
   override def write(b: Int): Unit = {
@@ -90,7 +95,8 @@ private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
     checkClosed()
     bitOffset = 0
-    if (streamPos >= end) -1
+    if (len == 0) 0 // zero-length read is 0 even at EOF (JDK contract)
+    else if (streamPos >= end) -1
     else {
       val n = math.min(len, end - streamPos.toInt)
       System.arraycopy(buf, streamPos.toInt, b, off, n)

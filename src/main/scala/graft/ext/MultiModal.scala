@@ -48,28 +48,14 @@ import org.apache.spark.sql.types._
   */
 object MultiModal {
 
-  // ImageIO's DEFAULT stream wrapping is disk-backed: useCache=true makes
-  // every read/write on an in-memory payload create (and delete) a temp
-  // file via FileCacheImage{Input,Output}Stream — measured 2.7× slower
-  // than MemoryCache streams on an IDLE machine, and the latency couples
-  // to global /tmp IO pressure (Spark local dirs live there too), which
-  // is exactly the context-dependent q134 drift seen in rounds 9–10:
-  // fast isolated, slow and high-variance inside a full-suite bench or a
-  // 100× sweep (500k temp-file churns per media query). Every payload
-  // here is already a byte array, so the disk cache buys nothing.
-  /** Switch ImageIO to memory-cached streams. NOTE: the setting is
-    * JVM-GLOBAL by construction (`ImageIO.setUseCache` has no narrower
-    * scope), so it affects all image IO in the process, not just these
-    * kernels — documented in ARCHITECTURE.md. To keep the intent scoped
-    * anyway, it is invoked (idempotently) at each media kernel's
-    * per-partition init rather than as a class-load side effect — code
-    * that merely references this object no longer flips a process knob
-    * — and `-Dgraft.imageio.disk.cache=true` restores the JDK default
-    * for hosts that want disk-backed streams.
-    */
-  private[ext] def useMemoryCachedImageIo(): Unit =
-    if (!java.lang.Boolean.getBoolean("graft.imageio.disk.cache"))
-      javax.imageio.ImageIO.setUseCache(false)
+  // History: rounds 9-12 flipped ImageIO.setUseCache(false) at each
+  // kernel's partition init because the DEFAULT wrapping was a
+  // disk-backed temp file per payload (measured 2.7x slower, coupled to
+  // /tmp pressure — the q134 drift). Round 13 removed the knob
+  // entirely: every codec site now uses the Disposer-free
+  // [[ByteArrayImageInputStream]]/[[ByteArrayImageOutputStream]], so no
+  // ImageIO-managed stream (cached or not) is ever created and the
+  // -Dgraft.imageio.disk.cache escape hatch became a no-op.
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -126,13 +112,6 @@ object MultiModal {
   final case class ImageStats(width: Int, height: Int, bands: Int,
       meanR: Double, meanG: Double, meanB: Double)
 
-  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
-    * no native libraries needed): width/height, raster band count, and
-    * exact per-channel means over every pixel. Returns None for a null,
-    * empty, or undecodable payload (`ImageIO.read` yields null when no
-    * registered reader claims the bytes) — the caller keeps such rows
-    * visible as decode failures rather than dropping them.
-    */
   /** Decode an in-memory payload to a BufferedImage, or null when no
     * registered reader claims it / it is truncated. Equivalent to
     * `ImageIO.read(InputStream)` minus the per-record
@@ -174,6 +153,12 @@ object MultiModal {
     ios.toByteArray
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * no native libraries needed): width/height, raster band count, and
+    * exact per-channel means over every pixel. Returns None for a null,
+    * empty, or undecodable payload — the caller keeps such rows visible
+    * as decode failures rather than dropping them.
+    */
   def decodeImageStats(payload: Array[Byte]): Option[ImageStats] = {
     if (payload == null || payload.isEmpty) None
     else {
@@ -238,7 +223,6 @@ object MultiModal {
     import spark.implicits._
     encodeIds(keyed, idCol)
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>
           val w = (1 + id % 7).toInt
           val h = (1 + id % 5).toInt
@@ -268,7 +252,6 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.map { case (id, payload) =>
           decodeImageStats(payload) match {
             case Some(s) => (id, Some(s.width), Some(s.height), Some(s.bands),
@@ -681,7 +664,6 @@ object MultiModal {
     import spark.implicits._
     encodeIds(keyed, idCol)
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.map { id =>
           val w = (1 + id % 7).toInt
           val h = (1 + id % 5).toInt
@@ -715,7 +697,6 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           decodeFrameStats(payload, stride).iterator.flatMap { fs =>
             fs.iterator.map(s => (id, s.frameIdx, fs.size, s.width, s.height,
@@ -745,7 +726,6 @@ object MultiModal {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           decodeImageStats(payload).map(s => (id, Array(
             s.width.toDouble, s.height.toDouble, s.bands.toDouble,
@@ -772,7 +752,6 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           decodeSampledFrameStats(payload, n).iterator.flatMap {
             case (total, fs) =>
@@ -820,14 +799,18 @@ object MultiModal {
         // forward NN mapping, identical output on every image whose
         // pixels are constant within the factor×factor cells (all the
         // oracle fixtures) and a legitimate NN sample on any other.
+        // Index products in Long: y·h / x·w overflow Int past ~46k-px
+        // dimensions, and a negative index would kill the task instead
+        // of surfacing a decode-failure row.
         val srcRow = new Array[Int](w)
         val dstRow = new Array[Int](w2)
         var y = 0
         while (y < h2) {
-          im.getRGB(0, math.min(h - 1, y * h / h2), w, 1, srcRow, 0, w)
+          im.getRGB(0, math.min(h - 1, (y.toLong * h / h2).toInt),
+            w, 1, srcRow, 0, w)
           var x = 0
           while (x < w2) {
-            dstRow(x) = srcRow(math.min(w - 1, x * w / w2))
+            dstRow(x) = srcRow(math.min(w - 1, (x.toLong * w / w2).toInt))
             x += 1
           }
           out.setRGB(0, y, w2, 1, dstRow, 0, w2)
@@ -851,7 +834,6 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           for {
             resized <- resizeImage(payload, factor)
@@ -890,13 +872,32 @@ object MultiModal {
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             // row-bulk sRGB copy, not Graphics2D.drawImage — a Graphics
             // context would register SurfaceData with the JVM-global
-            // sun.java2d.Disposer monitor per record (see [[readImage]]);
-            // getRGB/setRGB route through the same default-sRGB
-            // ColorModel conversion, so the pixel ints are identical
+            // sun.java2d.Disposer monitor per record (see [[readImage]]).
+            // getRGB routes through the same default-sRGB ColorModel
+            // conversion drawImage used; translucent pixels are
+            // SRC_OVER-composited onto opaque black here (channel ·
+            // alpha/255), preserving the replaced drawImage-onto-RGB
+            // semantics for ARGB sources — a raw copy would let fully
+            // transparent pixels keep their stored RGB
+            val hasAlpha = im.getColorModel.hasAlpha
             val row = new Array[Int](w)
             var y = 0
             while (y < h) {
               im.getRGB(0, y, w, 1, row, 0, w)
+              if (hasAlpha) {
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  val a = (p >>> 24) & 0xFF
+                  if (a != 0xFF) {
+                    val r = ((p >> 16) & 0xFF) * a / 255
+                    val g = ((p >> 8) & 0xFF) * a / 255
+                    val b = (p & 0xFF) * a / 255
+                    row(x) = (r << 16) | (g << 8) | b
+                  }
+                  x += 1
+                }
+              }
               t.setRGB(0, y, w, 1, row, 0, w)
               y += 1
             }
@@ -940,7 +941,6 @@ object MultiModal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        useMemoryCachedImageIo() // per-partition codec init
         it.flatMap { case (id, payload) =>
           for {
             orig <- decodeImageStats(payload)

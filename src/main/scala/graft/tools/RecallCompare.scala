@@ -40,6 +40,10 @@ object RecallCompare {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nprobes = sys.env.getOrElse("SPARK_GRAFT_NPROBES", "3")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    // an empty list would still pay the full quantizer builds and then
+    // print NOTHING — a sweep script would record success with no grid
+    require(nprobes.nonEmpty,
+      "SPARK_GRAFT_NPROBES parsed to an empty list")
     val spark = ScaleKnobs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -45,6 +45,27 @@ object ScaleGen {
     spark.stop()
   }
 
+  /** Per-run vocabulary tag — MD5 of the source dir (see the documents
+    * rule in [[generate]] for why composition needs an injective tag).
+    */
+  private def vocabTagOf(src: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+
+  /** Replica-0 keeps `text` verbatim; every other replica gets each
+    * non-empty token suffixed `_<tag-prefixed suffix>` — the shared
+    * transform of the full replica (suffix varies per replica → vocab
+    * ∝ corpus) and the docsfixed probe (suffix constant per digit-width
+    * → vocab fixed), kept in ONE place so the two modes can never drift
+    * apart in tokenization or cost shape.
+    */
+  private def translatedText(suffix: Column): Column =
+    when(col("_i") === 0, col("text")).otherwise(
+      array_join(
+        transform(split(col("text"), " "),
+          t => when(t === "", t).otherwise(concat(t, suffix))),
+        " "))
+
   /** Documents-only replica with a FIXED vocabulary — the q80 scale
     * adjudication probe. The full replica's per-replica token
     * translation grows the vocabulary (and so the term-df table)
@@ -52,28 +73,24 @@ object ScaleGen {
     * (Heaps' law), so a query whose cost tracks VOCABULARY rather than
     * corpus volume looks superlinear on the replica without being so in
     * production. This mode isolates that variable: every non-zero
-    * replica's tokens get the SAME suffix (`_r<tag>x0` — identical
-    * length and transformation cost as the scale replica's `_r<tag>x<i>`
-    * family), so shuffle bytes and row counts match the full replica
-    * while the vocabulary stays ~2× base at ANY replication factor.
-    * Runtime that is linear here but superlinear on the full replica is
-    * vocabulary-driven — the fixture's artifact, not the operator's.
+    * replica's tokens get a suffix whose BYTES match the full replica's
+    * `_r<tag>x<i>` per replica — `<i>`'s digits are translated to `0`s
+    * (replica 7 → `x0`, replica 45 → `x00`), so token lengths, row
+    * counts, and shuffle bytes are identical replica-for-replica while
+    * the vocabulary stays ~(1 + digit-widths)× base at ANY replication
+    * factor. Runtime that is linear here but superlinear on the full
+    * replica is vocabulary-driven — the fixture's artifact, not the
+    * operator's.
     */
   def generateDocsFixedVocab(spark: SparkSession, src: String, dst: String,
       n: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docSpan = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
-    val vocabTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    val zeros = translate(col("_i").cast("string"), "123456789", "000000000")
     docs.withColumn("_i", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("doc_id", col("doc_id") + col("_i") * lit(docSpan + 1))
       .withColumn("text",
-        when(col("_i") === 0, col("text")).otherwise(
-          array_join(
-            transform(split(col("text"), " "),
-              t => when(t === "", t).otherwise(
-                concat(t, lit(s"_r${vocabTag}x0")))),
-            " ")))
+        translatedText(concat(lit(s"_r${vocabTagOf(src)}x"), zeros)))
       .withColumn("n_chars", length(col("text")))
       .drop("_i")
       .repartition(math.min(n, 256))
@@ -181,17 +198,11 @@ object ScaleGen {
     // where 30×256 = 7.7k was the linear expectation). Tagging by source
     // makes every composition step injective: the inner run suffixes with
     // its tag, the outer run with a different one.
-    val vocabTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    val vocabTag = vocabTagOf(src)
     wr(replicate(docs)
       .withColumn("doc_id", off("doc_id", docSpan))
       .withColumn("text",
-        when(col("_i") === 0, col("text")).otherwise(
-          array_join(
-            transform(split(col("text"), " "),
-              t => when(t === "", t).otherwise(
-                concat(t, lit(s"_r${vocabTag}x"), col("_i")))),
-            " ")))
+        translatedText(concat(lit(s"_r${vocabTag}x"), col("_i"))))
       .withColumn("n_chars", length(col("text")))
       .drop("_i"), "documents")
 
