@@ -984,6 +984,25 @@ object HashKernels {
     }
     new GenericArrayData(rows.toArray)
   }
+
+  /** Bucket of `v` under a sorted boundary table: the bucket paired with
+    * the GREATEST boundary ≤ v (binary search; v below every boundary
+    * takes the first bucket — callers build boundaries from the same
+    * corpus, so that case only arises from float noise). One O(log b)
+    * probe per row replaces a corpus-sized shuffle join against the
+    * (value → bucket) map.
+    */
+  def sortedBucketOf(v: Double, bounds: Array[Double],
+      buckets: Array[Long]): Long = {
+    var lo = 0
+    var hi = bounds.length - 1
+    if (hi <= 0 || v < bounds(0)) return buckets(0)
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (bounds(mid) <= v) lo = mid else hi = mid - 1
+    }
+    buckets(lo)
+  }
 }
 
 /** Portable MinHash signature via Kirsch–Mitzenmacher double hashing: each
@@ -1425,6 +1444,47 @@ case class ArrayCountIn(child: Expression, keywords: Seq[String])
     copy(child = newChild)
 }
 
+/** Rank-quantile bucket via binary search over a broadcast boundary
+  * table — the scalar side of `Layout`'s broadcast quantile-bucket
+  * form: `bounds` (sorted ascending) and `buckets` are parallel arrays
+  * of at most 2^16 entries collected from the bucket map's per-bucket
+  * minima, and each row's bucket is the one paired with the greatest
+  * boundary ≤ value. Replaces a corpus-sized shuffle join with a
+  * codegen'd O(log b) probe. Values compare as doubles: exact for
+  * doubles and for integral domains below 2^53 — wider integral keys
+  * must use the join form.
+  */
+case class SortedBucketOf(child: Expression, bounds: Seq[Double],
+    buckets: Seq[Long]) extends UnaryExpression {
+  require(bounds.nonEmpty && bounds.size == buckets.size,
+    s"bounds (${bounds.size}) and buckets (${buckets.size}) must be " +
+      "parallel and non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_bucket_of"
+
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
+  @transient private lazy val bucketsArr: Array[Long] = buckets.toArray
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.sortedBucketOf(in.asInstanceOf[Double], boundsArr, bucketsArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("qBounds", boundsArr, "double[]")
+    val kRef = ctx.addReferenceObj("qBuckets", bucketsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.sortedBucketOf($c, " +
+        s"$bRef, $kRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedBucketOf =
+    copy(child = newChild)
+}
+
 /** Per-vector symmetric int8 quantization → struct(scale double,
   * q array<int>). The HOF formulation (array_max + two transforms) is
   * interpreted per element and dominated the SQ8 index build; this is the
@@ -1503,6 +1563,9 @@ object native {
     col(ArrayCountIn(ex(arr), keywords))
   def quantizeInt8(vec: Column): Column =
     col(QuantizeInt8(ex(vec)))
+  def sortedBucketOf(v: Column, bounds: Seq[Double],
+      buckets: Seq[Long]): Column =
+    col(SortedBucketOf(ex(v), bounds, buckets))
 
   /** SQL-surface builders (integer literals become the Int parameters). */
   private[functions] def intArg(e: Expression, what: String): Int = e match {

@@ -126,19 +126,63 @@ object Layout {
     * timestamps, hash-spread ids) where `zorderKey2`'s low-bit mask would
     * alias distant values into the same cell.
     */
+  /** The sorted (boundary value → bucket) table behind the broadcast
+    * bucket form: per bucket, its smallest member value. Buckets are
+    * monotone in value order, so `bucket(v)` = the bucket paired with
+    * the greatest boundary ≤ v — exactly the join form's answer for
+    * every value IN the corpus the map was built from. At most
+    * `buckets` rows, so the collect is bounded by the same 2^16-class
+    * ceiling as the centroid builds. Values are carried as doubles:
+    * exact for double columns and for integral domains below 2^53 —
+    * wider integral keys must stay on [[quantileBucket]]'s join form.
+    */
+  private[graft] def bucketBounds(df: DataFrame, valueCol: String,
+      buckets: Int): (Seq[Double], Seq[Long]) = {
+    val rows = bucketMap(df, valueCol, buckets, "_b")
+      .groupBy(col("_b"))
+      .agg(min(col(valueCol)).cast("double").as("_v"))
+      .orderBy(col("_v"))
+      .collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getLong(0)).toSeq)
+  }
+
+  /** Max quantile-bucket count served by the BROADCAST assignment form —
+    * past this the boundary table stops being a sane driver object and
+    * the join form takes over (the `Similarity.maxLiteralNlist` ceiling
+    * contract applied to layout).
+    */
+  val maxBroadcastBuckets: Int = 65536
+
   def withZorderKeyQuantile(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, zCol: String = "_z"): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val b = 1 << bits
     // both dimension maps derive from the narrow base frame (see
     // [[bucketMap]]) — chaining quantileBucket would rebuild dimension
-    // 1's shuffle join just to histogram dimension 2
-    val bucketed = df
-      .join(bucketMap(df, xCol, b, "_qbx"), Seq(xCol))
-      .join(bucketMap(df, yCol, b, "_qby"), Seq(yCol))
-    bucketed
-      .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
-      .drop("_qbx", "_qby")
+    // 1's shuffle join just to histogram dimension 2.
+    // Assignment: at ≤ 2^16 buckets (every `bits` ≤ 16, the default),
+    // the boundary tables broadcast and each row takes a codegen'd
+    // O(log b) binary search — the corpus-sized (value → bucket) joins
+    // this replaced were the whole cost of the layout key at 100×
+    // (two 60M-row sort-merge joins just to attach ≤ 2^bits-row maps).
+    // Past the ceiling, the join form remains the scale path.
+    if (b <= maxBroadcastBuckets) {
+      val (bx, kx) = bucketBounds(df, xCol, b)
+      val (by, ky) = bucketBounds(df, yCol, b)
+      df
+        .withColumn(zCol, zorderKey2(
+          graft.functions.native.sortedBucketOf(
+            col(xCol).cast("double"), bx, kx),
+          graft.functions.native.sortedBucketOf(
+            col(yCol).cast("double"), by, ky),
+          bits))
+    } else {
+      df
+        .join(bucketMap(df, xCol, b, "_qbx"), Seq(xCol))
+        .join(bucketMap(df, yCol, b, "_qby"), Seq(yCol))
+        .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
+        .drop("_qbx", "_qby")
+    }
   }
 
   /** [[writeZOrdered]] over rank-quantile keys — the variant whose

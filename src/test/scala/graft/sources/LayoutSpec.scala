@@ -96,6 +96,23 @@ class LayoutSpec extends SparkSpecBase {
       (100L, 2L, 1000L), (1000L, 3L, 1000L)))
   }
 
+  test("broadcast quantile z-order equals the join form bit-for-bit") {
+    // skewed x (ties + gaps), dense y — covers boundary ties, single-row
+    // buckets, and values spanning several bucket widths
+    val df = (0 until 900)
+      .map(i => (math.pow(10, i % 3).toLong * (1 + i % 7), (i % 31).toLong, i.toLong))
+      .toDF("x", "y", "id")
+    val b = 1 << 4
+    val viaJoin = df
+      .join(Layout.bucketMap(df, "x", b, "_qbx"), Seq("x"))
+      .join(Layout.bucketMap(df, "y", b, "_qby"), Seq("y"))
+      .withColumn("z", Layout.zorderKey2(col("_qbx"), col("_qby"), 4))
+      .select("id", "z").as[(Long, Long)].collect().sortBy(_._1)
+    val viaBroadcast = Layout.withZorderKeyQuantile(df, "x", "y", bits = 4, "z")
+      .select("id", "z").as[(Long, Long)].collect().sortBy(_._1)
+    assert(viaBroadcast.toSeq == viaJoin.toSeq)
+  }
+
   test("quantile z-order prunes skewed wide-domain keys where masking cannot") {
     // x: monotone exponential spread (rank r -> 2^(r/4)·4096 + 64r) — a
     // wide skewed domain whose LOW 6 BITS are all zero, so the masked
