@@ -35,30 +35,47 @@ object FuzzyJoin {
   def selfJoinEditDistance1(df: DataFrame, strCol: String, idCol: String,
       maxKeyBucket: Int = 1000): DataFrame = {
     val base = df.select(col(idCol), col(strCol))
-    val keyed = base
+    val exploded = base
       .withColumn("k", explode(deletionKeys(col(strCol))))
-      .withColumn("kdf",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("k")))
-      .filter(col("kdf") <= maxKeyBucket)
-      .drop("kdf")
-    // candidate dedup keeps ONE side's string: an ED1 pair surfaces from
-    // 2-3 shared deletion keys (an identical pair from ALL its keys), so
-    // the distinct is the volume choke point — carrying both strings
-    // through it shuffles ~2·strlen extra bytes per row, while dropping
-    // both forces TWO rejoins of the full pair set. One string through the
-    // distinct + one rejoin for the other measured fastest on the 30×
-    // probe (10.8M verified pairs).
-    val l = keyed.select(col("k"), col(idCol).as("id1"), col(strCol).as("n1"))
+    // hot-key guard as aggregate + anti-join, not a count window: the
+    // window form hash-partitions AND SORTS every exploded key row
+    // (30M rows × ~18-char keys at the 100× probe) just to attach a
+    // count. The aggregate needs no sort, and the anti-join's build
+    // side is bounded by construction — at most rows/maxKeyBucket keys
+    // can exceed the cap — so AQE broadcasts it in any non-degenerate
+    // corpus and falls back to a shuffle join gracefully otherwise.
+    val hot = exploded.groupBy(col("k"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxKeyBucket)
+      .select(col("k"))
+    val keyed = exploded.join(hot, Seq("k"), "left_anti")
+    // candidate dedup carries NO strings: an ED1 pair surfaces from 2-3
+    // shared deletion keys (an identical pair from ALL its keys), so the
+    // distinct is the volume choke point — at the 100× probe its
+    // hash-aggregate SPILLED when each row dragged an 18-char name
+    // through the sorter (thread-sampled: UnsafeKVExternalSorter spill +
+    // UTF8String compares dominated). Distinct over the bare 16-byte
+    // (id1, id2) pair sorts ~2.6× less volume and compares fixed-width
+    // longs; both strings rejoin AFTERWARDS against the (distinct) base
+    // — two joins of the already-deduped pair set, each shuffling only
+    // ids + one string. Wall-clock at the 100× probe is a modest win
+    // (warm ~59 s vs ~60–67 for the one-string-through-distinct form);
+    // the real argument is spill volume: fixed-width sorter rows are
+    // the shape that degrades gracefully when the pair set outgrows
+    // memory at 100 TB, where a string-dragging distinct falls off a
+    // cliff.
+    val l = keyed.select(col("k"), col(idCol).as("id1"))
     val r = keyed.select(col("k"), col(idCol).as("id2"))
     val cand = l.join(r, Seq("k"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "n1", "id2").distinct()
+      .select("id1", "id2").distinct()
+    // distinct on the rejoin sides: an exact-duplicate input row would
+    // otherwise re-expand a deduped pair (the 4-column-distinct
+    // semantics this restructuring must preserve)
+    val named = base.distinct()
     cand
-      // distinct on the rejoin side: an exact-duplicate input row would
-      // otherwise re-expand a deduped pair (the 4-column-distinct
-      // semantics this restructuring must preserve)
-      .join(base.distinct().select(col(idCol).as("id2"), col(strCol).as("n2")),
+      .join(named.select(col(idCol).as("id1"), col(strCol).as("n1")), "id1")
+      .join(named.select(col(idCol).as("id2"), col(strCol).as("n2")),
         "id2")
       // threshold form: banded O(len·1) DP that bails at distance 2 and
       // returns -1, instead of the full O(len²) matrix — the verify runs
