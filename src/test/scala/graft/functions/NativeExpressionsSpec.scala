@@ -348,4 +348,30 @@ class NativeExpressionsSpec extends SparkSpecBase {
       assert(got == texts.map(brute(_, k, modP)), s"k=$k modP=$modP")
     }
   }
+
+  test("sorted_bucket_of: greatest-boundary search, edges, null, NaN") {
+    import spark.implicits._
+    val bounds = Seq(1.0, 5.0, 5.5, 100.0)
+    val buckets = Seq(0L, 2L, 3L, 7L) // sparse bucket ids (empty buckets)
+    val vals = Seq[java.lang.Double](
+      0.5,            // below every boundary → first bucket
+      1.0, 4.999,     // exactly-on and interior of bucket 0
+      5.0, 5.25,      // boundary tie and interior of a 1-wide bucket
+      5.5, 99.0,      // next boundary, long interior
+      100.0, 1e18,    // last boundary and far beyond
+      null,           // null in → null out
+      Double.NaN)     // NaN compares false everywhere → first bucket
+    val got = vals.toDF("v")
+      .select(native.sortedBucketOf(col("v"), bounds, buckets).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == Seq[Any](0L, 0L, 0L, 2L, 2L, 3L, 3L, 7L, 7L,
+      null, 0L))
+    // interpreted eval agrees with codegen (the kernel is shared, but
+    // pin it anyway — this is the layout key's correctness primitive)
+    assert(graft.functions.HashKernels.sortedBucketOf(5.25,
+      bounds.toArray, buckets.toArray) == 2L)
+    // single-boundary table: everything lands in its bucket
+    assert(graft.functions.HashKernels.sortedBucketOf(42.0,
+      Array(7.0), Array(9L)) == 9L)
+  }
 }
