@@ -307,11 +307,18 @@ object Dedup {
     * generator drops out of whole-stage codegen into ObjectHashAggregate
     * (2× at every scale). A degenerate mega-shingle materializes its
     * window partition before the cap filter drops it, but WindowExec
-    * spills — bounded memory either way. Postings carry the raw shingle
-    * string: hashing them to portable 60-bit md5 longs before the shuffle
-    * was measured SLOWER at 30× (the md5+hex+conv chain costs more than
-    * the payload saving), and a string join key keeps `shared` exactly
-    * "shared shingles".
+    * spills — bounded memory either way. Postings carry the shingle as a
+    * portable 60-bit md5 long (the same replayable
+    * `('0x'||substr(md5(s),1,15))::BIGINT` idiom the oracle family
+    * uses): an 8-byte fixed-width key sorts/shuffles ~3× less volume
+    * than the raw shingle string and compares as a long. Early rounds
+    * measured the hash chain SLOWER at 30× — but that was on the
+    * serial-scan replica layout, where the per-row md5 ran on one core;
+    * on splittable input the verdict flips (q84 31.1 → 26.6 s, q92
+    * 28.4 → 24.8 s warm at 100×). `shared` becomes "shared shingle
+    * HASHES": a cross-doc 60-bit collision could overcount an
+    * intersection (P ≈ pairs·2⁻⁶⁰ — negligible against the exact
+    * array_intersect verify that follows downstream).
     */
   private[graft] def ngramCandidates(docs: DataFrame, shingleN: Int, minShared: Int,
       dfCap: Int, textCol: String, idCol: String)
@@ -320,6 +327,8 @@ object Dedup {
       wordShingles(lower(col(textCol)), shingleN).as("sh"))
     val withDf = sh
       .select(col(idCol), explode(col("sh")).as("shingle"))
+      .withColumn("shingle",
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
       .withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("shingle")))
