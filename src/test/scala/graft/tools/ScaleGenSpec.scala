@@ -47,6 +47,38 @@ class ScaleGenSpec extends SparkSpecBase {
       .intersect(tok.filter(col("replica") === 1).select("t").distinct())
     assert(shared.count() == 0)
 
+    // replicas must stay SPLITTABLE: an N× table written as one
+    // explode-sized row group serializes every downstream scan stage on
+    // one core (the round-13 finding — parquet only splits at row-group
+    // boundaries), so fact tables fan out to min(n, 256) files
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders")) {
+      val files = new java.io.File(s"$out/$t.parquet")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 3, s"$t replica has $files files, expected n=3 " +
+        "(single-row-group replicas serialize scan stages)")
+    }
+
+    // the docsfixed probe replica must match the full replica
+    // byte-for-byte in token lengths (digit-width-matched suffixes) —
+    // the parity that makes it a pure vocabulary-cardinality control
+    ScaleGen.generateDocsFixedVocab(spark, "/root/testdata/sf0.001",
+      "/tmp/scalegen_spec_fixed", 3)
+    val fixedDocs = spark.read.parquet(
+      "/tmp/scalegen_spec_fixed/documents.parquet")
+    assert(fixedDocs.count() == docs.count())
+    def chars(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(sum(col("n_chars"))).head().getLong(0)
+    assert(chars(fixedDocs) == chars(docs),
+      "docsfixed text bytes diverge from the full replica — the q80 " +
+        "vocabulary control would be confounded by raw volume")
+    // ...while the vocabulary stays ~(1 + digit-widths)× base, vs ~n×
+    val fixedVocab = fixedDocs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    val fullVocab = tok.select("t").distinct().count()
+    assert(fixedVocab < fullVocab,
+      s"fixed vocab $fixedVocab not below full-replica vocab $fullVocab")
+
     // rotation is an isometry: the multiset of vector norms is unchanged
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     val normCounts = emb
