@@ -318,7 +318,17 @@ object Dedup {
     * 28.4 → 24.8 s warm at 100×). `shared` becomes "shared shingle
     * HASHES": a cross-doc 60-bit collision could overcount an
     * intersection (P ≈ pairs·2⁻⁶⁰ — negligible against the exact
-    * array_intersect verify that follows downstream).
+    * array_intersect verify that follows downstream). The df gate sees
+    * a second, larger collision surface: a VOCABULARY birthday — any
+    * two of the corpus's distinct shingles hashing to one key (expected
+    * O(1) around ~10⁹ distinct shingles) merges their df counts, which
+    * can push both over `dfCap` and drop true postings, shifting the
+    * emitted `shared` value (the capped-stat upper bound stays valid
+    * either way: a dropped posting adds to `capped` mass). This stays
+    * engine-SYMMETRIC — the oracle SQL applies the identical md5-60
+    * idiom to the identical shingle stream, so both engines merge the
+    * same keys and emit the same rows (the green hash_match is over the
+    * same-collision outputs, not collision-free ones).
     */
   private[graft] def ngramCandidates(docs: DataFrame, shingleN: Int, minShared: Int,
       dfCap: Int, textCol: String, idCol: String)

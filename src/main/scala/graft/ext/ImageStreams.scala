@@ -58,6 +58,18 @@ private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
   private var buf = new Array[Byte](math.max(16, initial))
   private var end = 0
 
+  // streamPos is indexed as an Int throughout — a writer seeking past
+  // 2 GB would otherwise wrap to a negative index (AIOOBE, or a silent
+  // no-op ensure). Refuse it orderly, mirroring the bound the JDK
+  // memory-cache streams enforce; per-record media blobs are MBs, so
+  // this is a guard, not a limit anyone hits.
+  private def checkIntPos(extra: Int): Int = {
+    if (streamPos < 0L || streamPos + extra > Int.MaxValue.toLong)
+      throw new java.io.IOException(
+        s"in-memory image stream position out of range: $streamPos (+$extra)")
+    streamPos.toInt
+  }
+
   private def ensure(cap: Int): Unit =
     if (cap > buf.length) {
       // doubling can overflow Int near 2^31; fall back to the exact
@@ -70,8 +82,9 @@ private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
   override def write(b: Int): Unit = {
     checkClosed()
     flushBits() // pending writeBits() bits land before byte writes
-    ensure(streamPos.toInt + 1)
-    buf(streamPos.toInt) = b.toByte
+    val p = checkIntPos(1)
+    ensure(p + 1)
+    buf(p) = b.toByte
     streamPos += 1
     if (streamPos > end) end = streamPos.toInt
   }
@@ -79,8 +92,9 @@ private[ext] final class ByteArrayImageOutputStream(initial: Int = 1024)
   override def write(b: Array[Byte], off: Int, len: Int): Unit = {
     checkClosed()
     flushBits()
-    ensure(streamPos.toInt + len)
-    System.arraycopy(b, off, buf, streamPos.toInt, len)
+    val p = checkIntPos(len)
+    ensure(p + len)
+    System.arraycopy(b, off, buf, p, len)
     streamPos += len
     if (streamPos > end) end = streamPos.toInt
   }

@@ -296,6 +296,18 @@ object MultiModal {
     * SPI (`javax.sound.sampled.spi`) exposes the identical providers;
     * resolve them ONCE per JVM and dispatch directly — same provider
     * order and results, no global lock, no per-clip scan.
+    *
+    * Two intentional deviations from AudioSystem's resolution, fine for
+    * the WAV-only kernels here but worth knowing on exotic hosts:
+    * (1) provider-order override properties
+    * (`javax.sound.sampled.spi.*` entries in sound.properties) are NOT
+    * honored — this is the raw ServiceLoader order, resolved once with
+    * the thread-context classloader at first touch; (2) the per-thread
+    * MRU short-circuit means a host with multiple providers CLAIMING
+    * the same format can decode a clip with a different (equally
+    * claiming) provider than AudioSystem's first-match would pick.
+    * With the JDK's sole built-in WAV/AU/AIFF readers both concerns
+    * are moot.
     */
   private lazy val audioFileReaders
       : List[javax.sound.sampled.spi.AudioFileReader] = {

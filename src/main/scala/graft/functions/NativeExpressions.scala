@@ -991,8 +991,34 @@ object HashKernels {
     * corpus, so that case only arises from float noise). One O(log b)
     * probe per row replaces a corpus-sized shuffle join against the
     * (value → bucket) map.
+    *
+    * NaN takes the LAST bucket: both Spark and DuckDB sort NaN greater
+    * than every double and group all NaNs together, so when the corpus
+    * contains NaN its histogram bucket is the top-ranked one and its
+    * boundary (being the per-bucket min) sorts last — the join form's
+    * NaN-equality assignment lands there, and this kernel must agree.
+    * A NaN boundary never captures a non-NaN value (NaN comparisons are
+    * false, so the search can't step onto it).
     */
   def sortedBucketOf(v: Double, bounds: Array[Double],
+      buckets: Array[Long]): Long = {
+    if (java.lang.Double.isNaN(v)) return buckets(bounds.length - 1)
+    var lo = 0
+    var hi = bounds.length - 1
+    if (hi <= 0 || v < bounds(0)) return buckets(0)
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (bounds(mid) <= v) lo = mid else hi = mid - 1
+    }
+    buckets(lo)
+  }
+
+  /** [[sortedBucketOf]] over 64-bit integer boundaries — the exact form
+    * for integral layout columns: a double-valued boundary table is only
+    * exact below 2^53, while surrogate/hash-spread ids use the full long
+    * range. Same greatest-boundary-≤-v search, no NaN case.
+    */
+  def sortedBucketOfLong(v: Long, bounds: Array[Long],
       buckets: Array[Long]): Long = {
     var lo = 0
     var hi = bounds.length - 1
@@ -1485,6 +1511,45 @@ case class SortedBucketOf(child: Expression, bounds: Seq[Double],
     copy(child = newChild)
 }
 
+/** [[SortedBucketOf]] over 64-bit integer boundaries — the exact
+  * broadcast-bucket probe for integral layout columns (surrogate keys,
+  * hash-spread ids): comparing in long space never loses the low bits a
+  * double cast drops above 2^53, so wide integral domains stay on the
+  * join-free layout path instead of falling back to the corpus-sized
+  * (value → bucket) shuffle join.
+  */
+case class SortedBucketOfLong(child: Expression, bounds: Seq[Long],
+    buckets: Seq[Long]) extends UnaryExpression {
+  require(bounds.nonEmpty && bounds.size == buckets.size,
+    s"bounds (${bounds.size}) and buckets (${buckets.size}) must be " +
+      "parallel and non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_bucket_of_long"
+
+  @transient private lazy val boundsArr: Array[Long] = bounds.toArray
+  @transient private lazy val bucketsArr: Array[Long] = buckets.toArray
+
+  override def nullSafeEval(in: Any): Any =
+    HashKernels.sortedBucketOfLong(in.asInstanceOf[Long], boundsArr,
+      bucketsArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("qBoundsL", boundsArr, "long[]")
+    val kRef = ctx.addReferenceObj("qBucketsL", bucketsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.sortedBucketOfLong($c, " +
+        s"$bRef, $kRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedBucketOfLong =
+    copy(child = newChild)
+}
+
 /** Per-vector symmetric int8 quantization → struct(scale double,
   * q array<int>). The HOF formulation (array_max + two transforms) is
   * interpreted per element and dominated the SQ8 index build; this is the
@@ -1566,6 +1631,9 @@ object native {
   def sortedBucketOf(v: Column, bounds: Seq[Double],
       buckets: Seq[Long]): Column =
     col(SortedBucketOf(ex(v), bounds, buckets))
+  def sortedBucketOfLong(v: Column, bounds: Seq[Long],
+      buckets: Seq[Long]): Column =
+    col(SortedBucketOfLong(ex(v), bounds, buckets))
 
   /** SQL-surface builders (integer literals become the Int parameters). */
   private[functions] def intArg(e: Expression, what: String): Int = e match {

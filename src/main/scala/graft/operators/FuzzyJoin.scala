@@ -31,12 +31,30 @@ object FuzzyJoin {
 
   /** All pairs (id1 < id2) with Levenshtein(str1, str2) ≤ 1 and the exact
     * distance (0 for identical strings under different ids).
+    *
+    * PRECONDITION: `idCol` must functionally determine `strCol` (one
+    * string per id — the natural entity-table shape). The pair-distinct
+    * runs over bare (id1, id2) and both strings are re-joined
+    * afterwards, so an id carrying TWO different strings would cross
+    * every string combination for a surviving id pair — including
+    * combinations that never shared a deletion key — changing the
+    * result set vs the one-string-through-distinct form. The rejoin
+    * side deduplicates full (id, str) rows, which preserves exact
+    * 4-column-distinct semantics ONLY under this precondition; it is
+    * not asserted per-row (a corpus-wide exactness check would cost an
+    * extra aggregate on the hot path), so callers with non-unique ids
+    * must pre-dedup to one string per id.
     */
   def selfJoinEditDistance1(df: DataFrame, strCol: String, idCol: String,
       maxKeyBucket: Int = 1000): DataFrame = {
     val base = df.select(col(idCol), col(strCol))
     val exploded = base
       .withColumn("k", explode(deletionKeys(col(strCol))))
+    // NOTE: `exploded`'s lineage is DELIBERATELY evaluated twice (once
+    // under the hot-key aggregate, once as the anti-join probe side) —
+    // recomputing a map-side explode is cheaper at every scale than
+    // materializing tens of millions of exploded key rows just to avoid
+    // a second pass.
     // hot-key guard as aggregate + anti-join, not a count window: the
     // window form hash-partitions AND SORTS every exploded key row
     // (30M rows × ~18-char keys at the 100× probe) just to attach a

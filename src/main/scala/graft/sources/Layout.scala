@@ -92,10 +92,18 @@ object Layout {
     * Exact integer arithmetic end to end (no approximate sketch, no
     * floating point): any engine replays the identical buckets, and
     * `rowsBefore · buckets` stays under 2^63 for any real n.
+    *
+    * Null handling: nulls are EXCLUDED from rank space (they carry no
+    * rank) — a null-valued row keeps a null bucket via the left join and
+    * never shifts any non-null value's bucket. NaN is a regular member
+    * of rank space at the top: both engines sort NaN greater than every
+    * double and group all NaNs together, so NaN's bucket is the
+    * top-ranked one.
     */
   def quantileBucket(df: DataFrame, valueCol: String, buckets: Int,
       bucketCol: String): DataFrame =
-    df.join(bucketMap(df, valueCol, buckets, bucketCol), Seq(valueCol))
+    df.join(bucketMap(df, valueCol, buckets, bucketCol), Seq(valueCol),
+      "left")
 
   /** The (value → bucket) frame behind [[quantileBucket]], exposed so a
     * multi-dimension caller can derive every dimension's map from the
@@ -107,7 +115,12 @@ object Layout {
   private[graft] def bucketMap(df: DataFrame, valueCol: String,
       buckets: Int, bucketCol: String): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    // nulls never enter rank space: a null key has no defined rank, and
+    // letting the null group consume the lowest ranks would shift every
+    // real value's bucket by the corpus's null count — callers left-join
+    // this map so null rows surface with a null bucket instead
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
     val ranked = graft.operators.PrefixSum
       .withGlobalCumSum(hist, Seq(col(valueCol)), col("_c"), "_cum")
       .withColumn("_before", col("_cum") - col("_c"))
@@ -132,9 +145,13 @@ object Layout {
     * the greatest boundary ≤ v — exactly the join form's answer for
     * every value IN the corpus the map was built from. At most
     * `buckets` rows, so the collect is bounded by the same 2^16-class
-    * ceiling as the centroid builds. Values are carried as doubles:
-    * exact for double columns and for integral domains below 2^53 —
-    * wider integral keys must stay on [[quantileBucket]]'s join form.
+    * ceiling as the centroid builds. Boundaries are carried as doubles
+    * for floating-point columns and as longs for integral ones (see
+    * [[bucketBoundsLong]]) — the typed split is what keeps wide
+    * integral domains (surrogate keys above 2^53) exact on the
+    * broadcast path. [[bucketMap]] already excluded nulls, so no
+    * boundary is null; a corpus NaN sorts last (both engines) and
+    * becomes the final boundary, which the probe kernel maps NaN to.
     */
   private[graft] def bucketBounds(df: DataFrame, valueCol: String,
       buckets: Int): (Seq[Double], Seq[Long]) = {
@@ -146,6 +163,18 @@ object Layout {
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getLong(0)).toSeq)
   }
 
+  /** [[bucketBounds]] with long-typed boundaries — exact for the full
+    * 64-bit integral domain. */
+  private[graft] def bucketBoundsLong(df: DataFrame, valueCol: String,
+      buckets: Int): (Seq[Long], Seq[Long]) = {
+    val rows = bucketMap(df, valueCol, buckets, "_b")
+      .groupBy(col("_b"))
+      .agg(min(col(valueCol)).cast("long").as("_v"))
+      .orderBy(col("_v"))
+      .collect()
+    (rows.map(_.getLong(1)).toSeq, rows.map(_.getLong(0)).toSeq)
+  }
+
   /** Max quantile-bucket count served by the BROADCAST assignment form —
     * past this the boundary table stops being a sane driver object and
     * the join form takes over (the `Similarity.maxLiteralNlist` ceiling
@@ -153,6 +182,40 @@ object Layout {
     */
   val maxBroadcastBuckets: Int = 65536
 
+  /** The broadcast probe column for one dimension, typed by the column:
+    * integral columns search long boundaries (exact over the full 64-bit
+    * domain — a double cast silently merges adjacent keys above 2^53),
+    * float/double columns search double boundaries. `None` when the
+    * type has no exact broadcast kernel — the caller falls back to the
+    * join form, which is type-agnostic.
+    */
+  private def broadcastBucketCol(df: DataFrame, c: String,
+      b: Int): Option[Column] = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val (bounds, keys) = bucketBoundsLong(df, c, b)
+        Some(if (bounds.isEmpty) lit(null).cast("long")
+        else graft.functions.native.sortedBucketOfLong(
+          col(c).cast("long"), bounds, keys))
+      case FloatType | DoubleType =>
+        val (bounds, keys) = bucketBounds(df, c, b)
+        Some(if (bounds.isEmpty) lit(null).cast("long")
+        else graft.functions.native.sortedBucketOf(
+          col(c).cast("double"), bounds, keys))
+      case _ => None
+    }
+  }
+
+  /** Null/NaN contract (identical in BOTH physical forms, spec-pinned):
+    * a row with a null in either layout column keeps a NULL z — nulls
+    * are outside rank space ([[bucketMap]]) and never shift a real
+    * value's bucket; NaN is rank space's greatest member (both engines
+    * sort NaN last and group NaNs together), so it takes the top
+    * bucket. The broadcast kernel achieves this via null-propagating
+    * expressions and an explicit NaN → last-boundary rule; the join
+    * form via left joins against the null-free maps.
+    */
   def withZorderKeyQuantile(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, zCol: String = "_z"): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
@@ -165,23 +228,21 @@ object Layout {
     // O(log b) binary search — the corpus-sized (value → bucket) joins
     // this replaced were the whole cost of the layout key at 100×
     // (two 60M-row sort-merge joins just to attach ≤ 2^bits-row maps).
-    // Past the ceiling, the join form remains the scale path.
-    if (b <= maxBroadcastBuckets) {
-      val (bx, kx) = bucketBounds(df, xCol, b)
-      val (by, ky) = bucketBounds(df, yCol, b)
-      df
-        .withColumn(zCol, zorderKey2(
-          graft.functions.native.sortedBucketOf(
-            col(xCol).cast("double"), bx, kx),
-          graft.functions.native.sortedBucketOf(
-            col(yCol).cast("double"), by, ky),
-          bits))
-    } else {
-      df
-        .join(bucketMap(df, xCol, b, "_qbx"), Seq(xCol))
-        .join(bucketMap(df, yCol, b, "_qby"), Seq(yCol))
-        .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
-        .drop("_qbx", "_qby")
+    // Past the ceiling — or for column types with no exact broadcast
+    // kernel (decimal, timestamp) — the join form is the scale path.
+    val probes =
+      if (b <= maxBroadcastBuckets)
+        (broadcastBucketCol(df, xCol, b), broadcastBucketCol(df, yCol, b))
+      else (None, None)
+    probes match {
+      case (Some(px), Some(py)) =>
+        df.withColumn(zCol, zorderKey2(px, py, bits))
+      case _ =>
+        df
+          .join(bucketMap(df, xCol, b, "_qbx"), Seq(xCol), "left")
+          .join(bucketMap(df, yCol, b, "_qby"), Seq(yCol), "left")
+          .withColumn(zCol, zorderKey2(col("_qbx"), col("_qby"), bits))
+          .drop("_qbx", "_qby")
     }
   }
 

@@ -360,12 +360,12 @@ class NativeExpressionsSpec extends SparkSpecBase {
       5.5, 99.0,      // next boundary, long interior
       100.0, 1e18,    // last boundary and far beyond
       null,           // null in → null out
-      Double.NaN)     // NaN compares false everywhere → first bucket
+      Double.NaN)     // NaN = rank space's greatest member → LAST bucket
     val got = vals.toDF("v")
       .select(native.sortedBucketOf(col("v"), bounds, buckets).as("b"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(got.toSeq == Seq[Any](0L, 0L, 0L, 2L, 2L, 3L, 3L, 7L, 7L,
-      null, 0L))
+      null, 7L))
     // interpreted eval agrees with codegen (the kernel is shared, but
     // pin it anyway — this is the layout key's correctness primitive)
     assert(graft.functions.HashKernels.sortedBucketOf(5.25,
@@ -373,5 +373,29 @@ class NativeExpressionsSpec extends SparkSpecBase {
     // single-boundary table: everything lands in its bucket
     assert(graft.functions.HashKernels.sortedBucketOf(42.0,
       Array(7.0), Array(9L)) == 9L)
+    // a NaN boundary (corpus containing NaN: sorts last, own bucket)
+    // never captures a non-NaN probe, and a NaN probe lands exactly on it
+    assert(graft.functions.HashKernels.sortedBucketOf(1e308,
+      Array(1.0, Double.NaN), Array(0L, 5L)) == 0L)
+    assert(graft.functions.HashKernels.sortedBucketOf(Double.NaN,
+      Array(1.0, Double.NaN), Array(0L, 5L)) == 5L)
+  }
+
+  test("sorted_bucket_of_long: exact above 2^53, edges, null") {
+    import spark.implicits._
+    val big = 1L << 53
+    // adjacent longs above 2^53 collapse to ONE double — the long kernel
+    // must still split them across the boundary
+    val bounds = Seq(Long.MinValue + 1, -7L, 0L, big + 2L)
+    val buckets = Seq(0L, 1L, 2L, 3L)
+    val vals = Seq[java.lang.Long](
+      Long.MinValue, Long.MinValue + 1, -8L, -7L, -1L, 0L,
+      big + 1L, big + 2L, Long.MaxValue, null)
+    val got = vals.toDF("v")
+      .select(native.sortedBucketOfLong(col("v"), bounds, buckets).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == Seq[Any](0L, 0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L, null))
+    assert(graft.functions.HashKernels.sortedBucketOfLong(big + 1L,
+      bounds.toArray, buckets.toArray) == 2L)
   }
 }

@@ -113,6 +113,69 @@ class LayoutSpec extends SparkSpecBase {
     assert(viaBroadcast.toSeq == viaJoin.toSeq)
   }
 
+  test("null and NaN layout keys: both physical forms agree, nulls stay out of rank space") {
+    val rows: Seq[(java.lang.Double, java.lang.Long, Long)] =
+      (0 until 60).map { i =>
+        val x: java.lang.Double =
+          if (i % 10 == 0) null
+          else if (i % 10 == 1) Double.NaN
+          else (i % 7).toDouble * 3.5
+        (x, (i % 5).toLong, i.toLong)
+      }
+    val df = rows.toDF("x", "y", "id")
+    def collectZ(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "z").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val broadcastForm = collectZ(
+      Layout.withZorderKeyQuantile(df, "x", "y", bits = 3, "z"))
+    val joinForm = collectZ(df
+      .join(Layout.bucketMap(df, "x", 8, "_qbx"), Seq("x"), "left")
+      .join(Layout.bucketMap(df, "y", 8, "_qby"), Seq("y"), "left")
+      .withColumn("z", Layout.zorderKey2(col("_qbx"), col("_qby"), 3)))
+    assert(broadcastForm == joinForm)
+    // null x → null z in both; non-null rows all keyed
+    rows.foreach { case (x, _, id) =>
+      val z = broadcastForm.find(_._1 == id).get._2
+      if (x == null) assert(z == null, s"id=$id") else assert(z != null, s"id=$id")
+    }
+    // nulls consume no rank IN THEIR DIMENSION: x-buckets computed over
+    // the full frame equal those computed with the null-x rows dropped
+    // (the null group would otherwise occupy the lowest ranks and shift
+    // every real value's bucket)
+    def xBuckets(frame: org.apache.spark.sql.DataFrame) =
+      Layout.quantileBucket(frame, "x", 8, "b")
+        .filter($"x".isNotNull)
+        .select("id", "b").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(xBuckets(df) == xBuckets(df.filter($"x".isNotNull)))
+    // NaN is rank space's top member: its x-bucket is the largest
+    val nanBucket = Layout.quantileBucket(
+      df.filter($"x".isNotNull), "x", 8, "b")
+      .filter(isnan($"x")).select("b").distinct().as[Long].collect()
+    val maxBucket = Layout.quantileBucket(
+      df.filter($"x".isNotNull), "x", 8, "b")
+      .agg(max("b")).as[Long].head()
+    assert(nanBucket.toSeq == Seq(maxBucket))
+  }
+
+  test("broadcast form stays exact for integral keys above 2^53") {
+    val big = 1L << 53
+    // four adjacent longs above 2^53: a double cast merges big+1/big+2
+    // and big+3/big+4 — the long-typed boundary table must not
+    val df = Seq((big + 1L, 0L, 1L), (big + 2L, 0L, 2L),
+      (big + 3L, 0L, 3L), (big + 4L, 0L, 4L)).toDF("x", "y", "id")
+    val got = Layout.withZorderKeyQuantile(df, "x", "y", bits = 2, "z")
+      .select("id", "z").as[(Long, Long)].collect().sortBy(_._1)
+    val viaJoin = df
+      .join(Layout.bucketMap(df, "x", 4, "_qbx"), Seq("x"))
+      .join(Layout.bucketMap(df, "y", 4, "_qby"), Seq("y"))
+      .withColumn("z", Layout.zorderKey2(col("_qbx"), col("_qby"), 2))
+      .select("id", "z").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == viaJoin.toSeq)
+    // all four land in DISTINCT x-buckets (4 values, 4 buckets)
+    assert(got.map(_._2).distinct.length == 4)
+  }
+
   test("quantile z-order prunes skewed wide-domain keys where masking cannot") {
     // x: monotone exponential spread (rank r -> 2^(r/4)·4096 + 64r) — a
     // wide skewed domain whose LOW 6 BITS are all zero, so the masked
