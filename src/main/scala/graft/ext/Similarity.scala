@@ -1608,6 +1608,144 @@ object Similarity {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Frozen-index margin mining — [[marginMinedPairs]] restructured
+    * around a FIXED seed-side index, the deployment shape (the
+    * q133→q135→q159 move applied to mining): the quantizer, the
+    * degenerate-cluster cap, and the seed-side hubness statistics are
+    * ALL derived from the seed (target-side) corpus alone — the only
+    * population that exists at index-build time — and arriving source
+    * batches flow through statelessly: probe `nprobe` nearest clusters,
+    * join the capped seed lists, score, mine.
+    *
+    * The one semantic shift from the whole-corpus form, and it is the
+    * point: seed y's margin denominator avgₖNN(y) is computed over y's
+    * k nearest OTHER SEEDS in its cluster (a build-time artifact the
+    * index ships), not over the arriving sources — so per-source
+    * decisions depend ONLY on (x, the frozen index), which is exactly
+    * what makes the output micro-batch composable: mining two batches
+    * separately equals mining their union (spec-pinned), and
+    * [[streamingMarginMineIngest]] runs it per micro-batch with no
+    * state store. Whole-corpus [[marginMinedPairs]] remains the offline
+    * compaction form whose denominator adapts to the source
+    * distribution. A seed alone in its cluster has no within-index
+    * neighborhood — no calibrated hubness — and is never mined (the
+    * stats join is inner, the analog of the whole-corpus form's
+    * non-positive-denominator rule).
+    *
+    * Same integer-exact decision path as [[marginMinedPairs]] (6dp
+    * cosines, integer neighborhood sums, ONE double division), so an
+    * external oracle replays the seed-side derivation end-to-end
+    * hash-exactly. Output: forward-best pair per source vector
+    * (margin desc, cos desc, seed id asc): (src_id, tgt_id, cos,
+    * margin).
+    */
+  def marginMineAgainstSeeds(seeds: DataFrame, batch: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int = 4,
+      threshold: Double = 1.02, maxBucketSize: Int = 10000,
+      nprobe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val sd = assignBuckets(seeds, centroids, idCol, vecCol)
+      .withColumn("_csize", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("_csize") <= maxBucketSize)
+      .select(col("bucket"), col(idCol).as("yid"), col(vecCol).as("yv"),
+        l2Norm(col(vecCol)).as("yn"))
+    // build-time seed-side hubness: top-k same-cluster seed neighbors
+    // per seed — quadratic only in the largest seed cluster (the same
+    // bound every within-cluster family carries), computed once per
+    // index build and reused by every batch
+    val within = sd.join(
+        sd.select(col("bucket"), col("yid").as("sid"),
+          col("yv").as("sv"), col("yn").as("sn")),
+        Seq("bucket"))
+      .filter(col("yid") =!= col("sid"))
+      .select(col("yid"),
+        when(col("yn") === 0.0 || col("sn") === 0.0, lit(0.0))
+          .otherwise(dot(col("yv"), col("sv")) / (col("yn") * col("sn")))
+          .as("_cos"), col("sid"))
+      .select(col("yid"), round(col("_cos") * 1e6).cast("long").as("c6"),
+        col("sid"))
+      .withColumn("_rn", row_number().over(Window.partitionBy("yid")
+        .orderBy(col("c6").desc, col("sid").asc)))
+      .filter(col("_rn") <= k)
+      .groupBy(col("yid"))
+      .agg(sum(col("c6")).as("sy"), count(lit(1)).as("ny"))
+    val xs =
+      if (nprobe == 1 || centroids.isEmpty)
+        assignBuckets(batch, centroids, idCol, vecCol)
+          .select(col("bucket"), col(idCol).as("xid"),
+            col(vecCol).as("xv"), l2Norm(col(vecCol)).as("xn"))
+      else {
+        // sources probe their nprobe nearest clusters, restricted to
+        // buckets that survived the seed-side cap (the cap drops
+        // degenerate seed CLUSTERS, measured by seed membership)
+        val okBuckets = sd.select(col("bucket")).distinct()
+        batch
+          .withColumn("bucket",
+            explode(nearestCentroidCol(centroids, col(vecCol), nprobe,
+              tiesLarger = true)))
+          .join(okBuckets, Seq("bucket"), "left_semi")
+          .select(col("bucket"), col(idCol).as("xid"),
+            col(vecCol).as("xv"), l2Norm(col(vecCol)).as("xn"))
+      }
+    val scored = xs.join(sd, Seq("bucket"))
+      .withColumn("_cos",
+        when(col("xn") === 0.0 || col("yn") === 0.0, lit(0.0))
+          .otherwise(dot(col("xv"), col("yv")) / (col("xn") * col("yn"))))
+      .select(col("xid"), col("yid"),
+        round(col("_cos") * 1e6).cast("long").as("c6"))
+    val topx = scored
+      .withColumn("_rn", row_number().over(Window.partitionBy("xid")
+        .orderBy(col("c6").desc, col("yid").asc)))
+      .filter(col("_rn") <= k)
+      .groupBy(col("xid"))
+      .agg(sum(col("c6")).as("sx"), count(lit(1)).as("nx"))
+    scored
+      .join(topx, Seq("xid"))
+      .join(within, Seq("yid"))
+      .withColumn("_den", col("sx") * col("ny") + col("sy") * col("nx"))
+      .filter(col("_den") > 0)
+      .withColumn("margin",
+        round((lit(2) * col("c6") * col("nx") * col("ny"))
+          .cast("double") / col("_den").cast("double"), 6))
+      .filter(col("margin") >= threshold)
+      .withColumn("_rn", row_number().over(Window.partitionBy("xid")
+        .orderBy(col("margin").desc, col("c6").desc, col("yid").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("xid").as("src_id"), col("yid").as("tgt_id"),
+        (col("c6").cast("double") / 1e6).as("cos"), col("margin"))
+  }
+
+  /** Streaming half of frozen-index mining: each arriving micro-batch
+    * of source vectors is mined against the fixed seed index by
+    * [[marginMineAgainstSeeds]] inside `foreachBatch` — correct per
+    * batch because per-source decisions read only the seed index
+    * (micro-batch composability, spec-pinned), idempotent under
+    * at-least-once replay via the same batchId-partitioned
+    * dynamic-overwrite sink as [[streamingKnnLabelIngest]]. Centroids
+    * and seeds stay fixed for the stream's lifetime (the IVF contract:
+    * re-seed/re-bucket is an offline compaction).
+    */
+  def streamingMarginMineIngest(batches: DataFrame, seeds: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], path: String, checkpoint: String,
+      k: Int = 4, threshold: Double = 1.02, maxBucketSize: Int = 10000,
+      nprobe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        marginMineAgainstSeeds(seeds, b, centroids, k, threshold,
+            maxBucketSize, nprobe, idCol, vecCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
     * vector that is the larger-id member of a within-cluster pair at or
     * above `threshold` (compose with `Dedup.dropByComponents` for the

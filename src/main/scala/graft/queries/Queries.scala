@@ -2328,6 +2328,29 @@ object Queries {
       emb.filter(col("vec_id") % 3 =!= 0), centroids)
   }
 
+  /** Frozen-index margin mining
+    * ([[graft.ext.Similarity.marginMineAgainstSeeds]]): q154's mining
+    * decisions restructured around a FIXED seed-side index — quantizer
+    * (derived ⌈√Nseeds⌉ from the label-1 slice), degenerate-cluster cap,
+    * AND the seed-side hubness statistics (each seed's top-4
+    * same-cluster seed neighbors, a build-time artifact the index
+    * ships) all derive from the seed corpus alone, so arriving label-0
+    * source batches are mined statelessly at nprobe=2 and the output is
+    * micro-batch composable (spec-pinned; the shape
+    * [[graft.ext.Similarity.streamingMarginMineIngest]] runs per
+    * micro-batch). The q133→q135→q159 deployment move applied to
+    * mining: q154 audits the whole-corpus compaction, this audits the
+    * serving path.
+    */
+  def q160MarginMiningIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val seeds = emb.filter(col("label") === 1)
+    val centroids = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(seeds.count()).nlist)
+    Similarity.marginMineAgainstSeeds(seeds, emb.filter(col("label") === 0),
+      centroids, nprobe = 2)
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2486,7 +2509,8 @@ object Queries {
     "q156_knn_recall" -> (q156KnnRecall _),
     "q157_knn_labels_multiprobe" -> (q157KnnLabelsMultiprobe _),
     "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _),
-    "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _))
+    "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _),
+    "q160_margin_mining_ingest" -> (q160MarginMiningIngest _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3356,6 +3380,102 @@ GROUP BY d.source"""
              ORDER BY votes DESC, best DESC, slabel ASC) AS rk
            FROM vt) v
          JOIN nn USING (vec_id) WHERE v.rk = 1""",
+    // q160: frozen-index margin mining — the full seed-side derivation
+    // replayed end-to-end: seed-slice centroids (q159's idiom), home
+    // assignment with ties to the larger cid, the seed-membership cap,
+    // WITHIN-SEED top-4 hubness stats (the build-time artifact), then
+    // the batch side probing its top-2 centroids (q157's idiom) and the
+    // q154 margin tail over integer-exact operands
+    "q160_margin_mining_ingest" ->
+      """WITH sl AS (
+           SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+         cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             embedding
+           FROM sl
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+             LEAST(65536, GREATEST(1,
+               CAST(ceil(sqrt((SELECT COUNT(*) FROM sl))) AS BIGINT)))),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM cent),
+         sn0 AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE label = 1),
+         xb AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE label = 0),
+         sasg AS (
+           SELECT s.vec_id, s.embedding, s.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN s.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(s.embedding)+1), k ->
+                              CAST(s.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (s.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM sn0 s),
+         sd AS (
+           SELECT bucket, vec_id AS yid, embedding AS yv, nrm AS yn
+           FROM sasg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         okb AS (SELECT DISTINCT bucket FROM sd),
+         wsc AS (
+           SELECT a.yid, b.yid AS sid,
+             CAST(ROUND(CASE WHEN a.yn * b.yn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(a.yv)+1), k ->
+                      CAST(a.yv[k] AS DOUBLE) * CAST(b.yv[k] AS DOUBLE)))
+                    / (a.yn * b.yn) END * 1000000) AS BIGINT) AS c6
+           FROM sd a JOIN sd b ON a.bucket = b.bucket AND a.yid <> b.yid),
+         ws AS (
+           SELECT yid, SUM(c6) AS sy, COUNT(*) AS ny FROM (
+             SELECT yid, c6,
+               ROW_NUMBER() OVER (PARTITION BY yid
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM wsc) WHERE rn <= 4 GROUP BY yid),
+         tp AS (
+           SELECT xid, xv, xn, bucket FROM (
+             SELECT e.vec_id AS xid, e.embedding AS xv, e.nrm AS xn,
+               c.cid AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE)))
+                           / (e.nrm * c.nrm) END DESC,
+                 c.cid DESC) AS rn
+             FROM xb e CROSS JOIN cn c)
+           WHERE rn <= 2),
+         xs AS (
+           SELECT t.xid, t.xv, t.xn, t.bucket
+           FROM tp t JOIN okb USING (bucket)),
+         sc AS (
+           SELECT x.xid, s.yid,
+             CAST(ROUND(CASE WHEN x.xn * s.yn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(x.xv)+1), k ->
+                      CAST(x.xv[k] AS DOUBLE) * CAST(s.yv[k] AS DOUBLE)))
+                    / (x.xn * s.yn) END * 1000000) AS BIGINT) AS c6
+           FROM xs x JOIN sd s ON x.bucket = s.bucket),
+         tx AS (
+           SELECT xid, SUM(c6) AS sx, COUNT(*) AS nx FROM (
+             SELECT xid, c6,
+               ROW_NUMBER() OVER (PARTITION BY xid
+                 ORDER BY c6 DESC, yid ASC) AS rn
+             FROM sc) WHERE rn <= 4 GROUP BY xid),
+         mg AS (
+           SELECT s.xid, s.yid, s.c6,
+             t1.sx * t2.ny + t2.sy * t1.nx AS den,
+             ROUND(CAST(2 * s.c6 * t1.nx * t2.ny AS DOUBLE)
+               / CAST(t1.sx * t2.ny + t2.sy * t1.nx AS DOUBLE), 6) AS margin
+           FROM sc s JOIN tx t1 USING (xid) JOIN ws t2 USING (yid))
+         SELECT xid AS src_id, yid AS tgt_id,
+           CAST(c6 AS DOUBLE) / 1000000.0 AS cos, margin
+         FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+             ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
+           FROM mg WHERE den > 0 AND margin >= 1.02)
+         WHERE rn = 1""",
     // q158: the q132 search on the EXACT-LLOYD k-means quantizer — two
     // Lloyd rounds replayed in SQL via 6dp fixed-point integer sums
     // (order-independent, hash-exact), then the shared probe/annres tail

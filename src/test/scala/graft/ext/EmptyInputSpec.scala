@@ -91,6 +91,13 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(Similarity.knnLabelPropagation(emptyLbl,
       isSeed = col("vec_id") % 3 === 0, nprobe = 2).count() == 0)
     assert(Similarity.marginMinedPairs(emptyLbl, 0, 1, nprobe = 2).count() == 0)
+    // frozen-index mining: empty seed side, empty batch side, no centroids
+    assert(Similarity.marginMineAgainstSeeds(emptyLbl, lbl,
+      Seq(0 -> Seq(1f, 0f)), nprobe = 2).count() == 0)
+    assert(Similarity.marginMineAgainstSeeds(lbl, emptyLbl,
+      Seq(0 -> Seq(1f, 0f)), nprobe = 2).count() == 0)
+    assert(Similarity.marginMineAgainstSeeds(lbl, lbl, Seq.empty,
+      nprobe = 2).count() == 0)
   }
 
   test("round-4 second-half operators on empty inputs") {

@@ -1068,6 +1068,85 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("frozen-index margin mining: micro-batch composable, seed stats " +
+      "batch-independent, streaming sink idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // seed index: tight clusters around the x and y axes, plus seed 0
+    // ALONE on the z axis — with ⌈√6⌉ = 3 smallest-id sample centroids
+    // (z, ax, ay) it is its own cluster's only member: no within-index
+    // neighbor, no calibrated hubness, never mined against
+    val seeds = ((1L until 5L).map(i =>
+      (i, vec(if (i % 2 == 1) ax else ay, 0.1f, i.toInt), 1)) :+
+      (0L, Seq(0f, 0f, 1f, 0f), 1) :+
+      (5L, vec(ax, 0.1f, 5), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(6).nlist)
+    val home = Similarity.assignBuckets(seeds, cents)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(home.count(_._2 == home(0L)) == 1, s"fixture: seed 0 must be alone: $home")
+    val batch = Seq(
+      (100L, vec(ax, 0.05f, 50), 0),
+      (101L, vec(ay, 0.05f, 51), 0),
+      (102L, vec(ax, 0.08f, 52), 0),
+      (103L, Seq(0f, 0.05f, 0.999f, 0f), 0) // best cosine = the singleton
+    ).toDF("vec_id", "embedding", "label")
+    val mine = (b: org.apache.spark.sql.DataFrame) =>
+      Similarity.marginMineAgainstSeeds(seeds, b, cents, k = 2,
+        threshold = 0.0, nprobe = 2)
+    val whole = mine(batch).collect().map(_.toSeq).toSet
+    assert(whole.nonEmpty)
+    // the singleton seed is never a tgt_id — not even for source 103,
+    // whose raw-cosine best IT is: no hubness stats, no mining (the
+    // stats join is inner, the frozen analog of den > 0)
+    assert(!whole.exists(_(1) == 0L), s"singleton seed mined: $whole")
+    // micro-batch composability: per-source decisions read only the
+    // frozen index, so mining two slices separately equals their union
+    val split =
+      mine(batch.filter(col("vec_id") < 102)).collect().map(_.toSeq).toSet ++
+      mine(batch.filter(col("vec_id") >= 102)).collect().map(_.toSeq).toSet
+    assert(split == whole, s"split=$split whole=$whole")
+    // nprobe=1 takes the home-assignment path and is composable too
+    val one = Similarity.marginMineAgainstSeeds(seeds, batch, cents,
+      k = 2, threshold = 0.0, nprobe = 1).collect().map(_.toSeq).toSet
+    val oneSplit =
+      Similarity.marginMineAgainstSeeds(seeds,
+        batch.filter(col("vec_id") % 2 === 0), cents, k = 2,
+        threshold = 0.0).collect().map(_.toSeq).toSet ++
+      Similarity.marginMineAgainstSeeds(seeds,
+        batch.filter(col("vec_id") % 2 =!= 0), cents, k = 2,
+        threshold = 0.0).collect().map(_.toSeq).toSet
+    assert(oneSplit == one, s"nprobe=1 split=$oneSplit whole=$one")
+    // streaming: foreachBatch mines each micro-batch against the frozen
+    // index; the accumulated table equals the batch-form union, and an
+    // at-least-once REPLAY of a micro-batch overwrites its own batchId
+    // partition instead of appending duplicates
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val out = java.nio.file.Files.createTempDirectory("graft-mmine").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mmine-ck").toString
+    val q = Similarity.streamingMarginMineIngest(
+      input.toDF().toDF("vec_id", "embedding", "label"),
+      seeds, cents, out, ckpt, k = 2, threshold = 0.0, nprobe = 2)
+    try {
+      input.addData((100L, vec(ax, 0.05f, 50), 0), (101L, vec(ay, 0.05f, 51), 0))
+      q.processAllAvailable()
+      input.addData((102L, vec(ax, 0.08f, 52), 0), (103L, Seq(0f, 0.05f, 0.999f, 0f), 0))
+      q.processAllAvailable()
+      val table = spark.read.parquet(out)
+      assert(table.drop("batch_id").collect().map(_.toSeq).toSet == whole)
+      mine(batch.filter(col("vec_id") >= 102))
+        .withColumn("batch_id", lit(1L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+      val replayed = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(replayed == whole, s"replay must be idempotent: $replayed")
+    } finally q.stop()
+  }
+
   test("multi-probe margin mining is a candidate superset at nprobe=1 parity") {
     val labeled = embeddings.withColumn("label",
       when(col("vec_id") % 2 === 0, 0).otherwise(1))
