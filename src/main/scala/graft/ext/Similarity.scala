@@ -63,6 +63,69 @@ object Similarity {
     IndexParams(nlist, planes = 64, bands = bands)
   }
 
+  /** Measured (corpus size → nprobe → recall) operating grid for the
+    * cluster-bounded propagation/mining family at the derived ⌈√N⌉
+    * sizing — the committed `tools/RecallCompare` sweep on the
+    * planted-cluster fixture (recall_compare_r13.json, the
+    * `propagation_q156` column; the driver's uniform-random fixture is
+    * a recall floor by construction and is NOT represented here).
+    * Rows are (corpus size, (nprobe → measured avg recall@5)).
+    */
+  private[graft] val propagationRecallGrid: Seq[(Long, Seq[(Int, Double)])] =
+    Seq(
+      2000L -> Seq(1 -> 0.588, 3 -> 0.834, 8 -> 0.923),
+      60000L -> Seq(1 -> 0.353, 3 -> 0.529, 8 -> 0.669),
+      200000L -> Seq(1 -> 0.292, 3 -> 0.441, 8 -> 0.603))
+
+  /** Ceiling on what [[nprobeFor]] will prescribe — past this the
+    * answer is "re-size the index", not "probe half of it": probing
+    * more than ~64 of √N lists erodes the entire IVF cost advantage.
+    */
+  val maxDerivedNprobe: Int = 64
+
+  /** The smallest `nprobe` whose MEASURED recall meets `targetRecall`
+    * at corpus size `n` — the operating-point rule the recall grid
+    * exists to support, replacing hand-picked nprobe constants.
+    *
+    * Selection is pessimistic-by-scale: the grid row with the smallest
+    * measured size ≥ n answers (recall falls as the corpus grows at
+    * the derived ⌈√N⌉ sizing, so rounding the scale UP never
+    * overpromises); beyond the largest measured row the largest row
+    * answers — with the caveat that the prescription is then an
+    * extrapolation and a fresh `tools/RecallCompare` sweep at the
+    * deployment scale is the real answer. Within a row, the smallest
+    * measured nprobe meeting the target wins; past the row's largest
+    * measured nprobe the measured deficit power law extends it:
+    * deficit(nprobe) ≈ d₁·nprobe^(-γ) with γ fit from the row's
+    * endpoints (the grid's curves are near-log-linear in deficit —
+    * e.g. 0.708/0.559/0.397 at 200k), clamped to [[maxDerivedNprobe]].
+    *
+    * The grid's min_recall = 0.0 entries are quantified by
+    * `tools/RecallCompare`'s `zero_frac` output: a zero-recall probe is
+    * (with no bucket cap binding, which the tool also reports) exactly
+    * the cluster-boundary case — ALL of the target's true neighbors
+    * live outside its probed buckets — the failure mode raising nprobe
+    * is for.
+    */
+  def nprobeFor(targetRecall: Double, n: Long): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(n >= 0, s"corpus size must be >= 0, got $n")
+    val row = propagationRecallGrid.find(_._1 >= n)
+      .getOrElse(propagationRecallGrid.last)._2
+    row.find(_._2 >= targetRecall) match {
+      case Some((np, _)) => np
+      case None =>
+        val (np1, r1) = row.head
+        val (npK, rK) = row.last
+        val gamma = math.log((1.0 - r1) / (1.0 - rK)) /
+          math.log(npK.toDouble / np1)
+        val need = math.pow((1.0 - r1) / (1.0 - targetRecall), 1.0 / gamma)
+        math.min(maxDerivedNprobe,
+          math.max(npK + 1, math.ceil(need).toInt))
+    }
+  }
+
   /** Dot product of two float-array columns, accumulated in double.
     * Native codegen'd expression (graft.functions.DotProductF) — a tight
     * primitive loop inside whole-stage codegen, no per-element lambda cost.

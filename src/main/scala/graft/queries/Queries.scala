@@ -2267,20 +2267,30 @@ object Queries {
       isSeed = col("vec_id") % 3 === 0, maxProbes = 256)
 
   /** Multi-probe kNN label propagation
-    * ([[graft.ext.Similarity.knnLabelPropagation]] at nprobe=2): the
-    * q155 workload with each TARGET probing its 2 nearest clusters
-    * (seeds stay home-assigned — the IVF index/query split), recovering
-    * seed neighbors across cluster boundaries that single-probe
-    * bounding misses (q156 measures exactly that gap). Candidates stay
-    * cluster-bounded — the quadratic term doubles, never reverts to
-    * seeds×corpus — and each (target, seed) pair still forms at most
-    * once, so the decision path (integer votes, 6dp cosines, best-cosine
-    * tie-break) is unchanged and the oracle replays it hash-exactly with
-    * a top-2 probe CTE.
+    * ([[graft.ext.Similarity.knnLabelPropagation]]): the q155 workload
+    * with each TARGET probing its `nprobe` nearest clusters (seeds stay
+    * home-assigned — the IVF index/query split), recovering seed
+    * neighbors across cluster boundaries that single-probe bounding
+    * misses (q156 measures exactly that gap). The operating point is no
+    * longer a hand-picked constant: `nprobe =
+    * [[graft.ext.Similarity.nprobeFor]](0.8, 2000)` = 3 — the smallest
+    * probe count whose MEASURED propagation recall meets 0.8 on the
+    * committed `tools/RecallCompare` grid at its 1× audited scale
+    * (0.834 at nprobe 3 vs 0.588 at 1). The sizing argument is pinned
+    * to that audited scale (not the runtime corpus) so the derived
+    * constant — and with it the static oracle and cross-scale sweep
+    * comparability — stays fixed; re-deriving at a deployment scale is
+    * a fresh RecallCompare sweep plus a re-registration, by design.
+    * Candidates stay cluster-bounded — the quadratic term triples,
+    * never reverts to seeds×corpus — and each (target, seed) pair
+    * still forms at most once, so the decision path (integer votes,
+    * 6dp cosines, best-cosine tie-break) is unchanged and the oracle
+    * replays it hash-exactly with a top-3 probe CTE.
     */
   def q157KnnLabelsMultiprobe(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelPropagation(Tables.load(spark, dir, "embeddings"),
-      isSeed = col("vec_id") % 3 === 0, nprobe = 2)
+      isSeed = col("vec_id") % 3 === 0,
+      nprobe = Similarity.nprobeFor(targetRecall = 0.8, n = 2000L))
 
   /** Batched IVF search on the K-MEANS quantizer
     * ([[graft.ext.Similarity.kmeansCentroidsExact]], 2 Lloyd rounds) —
@@ -3266,7 +3276,8 @@ GROUP BY d.source"""
          FROM exact e LEFT JOIN knn k
            ON e.vec_id = k.vec_id AND e.sid = k.sid
          GROUP BY 1"""),
-    // q157: the q155 chain with targets probing their TOP-2 clusters
+    // q157: the q155 chain with targets probing their TOP-3 clusters —
+    // 3 = nprobeFor(0.8, 2000), the grid-derived operating point —
     // (sim desc, ties to the larger cid — the kernel's multi-probe
     // order); seeds stay home-assigned, probe rows restricted to
     // cap-surviving buckets, decision path identical to q155
@@ -3291,7 +3302,7 @@ GROUP BY d.source"""
                            / (e.nrm * c.nrm) END DESC,
                  c.cid DESC) AS rn
              FROM en e CROSS JOIN cn c WHERE e.vec_id % 3 <> 0)
-           WHERE rn <= 2),
+           WHERE rn <= 3),
          tg AS (
            SELECT t.vec_id, t.tv, t.tn, t.bucket
            FROM tp t JOIN okb USING (bucket)),

@@ -67,6 +67,13 @@ object RecallCompare {
           iters = 1),
         "kmeans_exact2" -> Similarity.kmeansCentroidsExact(emb, nlist,
           iters = 2))
+      // is the 10000-row degenerate-cluster cap binding on this
+      // fixture? (nprobe-independent — the propagation audit drops
+      // buckets by TOTAL membership over its derived quantizer)
+      val cappedBuckets = Similarity.assignBuckets(emb,
+          Similarity.sampleCentroids(emb, nlist))
+        .groupBy(col("bucket")).count()
+        .filter(col("count") > 10000).count()
       for (np <- nprobes) {
         val audits = variants.map { case (name, cents) =>
           val r = Similarity.ivfBatchRecallAudit(
@@ -80,19 +87,31 @@ object RecallCompare {
         require(counts.size == 1,
           s"audited counts diverged across quantizers: $audits")
         // q156's shape on this dir at this nprobe (its own derived
-        // seed-sample quantizer — the graded form)
+        // seed-sample quantizer — the graded form). zero_frac
+        // quantifies the grid's min_recall = 0.0 rows: the fraction of
+        // audited targets recovering NONE of their exact top-5. With
+        // capped_buckets = 0 (reported below) a zero-recall target is
+        // by construction the pure cluster-boundary case — every true
+        // neighbor lives outside its probed buckets — i.e. exactly the
+        // failure mode raising nprobe is for (no hits are lost to the
+        // candidate cut: a true top-k seed in a probed bucket always
+        // survives it, since only other true top-k members outrank it).
         val prop = Similarity.knnPropagationRecallAudit(emb,
             isSeed = col("vec_id") % 3 === 0, nprobe = np,
             maxProbes = 256)
-          .agg(avg(col("recall")), min(col("recall")))
+          .agg(avg(col("recall")), min(col("recall")),
+            (sum(when(col("recall") === 0.0, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("zf"))
           .head()
         val body = audits.map { case (name, _, a, m) =>
           f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f}"""
         }.mkString(",")
         println(s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
-          s""""nprobe":$np,"audited":${counts.head},$body,""" +
+          s""""nprobe":$np,"audited":${counts.head},""" +
+          s""""capped_buckets":$cappedBuckets,$body,""" +
           f""""propagation_q156":{"avg_recall":${prop.getDouble(0)}%.6f,""" +
-          f""""min_recall":${prop.getDouble(1)}%.6f}}""")
+          f""""min_recall":${prop.getDouble(1)}%.6f,""" +
+          f""""zero_frac":${prop.getDouble(2)}%.6f}}""")
       }
     }
     spark.stop()

@@ -1068,6 +1068,30 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nprobeFor: smallest measured nprobe meeting the target, pessimistic by scale") {
+    // grid lookups at the 1× audited scale (2000 vectors)
+    assert(Similarity.nprobeFor(0.5, 2000L) == 1)  // 0.588 >= 0.5
+    assert(Similarity.nprobeFor(0.8, 2000L) == 3)  // 0.834 >= 0.8 — q157's derived constant
+    assert(Similarity.nprobeFor(0.9, 2000L) == 8)  // 0.923 >= 0.9
+    // smaller corpora answer from the smallest measured row
+    assert(Similarity.nprobeFor(0.8, 500L) == 3)
+    // pessimistic: scale rounds UP to the next measured row (recall
+    // falls with corpus size at the derived sizing)
+    assert(Similarity.nprobeFor(0.5, 10000L) == 3)   // 60k row: 0.529
+    assert(Similarity.nprobeFor(0.5, 100000L) == 8)  // 200k row: 0.603
+    // beyond the largest measured row, the largest row answers
+    assert(Similarity.nprobeFor(0.44, 1000000L) == 3) // 200k row: 0.441
+    // past the row's measured nprobes: power-law extrapolation of the
+    // deficit, strictly above the last measured point, monotone in the
+    // target, clamped at maxDerivedNprobe
+    val a = Similarity.nprobeFor(0.7, 200000L)
+    val b = Similarity.nprobeFor(0.8, 200000L)
+    assert(a > 8 && b >= a && b <= Similarity.maxDerivedNprobe, s"a=$a b=$b")
+    assert(Similarity.nprobeFor(0.999, 200000L) == Similarity.maxDerivedNprobe)
+    intercept[IllegalArgumentException](Similarity.nprobeFor(1.0, 100L))
+    intercept[IllegalArgumentException](Similarity.nprobeFor(0.0, 100L))
+  }
+
   test("frozen-index margin mining: micro-batch composable, seed stats " +
       "batch-independent, streaming sink idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
