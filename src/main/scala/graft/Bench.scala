@@ -56,7 +56,12 @@ object Bench {
     val results = names.flatMap { case (name, _) =>
       times.get(name).filter(_.nonEmpty).map { good =>
         errors.remove(name)
-        (name, good.min, good.max - good.min)
+        // min = the score (least ambient interference); median = the
+        // robustness check the round-over-round comparison reads when
+        // min looks like a lucky outlier; max-min = the spread that
+        // says whether a sub-10% delta is signal or weather
+        val sorted = good.sorted
+        (name, good.min, sorted(sorted.size / 2), good.max - good.min)
       }
     }
     // 3-decimal rounding keeps the full-map queries line compact, and the
@@ -66,9 +71,11 @@ object Bench {
     // (BENCH_r04 tail started mid-map). JSON objects are unordered, so any
     // real parser sees the identical record.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r3(s) }
+    val medians = results.map { case (k, _, m, _) => s"\"" + k + "\":" + r3(m) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, _, s) => s"\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
@@ -76,7 +83,8 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"spread":$spreads,"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
+    val medianTotal = results.map(_._3).sum
+    val line = s"""{"spread":$spreads,"median":$medians,"median_total":${r3(medianTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
     println(line)
     // Self-contained artifact: the driver log keeps only a tail of stdout
     // (BENCH_r04's truncation lost 50 of 101 per-query times for the next

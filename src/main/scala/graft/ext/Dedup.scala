@@ -103,6 +103,15 @@ object Dedup {
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val b = lshBands(docs, textCol, idCol, k, bands, shingleN)
+    // bucket cap as a count WINDOW, not aggregate + anti-join (the q94
+    // guard shape): measured head-to-head at 30×/100× (round 14, warm
+    // min-of-2, bench heap), the window wins here — q95 3.2/4.3 s vs
+    // 4.4/7.6, q124 3.4/4.4 s vs 3.9/7.3 — because the anti-join form
+    // re-evaluates `b`'s lineage (the full MinHash banding, md5 per
+    // shingle) on both the count and probe sides, while the window's
+    // one exchange+sort is also exactly the partitioning the bucket
+    // self-join below reuses. q94's trade went the other way because
+    // its recomputed explode is hash-free.
     val sized = b
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -301,11 +310,17 @@ object Dedup {
     * window over the shingle-partitioned posting stream: ONE exchange
     * hash(shingle) feeds everything downstream — the window's sort is exactly the sort the
     * pair self-join needs, so Spark reuses the exchange and elides
-    * re-sorting on both join sides. Two measured alternatives lose: a
-    * groupBy-df keep-list join pays a second full sort-merge of the
-    * postings per self-join side (2–3× at 30×), and a collect_list pair
-    * generator drops out of whole-stage codegen into ObjectHashAggregate
-    * (2× at every scale). A degenerate mega-shingle materializes its
+    * re-sorting on both join sides. Measured alternatives lose: the
+    * round-14 head-to-head (warm min-of-2, bench heap) re-ran the
+    * aggregate + anti/semi-join restructure (hot-shingle keep-list,
+    * capped stats via semi-join, sz off the shingle array) now that
+    * posting keys are 8-byte longs — it wins q84 at 30× (15.5 vs
+    * 20.9 s) but INVERTS at 100× (q84 30.4 vs 24.2 s, q92 29.8 vs
+    * 24.1): its three evaluations of the posting lineage re-pay the
+    * per-shingle md5 with data volume, while the window's single sort
+    * rides the splittable layout's parallelism. A collect_list pair
+    * generator also loses — it drops out of whole-stage codegen into
+    * ObjectHashAggregate (2× at every scale). A degenerate mega-shingle materializes its
     * window partition before the cap filter drops it, but WindowExec
     * spills — bounded memory either way. Postings carry the shingle as a
     * portable 60-bit md5 long (the same replayable

@@ -73,6 +73,13 @@ object IncrLinearityProbe {
       d.withColumn("_i", explode(sequence(lit(0), lit(n - 1))))
         .withColumn("doc_id", col("doc_id") + col("_i") * lit(span))
         .drop("_i")
+        // match the replicas' SPLITTABLE layout (min(n, 256) files since
+        // the round-13 ScaleGen fix): without this the verbatim frame
+        // inherits the single-file base's one partition and the probe
+        // re-creates the serial-scan artifact it exists to factor out —
+        // the first splittable-replica re-run measured fixedVocab 6.9×
+        // SLOWER than the translated replica at 100× from exactly this
+        .repartition(math.min(n * 8, 256))
         .localCheckpoint() // exclude the replication itself from timing
     }
     for ((tag, df) <- Seq("base" -> docs(base), "30x" -> verbatim(30),
