@@ -2361,6 +2361,30 @@ object Queries {
       centroids, nprobe = 2)
   }
 
+  /** Rank-quantile z-order key over a WIDE integral domain — q102's
+    * layout key where one dimension is a surrogate key spread past
+    * 2^53 (`(l_orderkey mod 2^22)·2^40 + l_partkey` — the composite-id
+    * shape real fact tables carry), the domain where the broadcast
+    * form's former double-cast boundary probe silently merged adjacent
+    * keys (double's 53-bit mantissa rounds ~2^62 values to multiples
+    * of 2^9, collapsing partkey deltas below 512). The round-14
+    * long-typed boundary kernel (`sorted_bucket_of_long`, see
+    * `Layout.broadcastBucketCol`) keeps the join-free layout path
+    * exact over the full 64-bit range; the oracle replays the
+    * equi-depth histogram ranking in exact BIGINT arithmetic, so any
+    * precision loss in the engine's probe would hash-mismatch.
+    */
+  def q161ZorderQuantileWide(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_orderkey") % lit(1L << 22)) * lit(1L << 40)
+          + col("l_partkey")).as("wide_key"),
+        col("l_suppkey"))
+    graft.sources.Layout.withZorderKeyQuantile(df, "wide_key", "l_suppkey",
+      bits = 5, zCol = "zq")
+      .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2520,7 +2544,8 @@ object Queries {
     "q157_knn_labels_multiprobe" -> (q157KnnLabelsMultiprobe _),
     "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _),
     "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _),
-    "q160_margin_mining_ingest" -> (q160MarginMiningIngest _))
+    "q160_margin_mining_ingest" -> (q160MarginMiningIngest _),
+    "q161_zorder_quantile_wide" -> (q161ZorderQuantileWide _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -4497,6 +4522,34 @@ GROUP BY d.source"""
          FROM lineitem l
          JOIN qx ON l.l_extendedprice = qx.v
          JOIN qy ON l.l_partkey = qy.v""",
+    // q161: q102's rank-quantile z-order with the x dimension a
+    // composite surrogate key past 2^53 — the oracle ranks the wide
+    // key in exact BIGINT arithmetic (DuckDB), so a double-precision
+    // boundary probe engine-side would mis-bucket and hash-mismatch
+    "q161_zorder_quantile_wide" ->
+      """WITH base AS (
+           SELECT l_orderkey, l_linenumber,
+             (l_orderkey % 4194304) * 1099511627776 + l_partkey AS wkey,
+             l_suppkey
+           FROM lineitem),
+         tot AS (SELECT COUNT(*) AS n FROM base),
+         hx AS (SELECT wkey AS v, COUNT(*) AS c FROM base GROUP BY 1),
+         qx AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 32) // (SELECT n FROM tot) AS b FROM hx),
+         hy AS (SELECT l_suppkey AS v, COUNT(*) AS c FROM base GROUP BY 1),
+         qy AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 32) // (SELECT n FROM tot) AS b FROM hy)
+         SELECT l.l_orderkey, l.l_linenumber,
+           CAST(list_sum(list_transform(range(0, 5), i ->
+             (qx.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i) AS BIGINT) +
+             (qy.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zq
+         FROM base l
+         JOIN qx ON l.wkey = qx.v
+         JOIN qy ON l.l_suppkey = qy.v""",
     "q103_substring_pairs" ->
       """WITH g AS (
            SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
