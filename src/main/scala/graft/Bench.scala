@@ -57,11 +57,18 @@ object Bench {
       times.get(name).filter(_.nonEmpty).map { good =>
         errors.remove(name)
         // min = the score (least ambient interference); median = the
-        // robustness check the round-over-round comparison reads when
-        // min looks like a lucky outlier; max-min = the spread that
-        // says whether a sub-10% delta is signal or weather
+        // warm-stable number ROUND-OVER-ROUND regression adjudication
+        // compares (policy since r15: medians compare like to like across
+        // rounds, min stays the headline score); max-min = the spread
+        // that says whether a sub-10% delta is signal or weather. For
+        // even sample counts the median averages the two middle elements
+        // — under the 2-pass sweep cadence sorted(size/2) was just the
+        // slower run, overstating the robustness signal.
         val sorted = good.sorted
-        (name, good.min, sorted(sorted.size / 2), good.max - good.min)
+        val med =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        (name, good.min, med, good.max - good.min)
       }
     }
     // 3-decimal rounding keeps the full-map queries line compact, and the

@@ -72,10 +72,36 @@ object Similarity {
     * Rows are (corpus size, (nprobe → measured avg recall@5)).
     */
   private[graft] val propagationRecallGrid: Seq[(Long, Seq[(Int, Double)])] =
-    Seq(
+    validateRecallGrid("propagation", Seq(
       2000L -> Seq(1 -> 0.588, 3 -> 0.834, 8 -> 0.923),
       60000L -> Seq(1 -> 0.353, 3 -> 0.529, 8 -> 0.669),
-      200000L -> Seq(1 -> 0.292, 3 -> 0.441, 8 -> 0.603))
+      200000L -> Seq(1 -> 0.292, 3 -> 0.441, 8 -> 0.603)))
+
+  /** Shape invariants the [[nprobeFor]] deficit power law needs, checked
+    * once at grid definition: ≥ 2 entries per row (gamma is fit from the
+    * row's endpoints — a single entry divides by log(1) = 0), strictly
+    * increasing nprobe, strictly increasing recall in (0, 1) (a
+    * non-monotone or saturated row yields a negative/undefined gamma and
+    * a silently nonsensical prescription), and ascending row sizes (the
+    * pessimistic-by-scale lookup scans for the first size ≥ n).
+    */
+  private[graft] def validateRecallGrid(name: String,
+      grid: Seq[(Long, Seq[(Int, Double)])]): Seq[(Long, Seq[(Int, Double)])] = {
+    require(grid.nonEmpty, s"$name recall grid is empty")
+    require(grid.map(_._1) == grid.map(_._1).sorted.distinct,
+      s"$name recall grid rows must have strictly ascending sizes")
+    grid.foreach { case (size, row) =>
+      require(row.size >= 2,
+        s"$name grid row n=$size needs >= 2 entries for the power-law fit")
+      require(row.map(_._1) == row.map(_._1).sorted.distinct,
+        s"$name grid row n=$size: nprobe must be strictly increasing")
+      require(row.map(_._2) == row.map(_._2).sorted.distinct,
+        s"$name grid row n=$size: recall must be strictly increasing")
+      require(row.forall { case (_, r) => r > 0.0 && r < 1.0 },
+        s"$name grid row n=$size: recalls must sit strictly inside (0, 1)")
+    }
+    grid
+  }
 
   /** Ceiling on what [[nprobeFor]] will prescribe — past this the
     * answer is "re-size the index", not "probe half of it": probing
@@ -107,12 +133,20 @@ object Similarity {
     * live outside its probed buckets — the failure mode raising nprobe
     * is for.
     */
-  def nprobeFor(targetRecall: Double, n: Long): Int = {
+  def nprobeFor(targetRecall: Double, n: Long): Int =
+    nprobeFromGrid(propagationRecallGrid, targetRecall, n)
+
+  /** [[nprobeFor]]'s lookup over an arbitrary measured grid — shared by
+    * the propagation family ([[propagationRecallGrid]]) and the mining
+    * family ([[miningRecallGrid]]), which price different decisions and
+    * therefore carry separate grids.
+    */
+  private[graft] def nprobeFromGrid(grid: Seq[(Long, Seq[(Int, Double)])],
+      targetRecall: Double, n: Long): Int = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0, 1), got $targetRecall")
     require(n >= 0, s"corpus size must be >= 0, got $n")
-    val row = propagationRecallGrid.find(_._1 >= n)
-      .getOrElse(propagationRecallGrid.last)._2
+    val row = grid.find(_._1 >= n).getOrElse(grid.last)._2
     row.find(_._2 >= targetRecall) match {
       case Some((np, _)) => np
       case None =>
@@ -1285,6 +1319,31 @@ object Similarity {
       .select(col("bucket"), col("id1"), col("id2"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Cap accounting for the within-cluster families (no-silent-caps
+    * rule): per quantizer + `maxBucketSize`, how many clusters the
+    * degenerate-cluster guard drops and how much corpus mass vanishes
+    * with them. [[semanticDedupPairs]] (and every sibling carrying the
+    * cap) silently EXCLUDES over-cap clusters from the pair stage — the
+    * right scale guard for a degenerate mega-cluster, but round 14
+    * showed a mis-sized quantizer can turn it into "the whole corpus is
+    * dropped and the sweep row reads fast": this companion makes that
+    * mass measurable wherever the operator runs. One assignment pass +
+    * one aggregation — never quadratic, cheap at any scale. Output: one
+    * row (n_buckets, capped_buckets, dropped_vectors, total_vectors).
+    */
+  def semanticDedupCapStats(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignBuckets(embeddings, centroids, idCol, vecCol)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_sz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("_sz") > maxBucketSize, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        sum(when(col("_sz") > maxBucketSize, col("_sz")).otherwise(0L))
+          .as("dropped_vectors"),
+        sum(col("_sz")).as("total_vectors"))
 
   /** Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",

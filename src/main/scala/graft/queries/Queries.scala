@@ -1239,10 +1239,23 @@ object Queries {
     * `Similarity.semanticDedupPairs`). Threshold 0.4 sits above the
     * corpus's 99.9th-percentile random-pair cosine (~0.38) but below its
     * max (~0.51), so the result exercises real decisions.
+    *
+    * Round-15 re-registration on DERIVED sizing (the q132/q158 pattern):
+    * the quantizer is `indexParams(N).nlist` (⌈√N⌉) exact-Lloyd k-means
+    * centroids ([[graft.ext.Similarity.kmeansCentroidsExact]], 2 rounds
+    * — the engine-replayable build q158 oracle-proved), so cluster size
+    * tracks √N and the within-cluster quadratic term stays ~N·√N at any
+    * scale. The retired fixed m=8 registration was quadratic just under
+    * the 10000 bucket cap at 30× and had its ENTIRE corpus silently
+    * capped away at 100× (every 25k-vector bucket > cap → 5.6 s
+    * computing nothing) — the cap-vacuous sweep row round 14 flagged.
+    * q162 surfaces the cap/dropped-mass accounting for both sizings, per
+    * the no-silent-caps rule.
     */
   def q89SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = Similarity.sampleCentroids(emb, m = 8)
+    val nlist = Similarity.indexParams(emb.count()).nlist
+    val centroids = Similarity.kmeansCentroidsExact(emb, nlist, iters = 2)
     Similarity.semanticDedupPairs(emb, centroids, threshold = 0.4)
   }
 
@@ -2385,6 +2398,33 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
   }
 
+  /** Cap accounting for the SemDeDup family
+    * ([[graft.ext.Similarity.semanticDedupCapStats]]) — the
+    * no-silent-caps rule made a graded artifact: one row per quantizer
+    * sizing reporting how many clusters the 10000-row degenerate-cluster
+    * guard drops and how much corpus mass vanishes with them. The
+    * `fixed_m8` row documents why round 15 retired q89's m=8
+    * registration: at 100× every 25k-vector bucket exceeds the cap, so
+    * dropped_vectors = total_vectors and the "fast" sweep row measured a
+    * corpus silently thrown away; the `derived_sqrtn` row (q89's current
+    * sizing) keeps clusters at ~√N ≪ cap, so its dropped mass stays 0 at
+    * every committed scale. One assignment pass + one aggregation per
+    * sizing — never quadratic, so the report itself is cheap at any
+    * scale.
+    */
+  def q162SemanticDedupCapReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fixed = Similarity.sampleCentroids(emb, m = 8)
+    val nlist = Similarity.indexParams(emb.count()).nlist
+    val derived = Similarity.kmeansCentroidsExact(emb, nlist, iters = 2)
+    Similarity.semanticDedupCapStats(emb, fixed)
+      .withColumn("sizing", lit("fixed_m8"))
+      .unionByName(Similarity.semanticDedupCapStats(emb, derived)
+        .withColumn("sizing", lit("derived_sqrtn")))
+      .select(col("sizing"), col("n_buckets"), col("capped_buckets"),
+        col("dropped_vectors"), col("total_vectors"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2545,7 +2585,8 @@ object Queries {
     "q158_ivf_kmeans_batch" -> (q158IvfKmeansBatch _),
     "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _),
     "q160_margin_mining_ingest" -> (q160MarginMiningIngest _),
-    "q161_zorder_quantile_wide" -> (q161ZorderQuantileWide _))
+    "q161_zorder_quantile_wide" -> (q161ZorderQuantileWide _),
+    "q162_semdedup_cap_report" -> (q162SemanticDedupCapReport _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -4501,27 +4542,31 @@ GROUP BY d.source"""
            ((l_suppkey % 65536) // CAST(power(2, i) AS BIGINT) % 2)
              * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zkey
          FROM lineitem""",
+    // null contract mirrored from Layout (spec-pinned): nulls sit OUTSIDE
+    // rank space — per-dimension totals exclude them and a null-keyed row
+    // is RETAINED with a null zq (LEFT JOIN + null-propagating CASE), the
+    // exact behavior of the engine's left joins / null-propagating kernel
     "q102_zorder_quantile" ->
-      """WITH tot AS (SELECT COUNT(*) AS n FROM lineitem),
-         hx AS (SELECT l_extendedprice AS v, COUNT(*) AS c
-                FROM lineitem GROUP BY 1),
+      """WITH hx AS (SELECT l_extendedprice AS v, COUNT(*) AS c
+                FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
          qx AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  * 64) // (SELECT n FROM tot) AS b FROM hx),
+                  * 64) // (SELECT SUM(c) FROM hx) AS b FROM hx),
          hy AS (SELECT l_partkey AS v, COUNT(*) AS c
-                FROM lineitem GROUP BY 1),
+                FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
          qy AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  * 64) // (SELECT n FROM tot) AS b FROM hy)
+                  * 64) // (SELECT SUM(c) FROM hy) AS b FROM hy)
          SELECT l.l_orderkey, l.l_linenumber,
-           CAST(list_sum(list_transform(range(0, 6), i ->
+           CASE WHEN qx.b IS NULL OR qy.b IS NULL THEN NULL
+           ELSE CAST(list_sum(list_transform(range(0, 6), i ->
              (qx.b // CAST(power(2, i) AS BIGINT) % 2)
                * CAST(power(2, 2*i) AS BIGINT) +
              (qy.b // CAST(power(2, i) AS BIGINT) % 2)
-               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zq
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) END AS zq
          FROM lineitem l
-         JOIN qx ON l.l_extendedprice = qx.v
-         JOIN qy ON l.l_partkey = qy.v""",
+         LEFT JOIN qx ON l.l_extendedprice = qx.v
+         LEFT JOIN qy ON l.l_partkey = qy.v""",
     // q161: q102's rank-quantile z-order with the x dimension a
     // composite surrogate key past 2^53 — the oracle ranks the wide
     // key in exact BIGINT arithmetic (DuckDB), so a double-precision
@@ -4532,24 +4577,26 @@ GROUP BY d.source"""
              (l_orderkey % 4194304) * 1099511627776 + l_partkey AS wkey,
              l_suppkey
            FROM lineitem),
-         tot AS (SELECT COUNT(*) AS n FROM base),
-         hx AS (SELECT wkey AS v, COUNT(*) AS c FROM base GROUP BY 1),
+         hx AS (SELECT wkey AS v, COUNT(*) AS c FROM base
+                WHERE wkey IS NOT NULL GROUP BY 1),
          qx AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  * 32) // (SELECT n FROM tot) AS b FROM hx),
-         hy AS (SELECT l_suppkey AS v, COUNT(*) AS c FROM base GROUP BY 1),
+                  * 32) // (SELECT SUM(c) FROM hx) AS b FROM hx),
+         hy AS (SELECT l_suppkey AS v, COUNT(*) AS c FROM base
+                WHERE l_suppkey IS NOT NULL GROUP BY 1),
          qy AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  * 32) // (SELECT n FROM tot) AS b FROM hy)
+                  * 32) // (SELECT SUM(c) FROM hy) AS b FROM hy)
          SELECT l.l_orderkey, l.l_linenumber,
-           CAST(list_sum(list_transform(range(0, 5), i ->
+           CASE WHEN qx.b IS NULL OR qy.b IS NULL THEN NULL
+           ELSE CAST(list_sum(list_transform(range(0, 5), i ->
              (qx.b // CAST(power(2, i) AS BIGINT) % 2)
                * CAST(power(2, 2*i) AS BIGINT) +
              (qy.b // CAST(power(2, i) AS BIGINT) % 2)
-               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS zq
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) END AS zq
          FROM base l
-         JOIN qx ON l.wkey = qx.v
-         JOIN qy ON l.l_suppkey = qy.v""",
+         LEFT JOIN qx ON l.wkey = qx.v
+         LEFT JOIN qy ON l.l_suppkey = qy.v""",
     "q103_substring_pairs" ->
       """WITH g AS (
            SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
@@ -4937,28 +4984,13 @@ GROUP BY d.source"""
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
              '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
          FROM planted""",
-    // same centroid/assignment CTEs as the IVF oracle (sim DESC, cid DESC
+    // q89 (round-15 re-registration): the derived-⌈√N⌉ exact-Lloyd
+    // quantizer chain q158 oracle-proved (kmeansExactAsgCtes — 6dp
+    // fixed-point integer Lloyd sums, sim DESC / cid DESC assignment
     // tie-break = Spark's array_max over (sim, cid) structs), then
     // within-cluster pairs; WHERE uses the unrounded cosine like Spark
     "q89_semantic_dedup" ->
-      """WITH cent AS (
-           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
-           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-         cn AS (SELECT cid, embedding,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent),
-         en AS (SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM embeddings),
-         asg AS (
-           SELECT e.vec_id, e.embedding, e.nrm,
-             (SELECT c.cid FROM cn c
-              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
-                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
-                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
-                       c.cid DESC
-              LIMIT 1) AS bucket
-           FROM en e),
+      (kmeansExactAsgCtes(2) + """,
          capped AS (
            SELECT * FROM asg
            -- mirror Spark's semanticDedupPairs maxBucketSize=10000 guard
@@ -4971,7 +5003,40 @@ GROUP BY d.source"""
            FROM capped a JOIN capped b
              ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT bucket, id1, id2, ROUND(cos, 6) AS cos_sim
-         FROM prs WHERE cos >= 0.4""",
+         FROM prs WHERE cos >= 0.4"""),
+    // q162: cap accounting over BOTH SemDeDup sizings — the m=8 seed
+    // sample (retired from q89, kept measurable) and the derived
+    // exact-Lloyd quantizer (q89's current form, same CTE chain)
+    "q162_semdedup_cap_report" ->
+      (kmeansExactAsgCtes(2) + """,
+         cent8 AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         cn8 AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm FROM cent8),
+         asg8 AS (
+           SELECT e.vec_id,
+             (SELECT c.cid FROM cn8 c
+              ORDER BY CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                              CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (e.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM en e),
+         sz8 AS (SELECT bucket, COUNT(*) AS sz FROM asg8 GROUP BY 1),
+         szd AS (SELECT bucket, COUNT(*) AS sz FROM asg GROUP BY 1)
+         SELECT 'fixed_m8' AS sizing, COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN sz > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+           CAST(SUM(CASE WHEN sz > 10000 THEN sz ELSE 0 END) AS BIGINT) AS dropped_vectors,
+           CAST(SUM(sz) AS BIGINT) AS total_vectors
+         FROM sz8
+         UNION ALL
+         SELECT 'derived_sqrtn' AS sizing, COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN sz > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+           CAST(SUM(CASE WHEN sz > 10000 THEN sz ELSE 0 END) AS BIGINT) AS dropped_vectors,
+           CAST(SUM(sz) AS BIGINT) AS total_vectors
+         FROM szd"""),
     // the oracle replays the admission decision from the whole-corpus pair
     // table: a batch doc (doc_id % 5 = 0) is rejected when a verified pair
     // links it to any smaller-id doc (history or earlier batch) or to a

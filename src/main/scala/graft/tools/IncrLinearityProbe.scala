@@ -78,8 +78,12 @@ object IncrLinearityProbe {
         // inherits the single-file base's one partition and the probe
         // re-creates the serial-scan artifact it exists to factor out —
         // the first splittable-replica re-run measured fixedVocab 6.9×
-        // SLOWER than the translated replica at 100× from exactly this
-        .repartition(math.min(n * 8, 256))
+        // SLOWER than the translated replica at 100× from exactly this.
+        // min(n, 256) MATCHES ScaleGen.scala's replica file count — an
+        // earlier n*8 over-parallelized the verbatim side at n=30 (240
+        // partitions vs the replica's 30 files), biasing the comparison
+        // the other way.
+        .repartition(math.min(n, 256))
         .localCheckpoint() // exclude the replication itself from timing
     }
     for ((tag, df) <- Seq("base" -> docs(base), "30x" -> verbatim(30),

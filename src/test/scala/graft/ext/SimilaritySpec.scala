@@ -379,6 +379,55 @@ class SimilaritySpec extends SparkSpecBase {
       maxBucketSize = 2).count() == 1) // only cluster 1 (2 members) survives
   }
 
+  test("semanticDedupCapStats: dropped mass accounts exactly for over-cap clusters") {
+    val centroids = Seq(
+      0 -> Seq(1f, 0f, 0f, 0f),
+      1 -> Seq(0f, 1f, 0f, 0f))
+    // cluster 0: 3 members; cluster 1: 2 members
+    val vecs = Seq(
+      (10L, Seq(1f, 0.1f, 0f, 0f)),
+      (11L, Seq(0.9f, 0.12f, 0f, 0f)),
+      (12L, Seq(0.95f, 0f, 0.1f, 0f)),
+      (20L, Seq(0.1f, 1f, 0f, 0f)),
+      (21L, Seq(0.1f, 1f, 0.001f, 0f))
+    ).toDF("vec_id", "embedding")
+    val noCap = Similarity.semanticDedupCapStats(vecs, centroids,
+      maxBucketSize = 10000).head()
+    assert(noCap.getLong(0) == 2 && noCap.getLong(1) == 0 &&
+      noCap.getLong(2) == 0 && noCap.getLong(3) == 5, s"$noCap")
+    // cap = 2 drops cluster 0 (3 members) — exactly the mass the pair
+    // stage silently excludes, now measured
+    val capped = Similarity.semanticDedupCapStats(vecs, centroids,
+      maxBucketSize = 2).head()
+    assert(capped.getLong(0) == 2 && capped.getLong(1) == 1 &&
+      capped.getLong(2) == 3 && capped.getLong(3) == 5, s"$capped")
+    // consistency with the operator: the dropped cluster contributes no
+    // pairs, the surviving one still does
+    assert(Similarity.semanticDedupPairs(vecs, centroids, threshold = 0.9,
+      maxBucketSize = 2).select("bucket").distinct()
+      .as[Int].collect().toSet == Set(1))
+  }
+
+  test("validateRecallGrid: rejects rows the power-law fit cannot price") {
+    def g(rows: (Long, Seq[(Int, Double)])*): Seq[(Long, Seq[(Int, Double)])] = rows
+    // the committed grids pass by construction (they are validated at
+    // class init — this line also proves init didn't throw)
+    assert(Similarity.nprobeFor(0.8, 2000L) == 3)
+    intercept[IllegalArgumentException](          // empty grid
+      Similarity.validateRecallGrid("t", Nil))
+    intercept[IllegalArgumentException](          // single-entry row: gamma = x/log(1)
+      Similarity.validateRecallGrid("t", g(100L -> Seq(3 -> 0.5))))
+    intercept[IllegalArgumentException](          // non-monotone recall
+      Similarity.validateRecallGrid("t", g(100L -> Seq(1 -> 0.6, 3 -> 0.5))))
+    intercept[IllegalArgumentException](          // duplicate nprobe
+      Similarity.validateRecallGrid("t", g(100L -> Seq(3 -> 0.5, 3 -> 0.6))))
+    intercept[IllegalArgumentException](          // saturated recall = 1.0
+      Similarity.validateRecallGrid("t", g(100L -> Seq(1 -> 0.5, 3 -> 1.0))))
+    intercept[IllegalArgumentException](          // descending row sizes
+      Similarity.validateRecallGrid("t", g(
+        200L -> Seq(1 -> 0.5, 3 -> 0.6), 100L -> Seq(1 -> 0.5, 3 -> 0.6))))
+  }
+
   test("snapshot-based incremental admission equals the direct window form") {
     // 60 vectors in two loose clusters + exact-duplicate spikes so both
     // rejection and the degenerate-bucket cap paths exercise
