@@ -282,6 +282,15 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val (cands, sh, stats) =
       ngramCandidates(docs, shingleN, minShared, dfCap, textCol, idCol)
+    ngramJaccardFrom(cands, sh, stats, threshold, idCol)
+  }
+
+  /** The verify tail of [[ngramJaccardPairs]] over any candidate block —
+    * factored so the df-attach experiment's alternative generators
+    * ([[ngramCandidatesAgg]]) race through the IDENTICAL downstream.
+    */
+  private[graft] def ngramJaccardFrom(cands: DataFrame, sh: DataFrame,
+      stats: DataFrame, threshold: Double, idCol: String): DataFrame = {
     // Algebraic pre-filter before the array verify — the verify join was
     // 90%+ of the operator's cost (3.4M candidates → 7.7k survivors on the
     // 30× probe). Jaccard ≥ t ⟺ |A∩B|·(1+t) ≥ t·(|A|+|B|), and
@@ -372,6 +381,56 @@ object Dedup {
     (cands, sh, stats)
   }
 
+  /** EXPERIMENT-ONLY (the df-attach race, `tools/DfAttachProbe`): the
+    * aggregate + anti/semi-join restructure of [[ngramCandidates]] — df
+    * via `groupBy(shingle)` into a hot-shingle keep-out list instead of
+    * the count window, postings via anti-join, per-doc capped counts via
+    * semi-join, `sz` off the shingle array. Emits the IDENTICAL
+    * (cands, sh, stats) triple (same posting stream, same df
+    * semantics — spec-pinned), but evaluates the md5 posting lineage
+    * 3× (hot list, anti-join probe, capped semi-join) where the window
+    * form pays it once — which is why it lost the round-14 race at 100×
+    * despite winning at 30×. `materialize = true` is the round-15 third
+    * arm: localCheckpoint the posting table once so the three reads stop
+    * re-paying the kernel, isolating the sortless shape's true cost.
+    * The production operators stay on the window form; this exists so
+    * the decision at [[ngramCandidates]] keeps a measured alternative.
+    */
+  private[graft] def ngramCandidatesAgg(docs: DataFrame, shingleN: Int,
+      minShared: Int, dfCap: Int, textCol: String, idCol: String,
+      materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val sh = docs.select(col(idCol),
+      wordShingles(lower(col(textCol)), shingleN).as("sh"))
+    val posts0 = {
+      val p = sh
+        .select(col(idCol), explode(col("sh")).as("shingle"))
+        .withColumn("shingle",
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"))
+      if (materialize) p.localCheckpoint() else p
+    }
+    // hot keep-OUT list: the few shingles with df > cap (bounded by
+    // corpus/dfCap distinct keys — small, broadcastable)
+    val hot = posts0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap)
+      .select(col("shingle"))
+    val posts = posts0.join(hot, Seq("shingle"), "left_anti")
+    val cappedPerDoc = posts0.join(hot, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_capped"))
+    val stats = sh
+      .select(col(idCol), size(col("sh")).cast("long").as("sz"))
+      .join(cappedPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("sz"),
+        coalesce(col("_capped"), lit(0L)).as("capped"))
+    val cands = posts.select(col("shingle"), col(idCol).as("id1"))
+      .join(posts.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    (cands, sh, stats)
+  }
+
   /** Shared plumbing of the algebraic verify pre-filters: join candidate
     * pairs to per-doc (sz, capped) stats and keep pairs where
     * `keep(interUb, sz1, sz2)` holds, with `interUb` =
@@ -408,6 +467,13 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val (cands, sh, stats) =
       ngramCandidates(docs, shingleN, minShared, dfCap, textCol, idCol)
+    containmentFrom(cands, sh, stats, threshold, idCol)
+  }
+
+  /** [[containmentPairs]]' verify tail over any candidate block — see
+    * [[ngramJaccardFrom]]. */
+  private[graft] def containmentFrom(cands: DataFrame, sh: DataFrame,
+      stats: DataFrame, threshold: Double, idCol: String): DataFrame = {
     // same conservative pre-filter as ngramJaccardPairs, for the
     // containment bound: |A∩B| ≥ t·min(|A|,|B|), |A∩B| ≤ shared + min(c)
     preFilter(cands, stats, idCol) { (interUb, sz1, sz2) =>

@@ -1765,9 +1765,31 @@ object Similarity {
       centroids: Seq[(Int, Seq[Float])], k: Int = 4,
       threshold: Double = 1.02, maxBucketSize: Int = 10000,
       nprobe: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    marginMineAgainstIndex(
+      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol),
+      batch, centroids, k, threshold, nprobe, idCol, vecCol)
+
+  /** The frozen seed-side index [[marginMineAgainstSeeds]] mines
+    * against: the capped, bucket-assigned seed table plus each seed's
+    * within-index hubness statistics (Σ top-`k` same-cluster seed
+    * cosines as 6dp integers). Both frames derive from the seed corpus
+    * alone — build once, mine every batch. `materialize()` eagerly
+    * computes and lineage-truncates both frames (localCheckpoint), so a
+    * long-lived caller ([[streamingMarginMineIngest]]) pays the
+    * assignment + quadratic within-cluster hubness pass ONCE instead of
+    * re-evaluating the full seed lineage lazily inside every
+    * micro-batch.
+    */
+  final case class MarginIndex(sd: DataFrame, within: DataFrame) {
+    def materialize(): MarginIndex =
+      MarginIndex(sd.localCheckpoint(), within.localCheckpoint())
+  }
+
+  def buildMarginIndex(seeds: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      k: Int = 4, maxBucketSize: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): MarginIndex = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     import org.apache.spark.sql.expressions.Window
     val sd = assignBuckets(seeds, centroids, idCol, vecCol)
       .withColumn("_csize", count(lit(1)).over(Window.partitionBy("bucket")))
@@ -1776,8 +1798,7 @@ object Similarity {
         l2Norm(col(vecCol)).as("yn"))
     // build-time seed-side hubness: top-k same-cluster seed neighbors
     // per seed — quadratic only in the largest seed cluster (the same
-    // bound every within-cluster family carries), computed once per
-    // index build and reused by every batch
+    // bound every within-cluster family carries)
     val within = sd.join(
         sd.select(col("bucket"), col("yid").as("sid"),
           col("yv").as("sv"), col("yn").as("sn")),
@@ -1794,6 +1815,24 @@ object Similarity {
       .filter(col("_rn") <= k)
       .groupBy(col("yid"))
       .agg(sum(col("c6")).as("sy"), count(lit(1)).as("ny"))
+    MarginIndex(sd, within)
+  }
+
+  /** Mine one source batch against a pre-built [[MarginIndex]] — the
+    * per-batch half of [[marginMineAgainstSeeds]] (same decision path,
+    * bit-identical output; spec-pinned). `centroids` must be the
+    * quantizer the index was built with: the source side probes it for
+    * its `nprobe` nearest clusters.
+    */
+  def marginMineAgainstIndex(index: MarginIndex, batch: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int = 4,
+      threshold: Double = 1.02, nprobe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val sd = index.sd
+    val within = index.within
     val xs =
       if (nprobe == 1 || centroids.isEmpty)
         assignBuckets(batch, centroids, idCol, vecCol)
@@ -1818,6 +1857,20 @@ object Similarity {
           .otherwise(dot(col("xv"), col("yv")) / (col("xn") * col("yn"))))
       .select(col("xid"), col("yid"),
         round(col("_cos") * 1e6).cast("long").as("c6"))
+    mineDecisions(scored, within, k, threshold)
+  }
+
+  /** The frozen-index decision tail every mining arm shares — from a
+    * (xid, yid, c6) candidate table to the forward-best mined pair per
+    * source: per-source top-`k` neighborhood sums, margin against the
+    * index's frozen seed hubness, `threshold`, (margin desc, cos desc,
+    * yid asc) best. Factored out so the recall audit's EXACT arm (whose
+    * candidates are audited-source × ALL index seeds) prices only the
+    * candidate generation, never a divergent decision path.
+    */
+  private def mineDecisions(scored: DataFrame, within: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val topx = scored
       .withColumn("_rn", row_number().over(Window.partitionBy("xid")
         .orderBy(col("c6").desc, col("yid").asc)))
@@ -1840,25 +1893,95 @@ object Similarity {
         (col("c6").cast("double") / 1e6).as("cos"), col("margin"))
   }
 
+  /** Budgeted recall audit of frozen-index mining — the mining family's
+    * analog of [[knnPropagationRecallAudit]] (and the grid feed for
+    * [[nprobeForMining]]): for the `maxProbes` audited sources with the
+    * smallest md5-uniform hash, compare the nprobe-bucketed mining
+    * DECISION ([[marginMineAgainstIndex]] at the operating point)
+    * against the EXACT frozen-index decision — same seed index (capped
+    * seed table + frozen hubness stats, the artifacts a deployment
+    * ships), same integer-exact decision tail ([[mineDecisions]] —
+    * shared code, so the arms can differ ONLY in candidate generation),
+    * but candidates = audited source × ALL index seeds instead of the
+    * probed clusters. What the audit prices is therefore exactly what
+    * `nprobe` approximates: the source-side candidate net. The exact
+    * arm is maxProbes·|seeds| (a bounded broadcast against one seed
+    * scan), so the audit stays linear in the corpus at any volume.
+    *
+    * Output, one row per audited source: (idCol, exact_tgt, approx_tgt
+    * — either nullable — and recovered = 1 iff both arms mined the SAME
+    * seed). Mining recall = Σ recovered / Σ (exact_tgt non-null); the
+    * tool also reports the spurious fraction (approx mined where exact
+    * didn't, or to a different seed) — possible because a narrower
+    * candidate net shrinks avgₖNN(x) sums and can lift a margin over
+    * the threshold.
+    */
+  def marginMiningRecallAudit(seeds: DataFrame, batch: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int = 4,
+      threshold: Double = 1.02, maxBucketSize: Int = 10000,
+      nprobe: Int = 1, maxProbes: Int = 256, salt: String = "minerecall",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
+    val index = buildMarginIndex(seeds, centroids, k, maxBucketSize,
+      idCol, vecCol)
+    val audited = batch
+      .orderBy(Sampling.uniformHash(col(idCol), salt).asc, col(idCol).asc)
+      .limit(maxProbes)
+      .select(col(idCol), col(vecCol))
+    val approx = marginMineAgainstIndex(index, audited, centroids, k,
+        threshold, nprobe, idCol, vecCol)
+      .select(col("src_id").as(idCol), col("tgt_id").as("approx_tgt"))
+    // exact arm: every audited source scores EVERY index seed — the
+    // candidate-complete reference the probed form approximates
+    val exactScored = index.sd
+      .crossJoin(broadcast(audited
+        .select(col(idCol).as("xid"), col(vecCol).as("xv"),
+          l2Norm(col(vecCol)).as("xn"))))
+      .select(col("xid"), col("yid"),
+        round(when(col("xn") === 0.0 || col("yn") === 0.0, lit(0.0))
+          .otherwise(dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+          * 1e6).cast("long").as("c6"))
+      .repartition(col("xid"))
+    val exact = mineDecisions(exactScored, index.within, k, threshold)
+      .select(col("src_id").as(idCol), col("tgt_id").as("exact_tgt"))
+    audited.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(approx, Seq(idCol), "left")
+      .select(col(idCol), col("exact_tgt"), col("approx_tgt"),
+        when(col("exact_tgt").isNotNull &&
+          col("approx_tgt") === col("exact_tgt"), 1L).otherwise(0L)
+          .as("recovered"))
+  }
+
   /** Streaming half of frozen-index mining: each arriving micro-batch
     * of source vectors is mined against the fixed seed index by
-    * [[marginMineAgainstSeeds]] inside `foreachBatch` — correct per
+    * [[marginMineAgainstIndex]] inside `foreachBatch` — correct per
     * batch because per-source decisions read only the seed index
     * (micro-batch composability, spec-pinned), idempotent under
     * at-least-once replay via the same batchId-partitioned
     * dynamic-overwrite sink as [[streamingKnnLabelIngest]]. Centroids
     * and seeds stay fixed for the stream's lifetime (the IVF contract:
     * re-seed/re-bucket is an offline compaction).
+    *
+    * The index is BUILT ONCE, before `start()`, and materialized
+    * ([[MarginIndex.materialize]] — eager localCheckpoint): without
+    * that, the lazily-captured seed lineage (assignment, cap window,
+    * quadratic within-cluster hubness self-join) would re-evaluate
+    * inside EVERY micro-batch, silently paying the full index-build
+    * cost per batch — the stated build-once contract, now implemented
+    * rather than assumed.
     */
   def streamingMarginMineIngest(batches: DataFrame, seeds: DataFrame,
       centroids: Seq[(Int, Seq[Float])], path: String, checkpoint: String,
       k: Int = 4, threshold: Double = 1.02, maxBucketSize: Int = 10000,
       nprobe: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = buildMarginIndex(seeds, centroids, k, maxBucketSize,
+      idCol, vecCol).materialize()
     batches.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        marginMineAgainstSeeds(seeds, b, centroids, k, threshold,
-            maxBucketSize, nprobe, idCol, vecCol)
+        marginMineAgainstIndex(index, b, centroids, k, threshold,
+            nprobe, idCol, vecCol)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -1867,6 +1990,7 @@ object Similarity {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Keep-first semantic dedup over [[semanticDedupPairs]]: drop every
     * vector that is the larger-id member of a within-cluster pair at or

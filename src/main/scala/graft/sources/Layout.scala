@@ -192,12 +192,31 @@ object Layout {
   private def broadcastBucketCol(df: DataFrame, c: String,
       b: Int): Option[Column] = {
     import org.apache.spark.sql.types._
+    // long-kernel probe over a monotone-injective long image of the
+    // column: the boundary table is built from the SAME transform, so
+    // ranks (and therefore buckets) are identical to ranking the raw
+    // values — nulls map to null (outside rank space) in both
+    def longProbe(keyed: DataFrame, probe: Column): Column = {
+      val (bounds, keys) = bucketBoundsLong(keyed, c, b)
+      if (bounds.isEmpty) lit(null).cast("long")
+      else graft.functions.native.sortedBucketOfLong(probe, bounds, keys)
+    }
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val (bounds, keys) = bucketBoundsLong(df, c, b)
-        Some(if (bounds.isEmpty) lit(null).cast("long")
-        else graft.functions.native.sortedBucketOfLong(
-          col(c).cast("long"), bounds, keys))
+        Some(longProbe(df, col(c).cast("long")))
+      // timestamps are losslessly long-representable (micros since epoch
+      // IS Spark's internal encoding; unix_micros is exact and strictly
+      // monotone), so they ride the exact long kernel instead of falling
+      // back to the corpus-sized join — same for dates (days since
+      // epoch). TimestampNTZType stays on the join path: its only long
+      // image goes through a session-timezone cast, which is not
+      // injective across DST gaps in non-UTC zones.
+      case TimestampType =>
+        Some(longProbe(df.select(unix_micros(col(c)).as(c)),
+          unix_micros(col(c))))
+      case DateType =>
+        Some(longProbe(df.select(unix_date(col(c)).cast("long").as(c)),
+          unix_date(col(c)).cast("long")))
       case FloatType | DoubleType =>
         val (bounds, keys) = bucketBounds(df, c, b)
         Some(if (bounds.isEmpty) lit(null).cast("long")

@@ -54,13 +54,15 @@ object ClusterGen {
     val n = args.lift(1).map(_.toLong).getOrElse(2000L)
     val sigma = args.lift(2).map(_.toDouble).getOrElse(0.09)
     val clusterSize = args.lift(3).map(_.toInt).getOrElse(64)
+    val labelMode = args.lift(4).getOrElse("cluster")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, dst, n, sigma = sigma, clusterSize = clusterSize)
+    generate(spark, dst, n, sigma = sigma, clusterSize = clusterSize,
+      labelMode = labelMode)
     spark.stop()
   }
 
@@ -77,10 +79,27 @@ object ClusterGen {
     sqrt(lit(-2.0) * log(unif(id, k, lit(tag + ":u1")))) *
       cos(lit(2.0 * math.Pi) * unif(id, k, lit(tag + ":u2")))
 
+  /** `labelMode`:
+    *  - `"cluster"` (default) — `label = cluster % 10`: cluster-PURE
+    *    labels, the semi-supervised propagation premise (a target's
+    *    same-cluster seeds carry its true label). NOTE this makes the
+    *    MINING families degenerate by construction: label-0 sources and
+    *    label-1 seeds never share a semantic cluster, so exact
+    *    frozen-index mining at the 1.02 margin threshold finds ~nothing
+    *    (measured: 0 mined at 1×) and a mining-recall row on this
+    *    fixture prices an empty decision set.
+    *  - `"hash"` — `label = xxhash64(vec_id) % 10`, independent of the
+    *    cluster: every cluster carries both sides, so cross-label mined
+    *    pairs are same-cluster semantic neighbors — the
+    *    translation/paraphrase-pair geometry the margin miner exists
+    *    for, and the fixture the mining recall grid is measured on.
+    */
   def generate(spark: SparkSession, dst: String, n: Long, dim: Int = 64,
       clusterSize: Int = 64, sigma: Double = 0.09,
-      seed: Long = 0x5eedL): Unit = {
+      seed: Long = 0x5eedL, labelMode: String = "cluster"): Unit = {
     require(n >= 1 && dim >= 2 && clusterSize >= 1)
+    require(labelMode == "cluster" || labelMode == "hash",
+      s"labelMode must be cluster|hash, got $labelMode")
     val nClusters = math.max(1L, n / clusterSize).toInt
     // centers: fixed-seed PRNG, unit-normalized — bounded driver work
     // (n/clusterSize rows), broadcast below
@@ -107,9 +126,11 @@ object ClusterGen {
       .select(col("vec_id"),
         transform(col("_raw"), x => x / col("_nrm"))
           .cast("array<float>").as("embedding"),
-        pmod(col("_c"), lit(10)).cast("int").as("label"))
+        (if (labelMode == "cluster") pmod(col("_c"), lit(10))
+         else pmod(xxhash64(col("vec_id"), lit("clustergen-label")),
+           lit(10L))).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     println(s"[clustergen] wrote n=$n dim=$dim clusters=$nClusters " +
-      s"sigma=$sigma to $dst")
+      s"sigma=$sigma labelMode=$labelMode to $dst")
   }
 }

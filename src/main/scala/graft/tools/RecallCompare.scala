@@ -74,6 +74,14 @@ object RecallCompare {
           Similarity.sampleCentroids(emb, nlist))
         .groupBy(col("bucket")).count()
         .filter(col("count") > 10000).count()
+      // q160's frozen-index mining shape (label-1 seeds, label-0 batch,
+      // derived ⌈√Nseeds⌉ seed-sample quantizer) — built once per dir,
+      // audited per nprobe below (round-15 verdict item 2: price mining
+      // recall so q160's nprobe can be derived instead of hand-picked)
+      val mSeeds = emb.filter(col("label") === 1)
+      val mBatch = emb.filter(col("label") === 0)
+      val mCents = Similarity.sampleCentroids(mSeeds,
+        Similarity.indexParams(mSeeds.count()).nlist)
       for (np <- nprobes) {
         val audits = variants.map { case (name, cents) =>
           val r = Similarity.ivfBatchRecallAudit(
@@ -106,12 +114,32 @@ object RecallCompare {
         val body = audits.map { case (name, _, a, m) =>
           f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f}"""
         }.mkString(",")
+        // mining-decision recall at this nprobe: fraction of EXACT
+        // frozen-index mining decisions (candidates = source × all index
+        // seeds, same index + decision tail) the bucketed search
+        // recovers; spurious = bucketed-mined where exact didn't (or to
+        // a different seed) — the narrower candidate net shrinks the
+        // margin denominator, so both directions are priced
+        val mr = Similarity.marginMiningRecallAudit(mSeeds, mBatch, mCents,
+            nprobe = np, maxProbes = 256)
+          .agg(count(lit(1)).as("aud"),
+            sum(when(col("exact_tgt").isNotNull, 1L).otherwise(0L)),
+            sum(col("recovered")),
+            sum(when(col("approx_tgt").isNotNull &&
+              (col("exact_tgt").isNull ||
+                col("approx_tgt") =!= col("exact_tgt")), 1L).otherwise(0L)))
+          .head()
+        val (mAud, mMined, mRec, mSpur) =
+          (mr.getLong(0), mr.getLong(1), mr.getLong(2), mr.getLong(3))
+        val mRecall = if (mMined == 0) -1.0 else mRec.toDouble / mMined
         println(s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
           s""""nprobe":$np,"audited":${counts.head},""" +
           s""""capped_buckets":$cappedBuckets,$body,""" +
           f""""propagation_q156":{"avg_recall":${prop.getDouble(0)}%.6f,""" +
           f""""min_recall":${prop.getDouble(1)}%.6f,""" +
-          f""""zero_frac":${prop.getDouble(2)}%.6f}}""")
+          f""""zero_frac":${prop.getDouble(2)}%.6f},""" +
+          s""""mining_q160":{"audited":$mAud,"mined_exact":$mMined,""" +
+          f""""recovered":$mRec,"recall":$mRecall%.6f,"spurious":$mSpur}}""")
       }
     }
     spark.stop()

@@ -313,6 +313,35 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("df-attach aggregate restructure (both arms) is bit-identical to the window form") {
+    // the experiment generators (tools/DfAttachProbe) must emit the same
+    // pairs as production or the race is meaningless — use the tiny-
+    // vocabulary corpus so the df cap binds and the hot keep-out list,
+    // capped semi-join stats, and anti-join postings all carry real rows
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 6).map(i => s"w$i")
+    val corpusDf = (0L until 60L).map { id =>
+      val len = 6 + rnd.nextInt(14)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((dfCap, minShared, t) <- Seq((3, 1, 0.3), (5, 2, 0.5))) {
+      val base = Dedup.ngramJaccardPairs(corpusDf, t, 3, minShared, dfCap)
+        .collect().map(_.toSeq).toSet
+      val baseCont = Dedup.containmentPairs(corpusDf, t, 3, minShared, dfCap)
+        .collect().map(_.toSeq).toSet
+      for (mat <- Seq(false, true)) {
+        val (c, sh, st) = Dedup.ngramCandidatesAgg(corpusDf, 3, minShared,
+          dfCap, "text", "doc_id", materialize = mat)
+        assert(Dedup.ngramJaccardFrom(c, sh, st, t, "doc_id")
+          .collect().map(_.toSeq).toSet == base,
+          s"jaccard diverged: mat=$mat dfCap=$dfCap")
+        assert(Dedup.containmentFrom(c, sh, st, t, "doc_id")
+          .collect().map(_.toSeq).toSet == baseCont,
+          s"containment diverged: mat=$mat dfCap=$dfCap")
+      }
+    }
+  }
+
   test("simhash: identical docs hamming 0; near-dups closer than unrelated") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap

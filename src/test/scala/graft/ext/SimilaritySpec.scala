@@ -1220,6 +1220,72 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("margin index: build-once + per-batch mine is bit-identical to the one-shot form") {
+    val seeds = ((1L until 5L).map(i =>
+      (i, vec(if (i % 2 == 1) ax else ay, 0.1f, i.toInt), 1)) :+
+      (0L, Seq(0f, 0f, 1f, 0f), 1) :+
+      (5L, vec(ax, 0.1f, 5), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(6).nlist)
+    val batch = Seq(
+      (100L, vec(ax, 0.05f, 50), 0),
+      (101L, vec(ay, 0.05f, 51), 0),
+      (102L, vec(ax, 0.08f, 52), 0),
+      (103L, Seq(0f, 0.05f, 0.999f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    for (np <- Seq(1, 2)) {
+      val oneShot = Similarity.marginMineAgainstSeeds(seeds, batch, cents,
+        k = 2, threshold = 0.0, nprobe = np).collect().map(_.toSeq).toSet
+      val lazyIdx = Similarity.buildMarginIndex(seeds, cents, k = 2)
+      assert(Similarity.marginMineAgainstIndex(lazyIdx, batch, cents, k = 2,
+        threshold = 0.0, nprobe = np).collect().map(_.toSeq).toSet == oneShot,
+        s"lazy index diverged at nprobe=$np")
+      // the streaming path's materialized (localCheckpointed) index — the
+      // build-once contract — must not change a single decision
+      val frozen = lazyIdx.materialize()
+      assert(Similarity.marginMineAgainstIndex(frozen, batch, cents, k = 2,
+        threshold = 0.0, nprobe = np).collect().map(_.toSeq).toSet == oneShot,
+        s"materialized index diverged at nprobe=$np")
+    }
+  }
+
+  test("marginMiningRecallAudit: full probe recovers every exact decision; " +
+      "narrow probe only loses, never invents, at an unchanged decision tail") {
+    val seeds = ((1L until 5L).map(i =>
+      (i, vec(if (i % 2 == 1) ax else ay, 0.1f, i.toInt), 1)) :+
+      (0L, Seq(0f, 0f, 1f, 0f), 1) :+
+      (5L, vec(ax, 0.1f, 5), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(6).nlist)
+    val batch = Seq(
+      (100L, vec(ax, 0.05f, 50), 0),
+      (101L, vec(ay, 0.05f, 51), 0),
+      (102L, vec(ax, 0.08f, 52), 0),
+      (103L, Seq(0f, 0.05f, 0.999f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // nprobe = centroid count: the probed candidate set IS the exact
+    // arm's (index.sd), so every exact decision is recovered verbatim
+    val full = Similarity.marginMiningRecallAudit(seeds, batch, cents,
+      k = 2, threshold = 0.0, nprobe = cents.size).collect()
+    assert(full.length == 4)
+    val mined = full.filter(!_.isNullAt(1))
+    assert(mined.nonEmpty, "fixture must mine at least one exact pair")
+    assert(mined.forall(r => r.getLong(3) == 1L),
+      s"full probe must recover all: ${full.mkString(";")}")
+    assert(full.filter(_.isNullAt(1)).forall(_.isNullAt(2)),
+      "full probe cannot mine a source the exact arm didn't")
+    // exact arm is nprobe-independent: same exact_tgt column at nprobe=1
+    val one = Similarity.marginMiningRecallAudit(seeds, batch, cents,
+      k = 2, threshold = 0.0, nprobe = 1).collect()
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m(one) == m(full), "exact decisions must not depend on nprobe")
+    assert(one.map(_.getLong(3)).sum <= full.map(_.getLong(3)).sum)
+  }
+
   test("multi-probe margin mining is a candidate superset at nprobe=1 parity") {
     val labeled = embeddings.withColumn("label",
       when(col("vec_id") % 2 === 0, 0).otherwise(1))

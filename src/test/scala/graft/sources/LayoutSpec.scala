@@ -176,6 +176,44 @@ class LayoutSpec extends SparkSpecBase {
     assert(got.map(_._2).distinct.length == 4)
   }
 
+  test("timestamp and date keys ride the long kernel and equal the join form") {
+    // micros-level timestamp deltas (sub-second — a double image of the
+    // micros would survive these, but the point is the kernel path is
+    // exact and monotone through unix_micros), plus nulls out of rank
+    // space; dates cover the days-since-epoch image incl. pre-1970
+    val rows: Seq[(java.sql.Timestamp, java.sql.Date, Long)] =
+      (0 until 200).map { i =>
+        val ts =
+          if (i % 10 == 0) null
+          else new java.sql.Timestamp(1700000000000L + (i % 13).toLong * 7919L)
+        val dt = java.sql.Date.valueOf(java.time.LocalDate.of(1969, 12, 1)
+          .plusDays((i % 17).toLong * 11))
+        (ts, dt, i.toLong)
+      }
+    val df = rows.toDF("ts", "dt", "id")
+    def collectZ(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "z").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val broadcastForm = collectZ(
+      Layout.withZorderKeyQuantile(df, "ts", "dt", bits = 3, "z"))
+    val joinForm = collectZ(df
+      .join(Layout.bucketMap(df, "ts", 8, "_qbx"), Seq("ts"), "left")
+      .join(Layout.bucketMap(df, "dt", 8, "_qby"), Seq("dt"), "left")
+      .withColumn("z", Layout.zorderKey2(col("_qbx"), col("_qby"), 3)))
+    assert(broadcastForm == joinForm)
+    // null ts → null z, kept; everything else keyed
+    rows.foreach { case (ts, _, id) =>
+      val z = broadcastForm.find(_._1 == id).get._2
+      if (ts == null) assert(z == null, s"id=$id") else assert(z != null, s"id=$id")
+    }
+    // the kernel path actually engaged: zero-shuffle plan (the join form
+    // would carry two corpus-sized joins)
+    val plan = graft.tools.PlanProps.of(
+      Layout.withZorderKeyQuantile(df, "ts", "dt", bits = 3, "z"))
+    assert(plan.joins.isEmpty, s"expected join-free kernel plan: $plan")
+  }
+
   test("quantile z-order prunes skewed wide-domain keys where masking cannot") {
     // x: monotone exponential spread (rank r -> 2^(r/4)·4096 + 64r) — a
     // wide skewed domain whose LOW 6 BITS are all zero, so the masked
