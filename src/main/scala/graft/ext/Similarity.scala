@@ -64,18 +64,29 @@ object Similarity {
   }
 
   /** Measured (corpus size → nprobe → recall) operating grid for the
-    * cluster-bounded propagation/mining family at the derived ⌈√N⌉
-    * sizing — the committed `tools/RecallCompare` sweep on the
-    * planted-cluster fixture (recall_compare_r13.json, the
-    * `propagation_q156` column; the driver's uniform-random fixture is
-    * a recall floor by construction and is NOT represented here).
-    * Rows are (corpus size, (nprobe → measured avg recall@5)).
+    * cluster-bounded propagation family at the derived ⌈√N⌉ sizing —
+    * the committed `tools/RecallCompare` sweeps on the planted-cluster
+    * fixture (recall_compare_r13/r15.json, the `propagation_q156`
+    * column; the driver's uniform-random fixture is a recall floor by
+    * construction and is NOT represented here). Rows are (corpus size,
+    * (nprobe → measured avg recall@5)). The round-15 sweep added the
+    * measured nprobe 2 and 16 points — 16 doubling as the validation of
+    * the deficit power-law extension: the rule fit from the old (1, 8)
+    * endpoints predicted recall 0.956/0.735/0.673 at nprobe 16 for the
+    * 2k/60k/200k rows vs 0.980/0.818/0.724 measured — consistently
+    * PESSIMISTIC by 2–8 points (the curve is shallower than the
+    * endpoint fit), so an extrapolated prescription over-probes but
+    * never overpromises; the measured points are now grid rows, which
+    * both tightens in-grid answers and re-anchors the extrapolation.
     */
   private[graft] val propagationRecallGrid: Seq[(Long, Seq[(Int, Double)])] =
     validateRecallGrid("propagation", Seq(
-      2000L -> Seq(1 -> 0.588, 3 -> 0.834, 8 -> 0.923),
-      60000L -> Seq(1 -> 0.353, 3 -> 0.529, 8 -> 0.669),
-      200000L -> Seq(1 -> 0.292, 3 -> 0.441, 8 -> 0.603)))
+      2000L -> Seq(1 -> 0.588, 2 -> 0.764, 3 -> 0.834, 8 -> 0.923,
+        16 -> 0.980),
+      60000L -> Seq(1 -> 0.353, 2 -> 0.465, 3 -> 0.529, 8 -> 0.669,
+        16 -> 0.818),
+      200000L -> Seq(1 -> 0.292, 2 -> 0.371, 3 -> 0.441, 8 -> 0.603,
+        16 -> 0.724)))
 
   /** Shape invariants the [[nprobeFor]] deficit power law needs, checked
     * once at grid definition: ≥ 2 entries per row (gamma is fit from the
@@ -102,6 +113,39 @@ object Similarity {
     }
     grid
   }
+
+  /** Measured (corpus size → nprobe → mining-decision recall) grid for
+    * the frozen-index MINING family — the committed
+    * `tools/RecallCompare` `mining_q160` column on the MIXED-LABEL
+    * planted-cluster fixture (recall_compare_r15.json, `/tmp/clustmix*`
+    * dirs): fraction of exact frozen-index mining decisions (same
+    * index, candidates = source × ALL index seeds) the nprobe-bucketed
+    * search reproduces verbatim. The mining family needs its own grid
+    * AND its own fixture: on the label-pure cluster fixture the
+    * propagation grid uses, label-0 sources and label-1 seeds never
+    * share a cluster, so exact mining at the 1.02 margin threshold
+    * finds ~nothing (0 decisions at 1×, measured) and a grid row there
+    * prices an empty set; the hash-label variant puts both sides in
+    * every cluster — the translation-pair geometry the miner exists
+    * for. The 1× row's measured nprobe 16 point saturated at exactly
+    * 1.0 (201/201 recovered) and is omitted (the validator requires
+    * recall < 1; the row's extrapolation past 8 is already pessimistic).
+    */
+  private[graft] val miningRecallGrid: Seq[(Long, Seq[(Int, Double)])] =
+    validateRecallGrid("mining", Seq(
+      2000L -> Seq(1 -> 0.3532, 2 -> 0.5224, 3 -> 0.6070, 8 -> 0.9254),
+      60000L -> Seq(1 -> 0.1929, 2 -> 0.2795, 3 -> 0.3740, 8 -> 0.6811,
+        16 -> 0.8583),
+      200000L -> Seq(1 -> 0.1216, 2 -> 0.2667, 3 -> 0.3412, 8 -> 0.5804,
+        16 -> 0.7020)))
+
+  /** [[nprobeFor]] for the frozen-index mining family — same lookup,
+    * the mining grid ([[marginMiningRecallAudit]]'s decision recall
+    * instead of propagation candidate recall). Ends q160's hand-picked
+    * nprobe: the registered query derives its operating point here.
+    */
+  def nprobeForMining(targetRecall: Double, n: Long): Int =
+    nprobeFromGrid(miningRecallGrid, targetRecall, n)
 
   /** Ceiling on what [[nprobeFor]] will prescribe — past this the
     * answer is "re-size the index", not "probe half of it": probing

@@ -2364,6 +2364,15 @@ object Queries {
     * micro-batch). The q133→q135→q159 deployment move applied to
     * mining: q154 audits the whole-corpus compaction, this audits the
     * serving path.
+    *
+    * `nprobe` is DERIVED (round 15, closing the rule's first
+    * exception): [[graft.ext.Similarity.nprobeForMining]] reads the
+    * measured mining-decision recall grid
+    * (`tools/RecallCompare`'s `mining_q160` column on the mixed-label
+    * planted-cluster fixture) at the grid's audited 1× scale — the same
+    * pinned-scale convention as q157, so the constant (and the static
+    * oracle, and cross-scale sweep comparability) stays fixed;
+    * 0.8-target recall resolves to nprobe = 8 (measured 0.925 at 1×).
     */
   def q160MarginMiningIngest(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -2371,7 +2380,8 @@ object Queries {
     val centroids = Similarity.sampleCentroids(seeds,
       Similarity.indexParams(seeds.count()).nlist)
     Similarity.marginMineAgainstSeeds(seeds, emb.filter(col("label") === 0),
-      centroids, nprobe = 2)
+      centroids,
+      nprobe = Similarity.nprobeForMining(targetRecall = 0.8, n = 2000L))
   }
 
   /** Rank-quantile z-order key over a WIDE integral domain — q102's
@@ -3461,7 +3471,8 @@ GROUP BY d.source"""
     // replayed end-to-end: seed-slice centroids (q159's idiom), home
     // assignment with ties to the larger cid, the seed-membership cap,
     // WITHIN-SEED top-4 hubness stats (the build-time artifact), then
-    // the batch side probing its top-2 centroids (q157's idiom) and the
+    // the batch side probing its top-8 centroids (nprobeForMining(0.8)
+    // at the audited 1× scale — the derived constant, r15) and the
     // q154 margin tail over integer-exact operands
     "q160_margin_mining_ingest" ->
       """WITH sl AS (
@@ -3523,7 +3534,7 @@ GROUP BY d.source"""
                            / (e.nrm * c.nrm) END DESC,
                  c.cid DESC) AS rn
              FROM xb e CROSS JOIN cn c)
-           WHERE rn <= 2),
+           WHERE rn <= 8),
          xs AS (
            SELECT t.xid, t.xv, t.xn, t.bucket
            FROM tp t JOIN okb USING (bucket)),

@@ -1130,15 +1130,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.nprobeFor(0.5, 100000L) == 8)  // 200k row: 0.603
     // beyond the largest measured row, the largest row answers
     assert(Similarity.nprobeFor(0.44, 1000000L) == 3) // 200k row: 0.441
+    // the round-15 measured nprobe 2/16 points answer in-grid — 0.7 at
+    // 200k was an extrapolation (≈ 11) before 16 -> 0.724 was measured
+    assert(Similarity.nprobeFor(0.37, 200000L) == 2)
+    assert(Similarity.nprobeFor(0.7, 200000L) == 16)
+    assert(Similarity.nprobeFor(0.8, 60000L) == 16)
     // past the row's measured nprobes: power-law extrapolation of the
     // deficit, strictly above the last measured point, monotone in the
     // target, clamped at maxDerivedNprobe
-    val a = Similarity.nprobeFor(0.7, 200000L)
+    val a = Similarity.nprobeFor(0.75, 200000L)
     val b = Similarity.nprobeFor(0.8, 200000L)
-    assert(a > 8 && b >= a && b <= Similarity.maxDerivedNprobe, s"a=$a b=$b")
+    assert(a > 16 && b >= a && b <= Similarity.maxDerivedNprobe, s"a=$a b=$b")
     assert(Similarity.nprobeFor(0.999, 200000L) == Similarity.maxDerivedNprobe)
     intercept[IllegalArgumentException](Similarity.nprobeFor(1.0, 100L))
     intercept[IllegalArgumentException](Similarity.nprobeFor(0.0, 100L))
+  }
+
+  test("nprobeForMining reads the mining grid — q160's derived constant") {
+    // the registered q160 operating point: 0.8 target at the audited 1×
+    // scale -> nprobe 8 (measured decision recall 0.9254; 3 -> 0.6070
+    // misses) — the oracle's probe CTE pins the same constant
+    assert(Similarity.nprobeForMining(0.8, 2000L) == 8)
+    assert(Similarity.nprobeForMining(0.5, 2000L) == 2)  // 0.5224 >= 0.5
+    // pessimistic by scale, same as the propagation rule
+    assert(Similarity.nprobeForMining(0.5, 100000L) == 8)  // 200k: 0.5804
+    assert(Similarity.nprobeForMining(0.7, 200000L) == 16) // 0.7020
+    // the two families price different decisions: their grids disagree
+    assert(Similarity.nprobeForMining(0.5, 2000L) !=
+      Similarity.nprobeFor(0.5, 2000L))
   }
 
   test("frozen-index margin mining: micro-batch composable, seed stats " +
