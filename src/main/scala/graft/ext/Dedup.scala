@@ -327,7 +327,16 @@ object Dedup {
     * 20.9 s) but INVERTS at 100× (q84 30.4 vs 24.2 s, q92 29.8 vs
     * 24.1): its three evaluations of the posting lineage re-pay the
     * per-shingle md5 with data volume, while the window's single sort
-    * rides the splittable layout's parallelism. A collect_list pair
+    * rides the splittable layout's parallelism. The round-15 THIRD arm
+    * (`tools/DfAttachProbe`, [[ngramCandidatesAgg]] with the posting
+    * table localCheckpointed once so the md5 is paid once) closes most
+    * of the aggregate form's gap but still does not beat the window:
+    * q84 26.8/30.7/28.8 s and q92 28.0/29.8/25.0 s at 100×
+    * (window/agg/agg_mat; 11.3/15.3/12.4 and 10.1/15.3/12.1 at 30×) —
+    * its one win (q92 100×, −11%) sits at the ambient band's edge,
+    * and the materialization itself is a scale liability the lazy
+    * forms don't carry (a corpus-sized posting table pinned to
+    * executor storage). Window form kept. A collect_list pair
     * generator also loses — it drops out of whole-stage codegen into
     * ObjectHashAggregate (2× at every scale). A degenerate mega-shingle materializes its
     * window partition before the cap filter drops it, but WindowExec
