@@ -2435,6 +2435,30 @@ object Queries {
         col("dropped_vectors"), col("total_vectors"))
   }
 
+  /** Rank-quantile z-order with a TIME-typed dimension — the round-15
+    * long-kernel routing's graded consumer: timestamps are the
+    * skew-heavy layout dimension real fact tables cluster on
+    * (time × price here), and `Layout.broadcastBucketCol` now probes
+    * them through the exact `unix_micros` long image instead of
+    * falling back to two corpus-sized joins. The fixture's parquet
+    * carries unadjusted-µs timestamps, which Spark reads as
+    * TIMESTAMP_NTZ; the cast to TIMESTAMP is the identity on the
+    * clock face under the UTC session and lands the column on the
+    * kernel path (NTZ itself deliberately stays on the join path —
+    * see the Layout scaladoc). Same join-free 0-shuffle/1-scan plan
+    * as q102/q161; the oracle ranks the naive timestamp directly
+    * (identical total order).
+    */
+  def q163ZorderQuantileTime(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("timestamp").as("ship_ts"),
+        col("l_extendedprice"))
+    graft.sources.Layout.withZorderKeyQuantile(df, "ship_ts",
+        "l_extendedprice", bits = 5, zCol = "zq")
+      .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2596,7 +2620,8 @@ object Queries {
     "q159_knn_labels_ingest" -> (q159KnnLabelsIngest _),
     "q160_margin_mining_ingest" -> (q160MarginMiningIngest _),
     "q161_zorder_quantile_wide" -> (q161ZorderQuantileWide _),
-    "q162_semdedup_cap_report" -> (q162SemanticDedupCapReport _))
+    "q162_semdedup_cap_report" -> (q162SemanticDedupCapReport _),
+    "q163_zorder_quantile_time" -> (q163ZorderQuantileTime _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -4608,6 +4633,30 @@ GROUP BY d.source"""
          FROM base l
          LEFT JOIN qx ON l.wkey = qx.v
          LEFT JOIN qy ON l.l_suppkey = qy.v""",
+    // q163: the time-typed layout key — DuckDB ranks the naive
+    // timestamp directly; the engine's unix_micros long image is
+    // strictly monotone in it, so the equi-depth buckets (and zq) match
+    "q163_zorder_quantile_time" ->
+      """WITH hx AS (SELECT l_shipdate AS v, COUNT(*) AS c FROM lineitem
+                WHERE l_shipdate IS NOT NULL GROUP BY 1),
+         qx AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 32) // (SELECT SUM(c) FROM hx) AS b FROM hx),
+         hy AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem
+                WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         qy AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  * 32) // (SELECT SUM(c) FROM hy) AS b FROM hy)
+         SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN qx.b IS NULL OR qy.b IS NULL THEN NULL
+           ELSE CAST(list_sum(list_transform(range(0, 5), i ->
+             (qx.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i) AS BIGINT) +
+             (qy.b // CAST(power(2, i) AS BIGINT) % 2)
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) END AS zq
+         FROM lineitem l
+         LEFT JOIN qx ON l.l_shipdate = qx.v
+         LEFT JOIN qy ON l.l_extendedprice = qy.v""",
     "q103_substring_pairs" ->
       """WITH g AS (
            SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
