@@ -1634,6 +1634,14 @@ object native {
   def sortedBucketOfLong(v: Column, bounds: Seq[Long],
       buckets: Seq[Long]): Column =
     col(SortedBucketOfLong(ex(v), bounds, buckets))
+  /** Catalyst's own exact long image of a decimal (`UnscaledValue` —
+    * codegen'd, null-propagating): value · 10^scale as a long, lossless
+    * and strictly monotone for any DecimalType with precision ≤ 18 (the
+    * caller gates on that — wider decimals overflow the long). The
+    * layout kernel's decimal route.
+    */
+  def unscaledLong(v: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.UnscaledValue(ex(v)))
 
   /** SQL-surface builders (integer literals become the Int parameters). */
   private[functions] def intArg(e: Expression, what: String): Int = e match {

@@ -217,6 +217,13 @@ object Layout {
       case DateType =>
         Some(longProbe(df.select(unix_date(col(c)).cast("long").as(c)),
           unix_date(col(c)).cast("long")))
+      // decimals at precision ≤ 18 are losslessly long-representable as
+      // their unscaled value (value · 10^scale — all of a column's
+      // values share one scale, so the image is strictly monotone);
+      // wider decimals overflow the long and keep the join form
+      case d: DecimalType if d.precision <= 18 =>
+        val img = graft.functions.native.unscaledLong(col(c))
+        Some(longProbe(df.select(img.as(c)), img))
       case FloatType | DoubleType =>
         val (bounds, keys) = bucketBounds(df, c, b)
         Some(if (bounds.isEmpty) lit(null).cast("long")
@@ -248,7 +255,8 @@ object Layout {
     // this replaced were the whole cost of the layout key at 100×
     // (two 60M-row sort-merge joins just to attach ≤ 2^bits-row maps).
     // Past the ceiling — or for column types with no exact broadcast
-    // kernel (decimal, timestamp) — the join form is the scale path.
+    // kernel (TimestampNTZ, decimal wider than 18 digits) — the join
+    // form is the scale path.
     val probes =
       if (b <= maxBroadcastBuckets)
         (broadcastBucketCol(df, xCol, b), broadcastBucketCol(df, yCol, b))

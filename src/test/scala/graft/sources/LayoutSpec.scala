@@ -214,6 +214,52 @@ class LayoutSpec extends SparkSpecBase {
     assert(plan.joins.isEmpty, s"expected join-free kernel plan: $plan")
   }
 
+  test("decimal keys (precision <= 18) ride the long kernel via the unscaled image") {
+    // unscaled values above 2^53: a double image would merge the
+    // adjacent cents, the unscaled-long kernel must not — and the money
+    // type IS the skew-heavy measure real tables layout on
+    val big = new java.math.BigDecimal("90071992547409.93")
+    val rows: Seq[(java.math.BigDecimal, java.lang.Long, Long)] =
+      (0 until 40).map { i =>
+        val x =
+          if (i % 10 == 0) null
+          else big.add(new java.math.BigDecimal(s"0.0${1 + i % 7}"))
+        (x, (i % 5).toLong, i.toLong)
+      }
+    val df = rows.toDF("x", "y", "id")
+      .withColumn("x", col("x").cast("decimal(18,2)"))
+    def collectZ(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "z").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val broadcastForm = collectZ(
+      Layout.withZorderKeyQuantile(df, "x", "y", bits = 3, "z"))
+    val joinForm = collectZ(df
+      .join(Layout.bucketMap(df, "x", 8, "_qbx"), Seq("x"), "left")
+      .join(Layout.bucketMap(df, "y", 8, "_qby"), Seq("y"), "left")
+      .withColumn("z", Layout.zorderKey2(col("_qbx"), col("_qby"), 3)))
+    assert(broadcastForm == joinForm)
+    rows.foreach { case (x, _, id) =>
+      val z = broadcastForm.find(_._1 == id).get._2
+      if (x == null) assert(z == null, s"id=$id") else assert(z != null, s"id=$id")
+    }
+    // adjacent-cent values land in DISTINCT x-buckets (6 non-null
+    // values, 8 buckets) — the exactness a double image loses
+    val xb = Layout.quantileBucket(df.filter($"x".isNotNull), "x", 8, "b")
+      .select("x", "b").distinct().collect()
+    assert(xb.map(_.get(1)).distinct.length == xb.length,
+      s"distinct cents must rank apart: ${xb.mkString(";")}")
+    // kernel path engaged: join-free plan
+    val plan = graft.tools.PlanProps.of(
+      Layout.withZorderKeyQuantile(df, "x", "y", bits = 3, "z"))
+    assert(plan.joins.isEmpty, s"expected join-free kernel plan: $plan")
+    // precision > 18 stays on the (type-agnostic) join form and agrees
+    val wide = df.withColumn("x", col("x").cast("decimal(28,2)"))
+    val wideForm = collectZ(
+      Layout.withZorderKeyQuantile(wide, "x", "y", bits = 3, "z"))
+    assert(wideForm == broadcastForm)
+  }
+
   test("quantile z-order prunes skewed wide-domain keys where masking cannot") {
     // x: monotone exponential spread (rank r -> 2^(r/4)·4096 + 64r) — a
     // wide skewed domain whose LOW 6 BITS are all zero, so the masked
