@@ -2459,6 +2459,31 @@ object Queries {
       .select(col("l_orderkey"), col("l_linenumber"), col("zq"))
   }
 
+  /** The mining recall audit as a GRADED artifact
+    * ([[graft.ext.Similarity.marginMiningRecallAudit]]): per
+    * budget-audited label-0 source, the exact frozen-index mining
+    * decision (candidates = source × ALL index seeds) next to the
+    * bucketed decision at q160's derived nprobe-8 operating point, with
+    * a recovered flag. Every other recall-audit family is a registered
+    * oracle-checked query (q78 rproj, q137/q152 IVF, q156 propagation);
+    * this closes the asymmetry for mining — the DuckDB oracle replays
+    * BOTH arms end-to-end: the q160 seed-side prefix, the md5-hash
+    * audited cut (q152's idiom), and the identical integer-exact margin
+    * decision chain twice. On the driver fixture every audited source
+    * mines exactly (uniform vectors — margins cluster near 1), so the
+    * result is decision-dense; the cross-fixture recall curve lives in
+    * recall_compare_r15.json and the derived grid.
+    */
+  def q164MiningRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val seeds = emb.filter(col("label") === 1)
+    val centroids = Similarity.sampleCentroids(seeds,
+      Similarity.indexParams(seeds.count()).nlist)
+    Similarity.marginMiningRecallAudit(seeds, emb.filter(col("label") === 0),
+      centroids,
+      nprobe = Similarity.nprobeForMining(targetRecall = 0.8, n = 2000L))
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2621,7 +2646,8 @@ object Queries {
     "q160_margin_mining_ingest" -> (q160MarginMiningIngest _),
     "q161_zorder_quantile_wide" -> (q161ZorderQuantileWide _),
     "q162_semdedup_cap_report" -> (q162SemanticDedupCapReport _),
-    "q163_zorder_quantile_time" -> (q163ZorderQuantileTime _))
+    "q163_zorder_quantile_time" -> (q163ZorderQuantileTime _),
+    "q164_mining_recall_audit" -> (q164MiningRecallAudit _))
 
   /** The q122 DSIR scoring chain — hashed unigram+bigram buckets, the
     * two smoothed bag models from one conditional aggregate, per-doc
@@ -3500,54 +3526,7 @@ GROUP BY d.source"""
     // at the audited 1× scale — the derived constant, r15) and the
     // q154 margin tail over integer-exact operands
     "q160_margin_mining_ingest" ->
-      """WITH sl AS (
-           SELECT vec_id, embedding FROM embeddings WHERE label = 1),
-         cent AS (
-           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
-             embedding
-           FROM sl
-           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
-             LEAST(65536, GREATEST(1,
-               CAST(ceil(sqrt((SELECT COUNT(*) FROM sl))) AS BIGINT)))),
-         cn AS (SELECT cid, embedding,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
-                FROM cent),
-         sn0 AS (SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
-                FROM embeddings WHERE label = 1),
-         xb AS (SELECT vec_id, embedding,
-                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
-                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
-                FROM embeddings WHERE label = 0),
-         sasg AS (
-           SELECT s.vec_id, s.embedding, s.nrm,
-             (SELECT c.cid FROM cn c
-              ORDER BY CASE WHEN s.nrm * c.nrm = 0 THEN 0.0
-                       ELSE list_sum(list_transform(range(1, len(s.embedding)+1), k ->
-                              CAST(s.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (s.nrm * c.nrm) END DESC,
-                       c.cid DESC
-              LIMIT 1) AS bucket
-           FROM sn0 s),
-         sd AS (
-           SELECT bucket, vec_id AS yid, embedding AS yv, nrm AS yn
-           FROM sasg
-           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
-         okb AS (SELECT DISTINCT bucket FROM sd),
-         wsc AS (
-           SELECT a.yid, b.yid AS sid,
-             CAST(ROUND(CASE WHEN a.yn * b.yn = 0 THEN 0.0
-               ELSE list_sum(list_transform(range(1, len(a.yv)+1), k ->
-                      CAST(a.yv[k] AS DOUBLE) * CAST(b.yv[k] AS DOUBLE)))
-                    / (a.yn * b.yn) END * 1000000) AS BIGINT) AS c6
-           FROM sd a JOIN sd b ON a.bucket = b.bucket AND a.yid <> b.yid),
-         ws AS (
-           SELECT yid, SUM(c6) AS sy, COUNT(*) AS ny FROM (
-             SELECT yid, c6,
-               ROW_NUMBER() OVER (PARTITION BY yid
-                 ORDER BY c6 DESC, sid ASC) AS rn
-             FROM wsc) WHERE rn <= 4 GROUP BY yid),
+      (MarginIndexCtes + """,
          tp AS (
            SELECT xid, xv, xn, bucket FROM (
              SELECT e.vec_id AS xid, e.embedding AS xv, e.nrm AS xn,
@@ -3588,7 +3567,89 @@ GROUP BY d.source"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
              ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
            FROM mg WHERE den > 0 AND margin >= 1.02)
-         WHERE rn = 1""",
+         WHERE rn = 1"""),
+    // q164: the mining recall AUDIT end-to-end — the q160 frozen-index
+    // prefix, the md5-hash audited-source cut (q152's idiom), then the
+    // SAME margin decision chain twice: the bucketed arm over the top-8
+    // probed clusters and the exact arm over audited × ALL index seeds
+    "q164_mining_recall_audit" ->
+      (MarginIndexCtes + """,
+         aud AS (
+           SELECT vec_id, embedding, nrm FROM xb
+           QUALIFY ROW_NUMBER() OVER (ORDER BY
+             ('0x' || substr(md5(vec_id::VARCHAR || ':minerecall'), 1, 15))::BIGINT
+               / 1152921504606846976.0 ASC, vec_id ASC) <= 256),
+         tp AS (
+           SELECT xid, xv, xn, bucket FROM (
+             SELECT e.vec_id AS xid, e.embedding AS xv, e.nrm AS xn,
+               c.cid AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 CASE WHEN e.nrm * c.nrm = 0 THEN 0.0
+                      ELSE list_sum(list_transform(range(1, len(e.embedding)+1), k ->
+                             CAST(e.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE)))
+                           / (e.nrm * c.nrm) END DESC,
+                 c.cid DESC) AS rn
+             FROM aud e CROSS JOIN cn c)
+           WHERE rn <= 8),
+         xs AS (
+           SELECT t.xid, t.xv, t.xn, t.bucket
+           FROM tp t JOIN okb USING (bucket)),
+         sc_b AS (
+           SELECT x.xid, s.yid,
+             CAST(ROUND(CASE WHEN x.xn * s.yn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(x.xv)+1), k ->
+                      CAST(x.xv[k] AS DOUBLE) * CAST(s.yv[k] AS DOUBLE)))
+                    / (x.xn * s.yn) END * 1000000) AS BIGINT) AS c6
+           FROM xs x JOIN sd s ON x.bucket = s.bucket),
+         tx_b AS (
+           SELECT xid, SUM(c6) AS sx, COUNT(*) AS nx FROM (
+             SELECT xid, c6,
+               ROW_NUMBER() OVER (PARTITION BY xid
+                 ORDER BY c6 DESC, yid ASC) AS rn
+             FROM sc_b) WHERE rn <= 4 GROUP BY xid),
+         mg_b AS (
+           SELECT s.xid, s.yid, s.c6,
+             t1.sx * t2.ny + t2.sy * t1.nx AS den,
+             ROUND(CAST(2 * s.c6 * t1.nx * t2.ny AS DOUBLE)
+               / CAST(t1.sx * t2.ny + t2.sy * t1.nx AS DOUBLE), 6) AS margin
+           FROM sc_b s JOIN tx_b t1 USING (xid) JOIN ws t2 USING (yid)),
+         best_b AS (
+           SELECT xid, yid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+               ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
+             FROM mg_b WHERE den > 0 AND margin >= 1.02)
+           WHERE rn = 1),
+         sc_e AS (
+           SELECT x.vec_id AS xid, s.yid,
+             CAST(ROUND(CASE WHEN x.nrm * s.yn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(x.embedding)+1), k ->
+                      CAST(x.embedding[k] AS DOUBLE) * CAST(s.yv[k] AS DOUBLE)))
+                    / (x.nrm * s.yn) END * 1000000) AS BIGINT) AS c6
+           FROM aud x CROSS JOIN sd s),
+         tx_e AS (
+           SELECT xid, SUM(c6) AS sx, COUNT(*) AS nx FROM (
+             SELECT xid, c6,
+               ROW_NUMBER() OVER (PARTITION BY xid
+                 ORDER BY c6 DESC, yid ASC) AS rn
+             FROM sc_e) WHERE rn <= 4 GROUP BY xid),
+         mg_e AS (
+           SELECT s.xid, s.yid, s.c6,
+             t1.sx * t2.ny + t2.sy * t1.nx AS den,
+             ROUND(CAST(2 * s.c6 * t1.nx * t2.ny AS DOUBLE)
+               / CAST(t1.sx * t2.ny + t2.sy * t1.nx AS DOUBLE), 6) AS margin
+           FROM sc_e s JOIN tx_e t1 USING (xid) JOIN ws t2 USING (yid)),
+         best_e AS (
+           SELECT xid, yid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY xid
+               ORDER BY margin DESC, c6 DESC, yid ASC) AS rn
+             FROM mg_e WHERE den > 0 AND margin >= 1.02)
+           WHERE rn = 1)
+         SELECT a.vec_id, e.yid AS exact_tgt, b.yid AS approx_tgt,
+           CAST(CASE WHEN e.yid IS NOT NULL AND b.yid = e.yid
+                THEN 1 ELSE 0 END AS BIGINT) AS recovered
+         FROM aud a
+         LEFT JOIN best_e e ON a.vec_id = e.xid
+         LEFT JOIN best_b b ON a.vec_id = b.xid"""),
     // q158: the q132 search on the EXACT-LLOYD k-means quantizer — two
     // Lloyd rounds replayed in SQL via 6dp fixed-point integer sums
     // (order-independent, hash-exact), then the shared probe/annres tail
@@ -5355,6 +5416,65 @@ GROUP BY d.source"""
          FROM brute b LEFT JOIN annres a
            ON b.query_id = a.query_id AND b.vec_id = a.vec_id
          GROUP BY 1"""
+
+  /** The q160 frozen-index seed-side derivation up through the
+    * within-seed hubness stats `ws` — label-1 seed-slice quantizer
+    * (⌈√Nseeds⌉ smallest-id sample), home assignment (ties to the
+    * larger cid), the seed-membership cap (`sd`/`okb`), and each seed's
+    * top-4 same-cluster 6dp-integer cosine sums — plus the label-0
+    * batch side with norms (`xb`). Shared by the mining final (q160)
+    * and the mining recall audit (q164), which runs the identical
+    * decision chain twice (bucketed vs exact candidates).
+    */
+  private def MarginIndexCtes: String =
+    """WITH sl AS (
+           SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+         cent AS (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             embedding
+           FROM sl
+           QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <=
+             LEAST(65536, GREATEST(1,
+               CAST(ceil(sqrt((SELECT COUNT(*) FROM sl))) AS BIGINT)))),
+         cn AS (SELECT cid, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM cent),
+         sn0 AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE label = 1),
+         xb AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding)+1), k ->
+                   CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE label = 0),
+         sasg AS (
+           SELECT s.vec_id, s.embedding, s.nrm,
+             (SELECT c.cid FROM cn c
+              ORDER BY CASE WHEN s.nrm * c.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, len(s.embedding)+1), k ->
+                              CAST(s.embedding[k] AS DOUBLE) * CAST(c.embedding[k] AS DOUBLE))) / (s.nrm * c.nrm) END DESC,
+                       c.cid DESC
+              LIMIT 1) AS bucket
+           FROM sn0 s),
+         sd AS (
+           SELECT bucket, vec_id AS yid, embedding AS yv, nrm AS yn
+           FROM sasg
+           QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000),
+         okb AS (SELECT DISTINCT bucket FROM sd),
+         wsc AS (
+           SELECT a.yid, b.yid AS sid,
+             CAST(ROUND(CASE WHEN a.yn * b.yn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len(a.yv)+1), k ->
+                      CAST(a.yv[k] AS DOUBLE) * CAST(b.yv[k] AS DOUBLE)))
+                    / (a.yn * b.yn) END * 1000000) AS BIGINT) AS c6
+           FROM sd a JOIN sd b ON a.bucket = b.bucket AND a.yid <> b.yid),
+         ws AS (
+           SELECT yid, SUM(c6) AS sy, COUNT(*) AS ny FROM (
+             SELECT yid, c6,
+               ROW_NUMBER() OVER (PARTITION BY yid
+                 ORDER BY c6 DESC, sid ASC) AS rn
+             FROM wsc) WHERE rn <= 4 GROUP BY yid)"""
 
   private def ivfBatchCtesOf(asgCtes: String,
       probePred: String = "vec_id % 500 = 0"): String = asgCtes + s""",
