@@ -42,7 +42,12 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to passes; (name, fn) <- names) {
+    for (pass <- 1 to passes; (name, fn) <- names) {
+      // stderr breadcrumb (stdout stays the single JSON line): when a
+      // JVM-fatal failure (OOM) kills a sweep, this is the only way to
+      // attribute the death to a query — the r15 100× sweep died twice
+      // at an unattributable "stage 240" before this line existed
+      System.err.println(s"[bench] pass $pass $name")
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
