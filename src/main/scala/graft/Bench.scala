@@ -13,8 +13,18 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-contention evidence travels WITH the measurement (r15
+    // verdict item 6): /proc/loadavg at start+end and the untimed-warmup
+    // duration let a future band-shift adjudication read contention off
+    // the artifact instead of reconstructing it from prose.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    val loadavgStart = loadavg()
     // Untimed warmup on the smallest sf: JIT-compiles the scan/agg/join
     // codegen paths so the first timed query isn't charged JVM startup.
+    val warmT0 = System.nanoTime()
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       try {
@@ -22,6 +32,7 @@ object Bench {
         SparkEntry.queries.get("q04_multiway_revenue").foreach(_(spark, warmupDir).count())
       } catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val errors = scala.collection.mutable.Map.empty[String, String]
     // Three timed runs per query, taken as three FULL PASSES over the
     // suite rather than three back-to-back runs: a query's runs are then
@@ -96,7 +107,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val medianTotal = results.map(_._3).sum
-    val line = s"""{"spread":$spreads,"median":$medians,"median_total":${r3(medianTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
+    val line = s"""{"loadavg_start":"${esc(loadavgStart)}","loadavg_end":"${esc(loadavg())}","warmup_sec":${r3(warmupSec)},"spread":$spreads,"median":$medians,"median_total":${r3(medianTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
     println(line)
     // Self-contained artifact: the driver log keeps only a tail of stdout
     // (BENCH_r04's truncation lost 50 of 101 per-query times for the next

@@ -426,7 +426,17 @@ object Dedup {
     val posts = posts0.join(hot, Seq("shingle"), "left_anti")
     val cappedPerDoc = posts0.join(hot, Seq("shingle"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("_capped"))
+    // size(sh) > 0: the window form's stats derive from the exploded
+    // posting stream, so a doc whose shingle array is null (null text)
+    // or empty (a shingler without the short-doc fallback) has no
+    // stats row there — match it exactly or the "(cands, sh, stats)
+    // triple is IDENTICAL" contract silently holds a sz=0/null
+    // superset (round-16, ADVICE; spec-pinned by the null-text
+    // fixture case; note empty/whitespace TEXT is not this edge —
+    // wordShingles emits a single short-doc shingle for it, sz = 1 in
+    // both forms)
     val stats = sh
+      .filter(size(col("sh")) > 0)
       .select(col(idCol), size(col("sh")).cast("long").as("sz"))
       .join(cappedPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("sz"),

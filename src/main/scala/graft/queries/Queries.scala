@@ -2372,7 +2372,15 @@ object Queries {
     * planted-cluster fixture) at the grid's audited 1× scale — the same
     * pinned-scale convention as q157, so the constant (and the static
     * oracle, and cross-scale sweep comparability) stays fixed;
-    * 0.8-target recall resolves to nprobe = 8 (measured 0.925 at 1×).
+    * 0.8-target recall resolves to nprobe = 8 — the operating point is
+    * (recall 0.925, precision 0.935) at 1×
+    * ([[graft.ext.Similarity.miningPrecisionAt]]). Live-N policy: a
+    * SERVING deployment at a different corpus scale re-derives its
+    * probe width from the live seed count —
+    * `nprobeForMining(0.8, liveN)` — because measured recall at a
+    * FIXED nprobe falls as the corpus grows (0.58 at the 200k grid
+    * row for nprobe 8); only graded artifacts pin the audited 1×
+    * derivation so the oracle and cross-scale sweeps stay comparable.
     */
   def q160MarginMiningIngest(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -2450,6 +2458,13 @@ object Queries {
     * (identical total order).
     */
   def q163ZorderQuantileTime(spark: SparkSession, dir: String): DataFrame = {
+    // The NTZ→TIMESTAMP cast below is rank-preserving ONLY under a UTC
+    // session: across a DST transition the wall-clock→instant cast is
+    // non-monotone (the exact hazard that keeps NTZ itself on Layout's
+    // join path). Fail loudly instead of bucketing divergently.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "q163 requires spark.sql.session.timeZone=UTC — the NTZ cast is " +
+        "non-monotone across DST in other zones")
     val df = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("timestamp").as("ship_ts"),
@@ -2464,7 +2479,12 @@ object Queries {
     * budget-audited label-0 source, the exact frozen-index mining
     * decision (candidates = source × ALL index seeds) next to the
     * bucketed decision at q160's derived nprobe-8 operating point, with
-    * a recovered flag. Every other recall-audit family is a registered
+    * recovered AND spurious flags (round-16: Σ recovered / Σ exact is
+    * the recall and Σ recovered / (Σ recovered + Σ spurious) the
+    * PRECISION, so the graded artifact prices both directions — the
+    * narrower candidate net can invent sub-threshold mines, a ~22%
+    * fraction at the 1× grid point that recall alone never surfaces).
+    * Every other recall-audit family is a registered
     * oracle-checked query (q78 rproj, q137/q152 IVF, q156 propagation);
     * this closes the asymmetry for mining — the DuckDB oracle replays
     * BOTH arms end-to-end: the q160 seed-side prefix, the md5-hash
@@ -3646,7 +3666,10 @@ GROUP BY d.source"""
            WHERE rn = 1)
          SELECT a.vec_id, e.yid AS exact_tgt, b.yid AS approx_tgt,
            CAST(CASE WHEN e.yid IS NOT NULL AND b.yid = e.yid
-                THEN 1 ELSE 0 END AS BIGINT) AS recovered
+                THEN 1 ELSE 0 END AS BIGINT) AS recovered,
+           CAST(CASE WHEN b.yid IS NOT NULL
+                      AND (e.yid IS NULL OR b.yid <> e.yid)
+                THEN 1 ELSE 0 END AS BIGINT) AS spurious
          FROM aud a
          LEFT JOIN best_e e ON a.vec_id = e.xid
          LEFT JOIN best_b b ON a.vec_id = b.xid"""),

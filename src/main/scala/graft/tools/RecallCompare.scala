@@ -33,6 +33,16 @@ import graft.ext.Similarity
   *
   * Usage: runMain graft.tools.RecallCompare <sfDir> [<sfDir> ...]
   * Prints one JSON line per (dir, nprobe).
+  *
+  * `SPARK_GRAFT_RECALL_FAMILIES` (default `all`) restricts the work:
+  * `mining` skips the five quantizer-variant builds and the propagation
+  * audit, pricing only the frozen-index mining column — what the
+  * >200k-grid-row sweeps need (at 1M rows the kmeans-exact variants
+  * would dominate a run whose only open question is mining recall).
+  * Round-16: the mining index is built + materialized ONCE per dir and
+  * the per-nprobe audits run against it ([[graft.ext.Similarity
+  * .marginMiningRecallAuditIndexed]]) — a 5-nprobe sweep previously
+  * re-paid the quadratic within-cluster hubness build 5×.
   */
 object RecallCompare {
   def main(args: Array[String]): Unit = {
@@ -44,6 +54,9 @@ object RecallCompare {
     // print NOTHING — a sweep script would record success with no grid
     require(nprobes.nonEmpty,
       "SPARK_GRAFT_NPROBES parsed to an empty list")
+    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "all")
+    require(Set("all", "mining")(families),
+      s"SPARK_GRAFT_RECALL_FAMILIES must be all|mining, got '$families'")
     val spark = ScaleKnobs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,15 +71,17 @@ object RecallCompare {
       val nlist = Similarity.indexParams(n).nlist
       val queries = emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val allFamilies = families == "all"
       // quantizers are nprobe-independent: build each ONCE per dir
-      val variants: Seq[(String, Seq[(Int, Seq[Float])])] = Seq(
-        "seed_sample" -> Similarity.sampleCentroids(emb, nlist),
-        "hash_sample" -> Similarity.hashSampleCentroids(emb, nlist),
-        "kmeans_float2" -> Similarity.autoCentroids(emb, iters = 2, n = n),
-        "kmeans_exact1" -> Similarity.kmeansCentroidsExact(emb, nlist,
-          iters = 1),
-        "kmeans_exact2" -> Similarity.kmeansCentroidsExact(emb, nlist,
-          iters = 2))
+      val variants: Seq[(String, Seq[(Int, Seq[Float])])] =
+        if (!allFamilies) Seq.empty else Seq(
+          "seed_sample" -> Similarity.sampleCentroids(emb, nlist),
+          "hash_sample" -> Similarity.hashSampleCentroids(emb, nlist),
+          "kmeans_float2" -> Similarity.autoCentroids(emb, iters = 2, n = n),
+          "kmeans_exact1" -> Similarity.kmeansCentroidsExact(emb, nlist,
+            iters = 1),
+          "kmeans_exact2" -> Similarity.kmeansCentroidsExact(emb, nlist,
+            iters = 2))
       // is the 10000-row degenerate-cluster cap binding on this
       // fixture? (nprobe-independent — the propagation audit drops
       // buckets by TOTAL membership over its derived quantizer)
@@ -75,13 +90,16 @@ object RecallCompare {
         .groupBy(col("bucket")).count()
         .filter(col("count") > 10000).count()
       // q160's frozen-index mining shape (label-1 seeds, label-0 batch,
-      // derived ⌈√Nseeds⌉ seed-sample quantizer) — built once per dir,
-      // audited per nprobe below (round-15 verdict item 2: price mining
-      // recall so q160's nprobe can be derived instead of hand-picked)
+      // derived ⌈√Nseeds⌉ seed-sample quantizer) — index built +
+      // materialized once per dir, audited per nprobe below (round-15
+      // verdict item 2: price mining recall so q160's nprobe can be
+      // derived instead of hand-picked; round-16 ADVICE: stop re-paying
+      // the quadratic hubness build once per nprobe)
       val mSeeds = emb.filter(col("label") === 1)
       val mBatch = emb.filter(col("label") === 0)
       val mCents = Similarity.sampleCentroids(mSeeds,
         Similarity.indexParams(mSeeds.count()).nlist)
+      val mIndex = Similarity.buildMarginIndex(mSeeds, mCents).materialize()
       for (np <- nprobes) {
         val audits = variants.map { case (name, cents) =>
           val r = Similarity.ivfBatchRecallAudit(
@@ -92,7 +110,7 @@ object RecallCompare {
           (name, r.getLong(0), r.getDouble(1), r.getDouble(2))
         }
         val counts = audits.map(_._2).distinct
-        require(counts.size == 1,
+        require(!allFamilies || counts.size == 1,
           s"audited counts diverged across quantizers: $audits")
         // q156's shape on this dir at this nprobe (its own derived
         // seed-sample quantizer — the graded form). zero_frac
@@ -104,42 +122,49 @@ object RecallCompare {
         // failure mode raising nprobe is for (no hits are lost to the
         // candidate cut: a true top-k seed in a probed bucket always
         // survives it, since only other true top-k members outrank it).
-        val prop = Similarity.knnPropagationRecallAudit(emb,
-            isSeed = col("vec_id") % 3 === 0, nprobe = np,
-            maxProbes = 256)
-          .agg(avg(col("recall")), min(col("recall")),
-            (sum(when(col("recall") === 0.0, 1L).otherwise(0L))
-              .cast("double") / count(lit(1))).as("zf"))
-          .head()
+        val propBody = if (!allFamilies) "" else {
+          val prop = Similarity.knnPropagationRecallAudit(emb,
+              isSeed = col("vec_id") % 3 === 0, nprobe = np,
+              maxProbes = 256)
+            .agg(avg(col("recall")), min(col("recall")),
+              (sum(when(col("recall") === 0.0, 1L).otherwise(0L))
+                .cast("double") / count(lit(1))).as("zf"))
+            .head()
+          f""""propagation_q156":{"avg_recall":${prop.getDouble(0)}%.6f,""" +
+            f""""min_recall":${prop.getDouble(1)}%.6f,""" +
+            f""""zero_frac":${prop.getDouble(2)}%.6f},"""
+        }
         val body = audits.map { case (name, _, a, m) =>
-          f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f}"""
-        }.mkString(",")
+          f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f},"""
+        }.mkString
+        val auditedBody =
+          if (allFamilies) s""""audited":${counts.head},""" else ""
         // mining-decision recall at this nprobe: fraction of EXACT
         // frozen-index mining decisions (candidates = source × all index
         // seeds, same index + decision tail) the bucketed search
         // recovers; spurious = bucketed-mined where exact didn't (or to
         // a different seed) — the narrower candidate net shrinks the
-        // margin denominator, so both directions are priced
-        val mr = Similarity.marginMiningRecallAudit(mSeeds, mBatch, mCents,
-            nprobe = np, maxProbes = 256)
+        // margin denominator, so both directions are priced; precision
+        // = recovered / (recovered + spurious), the (recall, precision)
+        // operating-point pair the round-16 grid carries
+        val mr = Similarity.marginMiningRecallAuditIndexed(mIndex, mBatch,
+            mCents, nprobe = np, maxProbes = 256)
           .agg(count(lit(1)).as("aud"),
             sum(when(col("exact_tgt").isNotNull, 1L).otherwise(0L)),
             sum(col("recovered")),
-            sum(when(col("approx_tgt").isNotNull &&
-              (col("exact_tgt").isNull ||
-                col("approx_tgt") =!= col("exact_tgt")), 1L).otherwise(0L)))
+            sum(col("spurious")))
           .head()
         val (mAud, mMined, mRec, mSpur) =
           (mr.getLong(0), mr.getLong(1), mr.getLong(2), mr.getLong(3))
         val mRecall = if (mMined == 0) -1.0 else mRec.toDouble / mMined
+        val mPrec =
+          if (mRec + mSpur == 0) -1.0 else mRec.toDouble / (mRec + mSpur)
         println(s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
-          s""""nprobe":$np,"audited":${counts.head},""" +
-          s""""capped_buckets":$cappedBuckets,$body,""" +
-          f""""propagation_q156":{"avg_recall":${prop.getDouble(0)}%.6f,""" +
-          f""""min_recall":${prop.getDouble(1)}%.6f,""" +
-          f""""zero_frac":${prop.getDouble(2)}%.6f},""" +
+          s""""nprobe":$np,$auditedBody""" +
+          s""""capped_buckets":$cappedBuckets,$body$propBody""" +
           s""""mining_q160":{"audited":$mAud,"mined_exact":$mMined,""" +
-          f""""recovered":$mRec,"recall":$mRecall%.6f,"spurious":$mSpur}}""")
+          f""""recovered":$mRec,"recall":$mRecall%.6f,"spurious":$mSpur,""" +
+          f""""precision":$mPrec%.6f}}""")
       }
     }
     spark.stop()

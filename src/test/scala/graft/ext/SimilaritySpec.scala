@@ -421,11 +421,35 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.validateRecallGrid("t", g(100L -> Seq(1 -> 0.6, 3 -> 0.5))))
     intercept[IllegalArgumentException](          // duplicate nprobe
       Similarity.validateRecallGrid("t", g(100L -> Seq(3 -> 0.5, 3 -> 0.6))))
-    intercept[IllegalArgumentException](          // saturated recall = 1.0
+    intercept[IllegalArgumentException](          // only 1 sub-1.0 entry: no fit
       Similarity.validateRecallGrid("t", g(100L -> Seq(1 -> 0.5, 3 -> 1.0))))
+    intercept[IllegalArgumentException](          // 1.0 not in trailing position
+      Similarity.validateRecallGrid("t",
+        g(100L -> Seq(1 -> 0.5, 2 -> 1.0, 3 -> 1.0))))
     intercept[IllegalArgumentException](          // descending row sizes
       Similarity.validateRecallGrid("t", g(
         200L -> Seq(1 -> 0.5, 3 -> 0.6), 100L -> Seq(1 -> 0.5, 3 -> 0.6))))
+    // round-16: a genuinely measured TRAILING saturated point is legal
+    // (the mining 1× nprobe-16 row, 201/201) — direct lookup may hit it,
+    // and the power-law fit must run over the sub-1.0 prefix only
+    val sat = Similarity.validateRecallGrid("t",
+      g(100L -> Seq(1 -> 0.5, 3 -> 0.75, 16 -> 1.0)))
+    assert(Similarity.nprobeFromGrid(sat, 0.9, 100L) == 16,
+      "a 0.9 target must resolve at the measured saturated point")
+    assert(Similarity.nprobeForMining(0.99, 2000L) == 16,
+      "the mining 1x row's measured 201/201 point serves near-1 targets")
+  }
+
+  test("miningPrecisionAt: measured companion to the recall operating point") {
+    // the registered q160 point: (recall 0.925, precision 0.935) at 1x
+    assert(math.abs(Similarity.miningPrecisionAt(8, 2000L) - 0.9347) < 1e-9)
+    // pessimistic-by-scale row choice, round-DOWN within the row
+    assert(math.abs(Similarity.miningPrecisionAt(9, 60000L) - 0.6865) < 1e-9)
+    // beyond the largest measured row the largest answers
+    assert(Similarity.miningPrecisionAt(16, Long.MaxValue) ==
+      Similarity.miningDecisionGrid.last._2.find(_._1 == 16).get._3)
+    // below the smallest measured probe the smallest answers
+    assert(math.abs(Similarity.miningPrecisionAt(1, 2000L) - 0.4057) < 1e-9)
   }
 
   test("snapshot-based incremental admission equals the direct window form") {
@@ -1295,6 +1319,19 @@ class SimilaritySpec extends SparkSpecBase {
       s"full probe must recover all: ${full.mkString(";")}")
     assert(full.filter(_.isNullAt(1)).forall(_.isNullAt(2)),
       "full probe cannot mine a source the exact arm didn't")
+    // full-probe decisions ARE the exact decisions, so the spurious
+    // flag (bucketed mined where exact didn't, or a different seed)
+    // must be identically zero — and on every row it must equal its
+    // definition over the two target columns
+    assert(full.forall(_.getLong(4) == 0L),
+      s"full probe cannot be spurious: ${full.mkString(";")}")
+    def spuriousConsistent(rows: Array[org.apache.spark.sql.Row]) =
+      rows.forall { r =>
+        val expect = !r.isNullAt(2) && (r.isNullAt(1) ||
+          r.getLong(2) != r.getLong(1))
+        r.getLong(4) == (if (expect) 1L else 0L)
+      }
+    assert(spuriousConsistent(full))
     // exact arm is nprobe-independent: same exact_tgt column at nprobe=1
     val one = Similarity.marginMiningRecallAudit(seeds, batch, cents,
       k = 2, threshold = 0.0, nprobe = 1).collect()
@@ -1303,6 +1340,23 @@ class SimilaritySpec extends SparkSpecBase {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(m(one) == m(full), "exact decisions must not depend on nprobe")
     assert(one.map(_.getLong(3)).sum <= full.map(_.getLong(3)).sum)
+    assert(spuriousConsistent(one))
+    // the indexed overload against a pre-built materialized index (the
+    // sweep caller's shape) must be row-identical to the one-shot form
+    val idx = Similarity.buildMarginIndex(seeds, cents, k = 2).materialize()
+    val indexed = Similarity.marginMiningRecallAuditIndexed(idx, batch,
+      cents, k = 2, threshold = 0.0, nprobe = 1).collect()
+    assert(indexed.map(_.toSeq).toSet == one.map(_.toSeq).toSet,
+      "indexed audit diverged from the one-shot form")
+    // the round-16 index contract: a mismatched k or quantizer is a
+    // loud error, not a silently skewed margin
+    intercept[IllegalArgumentException] {
+      Similarity.marginMineAgainstIndex(idx, batch, cents, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.marginMineAgainstIndex(idx, batch,
+        cents.map { case (c, v) => (c, v.map(_ + 1f)) }, k = 2)
+    }
   }
 
   test("multi-probe margin mining is a candidate superset at nprobe=1 parity") {
