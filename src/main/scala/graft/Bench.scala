@@ -53,7 +53,32 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Machine canary, one per pass: a deterministic Spark-independent
+    // workload (xorshift-fill + parallel sort of 48M longs — multicore
+    // memory+CPU bound, ~1 s) whose time depends ONLY on the machine.
+    // loadavg says whether OTHER processes competed; the canary prices
+    // how fast THIS machine actually ran, so a cross-cut band shift
+    // splits into machine speed vs code by comparing query/canary
+    // ratios (the r16 A/B measured identical code drifting 117.7 ->
+    // 131.4 s across one idle evening — with canaries in both cuts
+    // that adjudication is one division instead of a worktree race).
+    val canaryArr = new Array[Long](48 << 20)
+    def canary(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < canaryArr.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        canaryArr(i) = x
+        i += 1
+      }
+      java.util.Arrays.parallelSort(canaryArr)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
+    canary() // untimed: JIT-compile the canary itself (cold 1.0 vs warm 0.55 s)
     for (pass <- 1 to passes; (name, fn) <- names) {
+      if (names.headOption.exists(_._1 == name)) canaries += canary()
       // stderr breadcrumb (stdout stays the single JSON line): when a
       // JVM-fatal failure (OOM) kills a sweep, this is the only way to
       // attribute the death to a query — the r15 100× sweep died twice
@@ -107,7 +132,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val medianTotal = results.map(_._3).sum
-    val line = s"""{"loadavg_start":"${esc(loadavgStart)}","loadavg_end":"${esc(loadavg())}","warmup_sec":${r3(warmupSec)},"spread":$spreads,"median":$medians,"median_total":${r3(medianTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
+    val canaryJson = canaries.map(r3).mkString("[", ",", "]")
+    val line = s"""{"loadavg_start":"${esc(loadavgStart)}","loadavg_end":"${esc(loadavg())}","warmup_sec":${r3(warmupSec)},"canary_sec":$canaryJson,"spread":$spreads,"median":$medians,"median_total":${r3(medianTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","nqueries":${results.size},"metric":"total","value":${r3(total)},"unit":"sec"}"""
     println(line)
     // Self-contained artifact: the driver log keeps only a tail of stdout
     // (BENCH_r04's truncation lost 50 of 101 per-query times for the next
