@@ -21,6 +21,20 @@ package graft.tools
   * envelope then pins physics: linear families land near 3.33 × 1.6,
   * and anything needing the cold allowance is exactly the drift the
   * gate exists to catch.
+  *
+  * ARBITRATION when a sweep ratio trips (or barely clears) an
+  * envelope: an isolated-JVM `QTime` min-of-4 at BOTH scales is the
+  * physics — full-sweep endpoint times carry suite context (a heap
+  * aged by 160 prior queries) that min-of-2 cannot shed. Round-16
+  * measured the gap directly on the posting-join tail: q116's
+  * in-sweep 30×→100× ratio spanned 2.87–4.24 across same-code cuts,
+  * while isolated min-of-4 endpoints give 2.60 (warm band 2.31–2.70,
+  * 100×: 15.2 s isolated vs 23.2 s in-sweep) — decisively sub-linear;
+  * a GC log on the isolated run shows 3% pause time, so the isolated
+  * number is not itself GC-flattered. For pair-emitting self-joins
+  * compare against OUTPUT growth, not corpus growth (q117's winnow
+  * pair count grows 3.70× for 3.33× data; its 3.14 time ratio is
+  * linear-in-output).
   */
 object ScaleProps {
 
