@@ -34,11 +34,11 @@ import graft.ext.Similarity
   * Usage: runMain graft.tools.RecallCompare <sfDir> [<sfDir> ...]
   * Prints one JSON line per (dir, nprobe).
   *
-  * `SPARK_GRAFT_RECALL_FAMILIES` (default `all`) restricts the work:
-  * `mining` skips the five quantizer-variant builds and the propagation
-  * audit, pricing only the frozen-index mining column — what the
-  * >200k-grid-row sweeps need (at 1M rows the kmeans-exact variants
-  * would dominate a run whose only open question is mining recall).
+  * `SPARK_GRAFT_RECALL_FAMILIES` (default `all`) restricts the work to
+  * a comma-set of {`quantizers`, `propagation`, `mining`}: big-fixture
+  * grid sweeps (≥1M rows) price ONE family's open question without
+  * paying the others — the five quantizer-variant builds (kmeans-exact
+  * at 1M dominates a run) and each audit gate independently.
   * Round-16: the mining index is built + materialized ONCE per dir and
   * the per-nprobe audits run against it ([[graft.ext.Similarity
   * .marginMiningRecallAuditIndexed]]) — a 5-nprobe sweep previously
@@ -54,9 +54,18 @@ object RecallCompare {
     // print NOTHING — a sweep script would record success with no grid
     require(nprobes.nonEmpty,
       "SPARK_GRAFT_NPROBES parsed to an empty list")
-    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "all")
-    require(Set("all", "mining")(families),
-      s"SPARK_GRAFT_RECALL_FAMILIES must be all|mining, got '$families'")
+    val familyNames = Set("quantizers", "propagation", "mining")
+    val families: Set[String] = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "all")
+      if (raw == "all") familyNames
+      else {
+        val fs = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(fs.nonEmpty && fs.subsetOf(familyNames),
+          s"SPARK_GRAFT_RECALL_FAMILIES must be 'all' or a comma-set of " +
+            s"${familyNames.mkString("|")}, got '$raw'")
+        fs
+      }
+    }
     val spark = ScaleKnobs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,10 +80,12 @@ object RecallCompare {
       val nlist = Similarity.indexParams(n).nlist
       val queries = emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val allFamilies = families == "all"
+      val doQuant = families("quantizers")
+      val doProp = families("propagation")
+      val doMine = families("mining")
       // quantizers are nprobe-independent: build each ONCE per dir
       val variants: Seq[(String, Seq[(Int, Seq[Float])])] =
-        if (!allFamilies) Seq.empty else Seq(
+        if (!doQuant) Seq.empty else Seq(
           "seed_sample" -> Similarity.sampleCentroids(emb, nlist),
           "hash_sample" -> Similarity.hashSampleCentroids(emb, nlist),
           "kmeans_float2" -> Similarity.autoCentroids(emb, iters = 2, n = n),
@@ -95,11 +106,16 @@ object RecallCompare {
       // verdict item 2: price mining recall so q160's nprobe can be
       // derived instead of hand-picked; round-16 ADVICE: stop re-paying
       // the quadratic hubness build once per nprobe)
-      val mSeeds = emb.filter(col("label") === 1)
       val mBatch = emb.filter(col("label") === 0)
-      val mCents = Similarity.sampleCentroids(mSeeds,
-        Similarity.indexParams(mSeeds.count()).nlist)
-      val mIndex = Similarity.buildMarginIndex(mSeeds, mCents).materialize()
+      val (mCents, mIndex) =
+        if (!doMine) (Seq.empty[(Int, Seq[Float])], None)
+        else {
+          val mSeeds = emb.filter(col("label") === 1)
+          val cents = Similarity.sampleCentroids(mSeeds,
+            Similarity.indexParams(mSeeds.count()).nlist)
+          (cents,
+            Some(Similarity.buildMarginIndex(mSeeds, cents).materialize()))
+        }
       for (np <- nprobes) {
         val audits = variants.map { case (name, cents) =>
           val r = Similarity.ivfBatchRecallAudit(
@@ -110,7 +126,7 @@ object RecallCompare {
           (name, r.getLong(0), r.getDouble(1), r.getDouble(2))
         }
         val counts = audits.map(_._2).distinct
-        require(!allFamilies || counts.size == 1,
+        require(!doQuant || counts.size == 1,
           s"audited counts diverged across quantizers: $audits")
         // q156's shape on this dir at this nprobe (its own derived
         // seed-sample quantizer — the graded form). zero_frac
@@ -122,7 +138,7 @@ object RecallCompare {
         // failure mode raising nprobe is for (no hits are lost to the
         // candidate cut: a true top-k seed in a probed bucket always
         // survives it, since only other true top-k members outrank it).
-        val propBody = if (!allFamilies) "" else {
+        val propBody = if (!doProp) "" else {
           val prop = Similarity.knnPropagationRecallAudit(emb,
               isSeed = col("vec_id") % 3 === 0, nprobe = np,
               maxProbes = 256)
@@ -138,7 +154,7 @@ object RecallCompare {
           f""""$name":{"avg_recall":$a%.6f,"min_recall":$m%.6f},"""
         }.mkString
         val auditedBody =
-          if (allFamilies) s""""audited":${counts.head},""" else ""
+          if (doQuant) s""""audited":${counts.head},""" else ""
         // mining-decision recall at this nprobe: fraction of EXACT
         // frozen-index mining decisions (candidates = source × all index
         // seeds, same index + decision tail) the bucketed search
@@ -147,24 +163,28 @@ object RecallCompare {
         // margin denominator, so both directions are priced; precision
         // = recovered / (recovered + spurious), the (recall, precision)
         // operating-point pair the round-16 grid carries
-        val mr = Similarity.marginMiningRecallAuditIndexed(mIndex, mBatch,
-            mCents, nprobe = np, maxProbes = 256)
-          .agg(count(lit(1)).as("aud"),
-            sum(when(col("exact_tgt").isNotNull, 1L).otherwise(0L)),
-            sum(col("recovered")),
-            sum(col("spurious")))
-          .head()
-        val (mAud, mMined, mRec, mSpur) =
-          (mr.getLong(0), mr.getLong(1), mr.getLong(2), mr.getLong(3))
-        val mRecall = if (mMined == 0) -1.0 else mRec.toDouble / mMined
-        val mPrec =
-          if (mRec + mSpur == 0) -1.0 else mRec.toDouble / (mRec + mSpur)
-        println(s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
-          s""""nprobe":$np,$auditedBody""" +
-          s""""capped_buckets":$cappedBuckets,$body$propBody""" +
+        val miningBody = mIndex.map { idx =>
+          val mr = Similarity.marginMiningRecallAuditIndexed(idx, mBatch,
+              mCents, nprobe = np, maxProbes = 256)
+            .agg(count(lit(1)).as("aud"),
+              sum(when(col("exact_tgt").isNotNull, 1L).otherwise(0L)),
+              sum(col("recovered")),
+              sum(col("spurious")))
+            .head()
+          val (mAud, mMined, mRec, mSpur) =
+            (mr.getLong(0), mr.getLong(1), mr.getLong(2), mr.getLong(3))
+          val mRecall = if (mMined == 0) -1.0 else mRec.toDouble / mMined
+          val mPrec =
+            if (mRec + mSpur == 0) -1.0 else mRec.toDouble / (mRec + mSpur)
           s""""mining_q160":{"audited":$mAud,"mined_exact":$mMined,""" +
-          f""""recovered":$mRec,"recall":$mRecall%.6f,"spurious":$mSpur,""" +
-          f""""precision":$mPrec%.6f}}""")
+            f""""recovered":$mRec,"recall":$mRecall%.6f,"spurious":$mSpur,""" +
+            f""""precision":$mPrec%.6f},"""
+        }.getOrElse("")
+        val full = s"""{"dir":"$dir","n":$n,"nlist":$nlist,""" +
+          s""""nprobe":$np,$auditedBody""" +
+          s""""capped_buckets":$cappedBuckets,$body$propBody$miningBody"""
+        // every section emits a trailing comma; close the object cleanly
+        println(full.stripSuffix(",") + "}")
       }
     }
     spark.stop()

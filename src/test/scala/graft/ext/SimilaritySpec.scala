@@ -1152,8 +1152,12 @@ class SimilaritySpec extends SparkSpecBase {
     // falls with corpus size at the derived sizing)
     assert(Similarity.nprobeFor(0.5, 10000L) == 3)   // 60k row: 0.529
     assert(Similarity.nprobeFor(0.5, 100000L) == 8)  // 200k row: 0.603
+    // the round-16 1M anchor row answers 1M-scale questions directly
+    // (0.44 used to be a beyond-grid answer from the 200k row: np 3 at
+    // 0.441; at the measured 1M geometry that misses — np 8 at 0.475)
+    assert(Similarity.nprobeFor(0.44, 1000000L) == 8)
     // beyond the largest measured row, the largest row answers
-    assert(Similarity.nprobeFor(0.44, 1000000L) == 3) // 200k row: 0.441
+    assert(Similarity.nprobeFor(0.44, 5000000L) == 8)
     // the round-15 measured nprobe 2/16 points answer in-grid — 0.7 at
     // 200k was an extrapolation (≈ 11) before 16 -> 0.724 was measured
     assert(Similarity.nprobeFor(0.37, 200000L) == 2)
