@@ -1886,8 +1886,16 @@ object Similarity {
       threshold: Double = 1.02, maxBucketSize: Int = 10000,
       nprobe: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
+    // materialize(): the index frames are read from 2–4 places in the
+    // mining DAG (within-build self-join arms, the cap-surviving bucket
+    // probe, the scored join); without the eager localCheckpoint each
+    // read re-evaluates the assignment + cap lineage from the seed scan
+    // — the same build-once contract the streaming ingest implements,
+    // now applied to the batch entry point (measured −0.3–0.5 s at
+    // sf0.1 and scan-count × seed-corpus at scale)
     marginMineAgainstIndex(
-      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol),
+      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol)
+        .materialize(),
       batch, centroids, k, threshold, nprobe, idCol, vecCol)
 
   /** The frozen seed-side index [[marginMineAgainstSeeds]] mines
@@ -2065,8 +2073,12 @@ object Similarity {
       threshold: Double = 1.02, maxBucketSize: Int = 10000,
       nprobe: Int = 1, maxProbes: Int = 256, salt: String = "minerecall",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // materialized for the same build-once reasons as
+    // [[marginMineAgainstSeeds]] — the audit reads the index from BOTH
+    // arms (probed + exact), doubling a lazy index's re-evaluation cost
     marginMiningRecallAuditIndexed(
-      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol),
+      buildMarginIndex(seeds, centroids, k, maxBucketSize, idCol, vecCol)
+        .materialize(),
       batch, centroids, k, threshold, nprobe, maxProbes, salt, idCol, vecCol)
 
   /** [[marginMiningRecallAudit]] against a PRE-BUILT (ideally
@@ -2082,10 +2094,15 @@ object Similarity {
       salt: String = "minerecall", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
+    // the audited cut is read three times (probed arm, exact-arm
+    // broadcast, final outcome join); localCheckpoint pins the
+    // ≤ maxProbes-row result so the global hash-order sort behind it
+    // runs once instead of three times
     val audited = batch
       .orderBy(Sampling.uniformHash(col(idCol), salt).asc, col(idCol).asc)
       .limit(maxProbes)
       .select(col(idCol), col(vecCol))
+      .localCheckpoint()
     val approx = marginMineAgainstIndex(index, audited, centroids, k,
         threshold, nprobe, idCol, vecCol)
       .select(col("src_id").as(idCol), col("tgt_id").as("approx_tgt"))

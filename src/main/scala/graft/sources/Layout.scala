@@ -3,6 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+
 /** Multi-dimensional data layout: Z-order (Morton) clustering.
   *
   * A table range-partitioned/sorted on ONE key prunes scans filtered on
@@ -115,22 +118,133 @@ object Layout {
   private[graft] def bucketMap(df: DataFrame, valueCol: String,
       buckets: Int, bucketCol: String): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    // nulls never enter rank space: a null key has no defined rank, and
-    // letting the null group consume the lowest ranks would shift every
-    // real value's bucket by the corpus's null count — callers left-join
-    // this map so null rows surface with a null bucket instead
-    val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
-    val ranked = graft.operators.PrefixSum
-      .withGlobalCumSum(hist, Seq(col(valueCol)), col("_c"), "_cum")
-      .withColumn("_before", col("_cum") - col("_c"))
-    // total rows = Σ histogram counts: summing the (already shuffled,
-    // distinct-sized) histogram is strictly cheaper than a second scan
-    // of the base frame, and gives the identical n
-    ranked
-      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+    rankedHist(df, valueCol)
       .select(col(valueCol),
         expr(s"(_before * CAST($buckets AS BIGINT)) DIV _n").as(bucketCol))
+  }
+
+  /** Monotone double image of a column for BLOCK partitioning (load
+    * balance only — never results): any non-strictly-monotone image is
+    * fine because collisions merge adjacent values into one block, which
+    * keeps blocks value-contiguous. `None` for types with no such image
+    * (strings, TimestampNTZ — its only numeric image goes through the
+    * session-timezone cast, non-monotone across DST), which fall back to
+    * the sampled range partitioning.
+    */
+  private def blockImage(df: DataFrame, c: String): Option[Column] = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType => Some(col(c).cast("double"))
+      case _: DecimalType => Some(col(c).cast("double"))
+      case TimestampType => Some(unix_micros(col(c)).cast("double"))
+      case DateType => Some(unix_date(col(c)).cast("double"))
+      case _ => None
+    }
+  }
+
+  /** The histogram of `valueCol` with its exact global rank attached:
+    * one row per distinct value carrying `_c` (count), `_before` (rows
+    * strictly smaller) and `_n` (total rows) — the shared front end of
+    * [[bucketMap]]. Nulls never enter rank space: a null key has no
+    * defined rank, and letting the null group consume the lowest ranks
+    * would shift every real value's bucket by the corpus's null count —
+    * callers left-join the map so null rows surface with a null bucket.
+    *
+    * Physical shape (round 16): the two-phase prefix sum runs over
+    * deterministic QUANTILE BLOCKS instead of `repartitionByRange` —
+    * the range exchange's reservoir-sampling pass re-executed the whole
+    * histogram lineage (scan + groupBy) just to pick partition
+    * boundaries, doubling the front end's cost at every scale. Block
+    * boundaries now come from one `approxQuantile` pass over the BASE
+    * column (no shuffle, no histogram recompute) probed through the
+    * codegen'd binary-search kernel; per-block running sums + a
+    * block-total prefix (a window over ≤ #blocks rows) reassemble the
+    * exact global rank. Boundary placement affects only balance — the
+    * prefix arithmetic is exact for ANY value-contiguous blocking — and
+    * quantile blocks keep balance under skew the way sampled ranges
+    * did. NaN (rank space's greatest member, both engines) is excluded
+    * from boundary estimation and kernel-routed to the last block,
+    * where the within-block sort puts it last. Types with no monotone
+    * double image keep the sampled-range path.
+    */
+  private def rankedHist(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("_c"))
+    blockImage(df, valueCol) match {
+      case Some(img) =>
+        val spark = df.sparkSession
+        val nBlocks = math.max(
+          spark.conf.get("spark.sql.shuffle.partitions", "200")
+            .toIntOption.getOrElse(200), 2) * 4
+        // Boundary estimation: a deterministic hash-mod row sample,
+        // quantiled on the driver. `approxQuantile` measured ~5× the
+        // cost of a plain scan here (per-row QuantileSummaries inserts,
+        // outside codegen); the sample needs one cheap count (sizes the
+        // keep fraction so the collect stays ~64·nBlocks values at ANY
+        // corpus size) plus one codegen'd filter-scan, and xxhash64 over
+        // the value is exactly replayable — though nothing downstream
+        // depends on it: boundaries place BLOCKS, and the prefix
+        // arithmetic is exact for any value-contiguous blocking.
+        val vals = df.filter(col(valueCol).isNotNull)
+          .select(img.as("_v")).filter(!isnan(col("_v")))
+        val n = vals.count()
+        val target = math.max(64L * nBlocks, 1024L)
+        val sampled: Array[Double] =
+          if (n == 0) Array.empty
+          else if (n <= 2 * target)
+            vals.collect().map(_.getDouble(0))
+          else {
+            val space = 1L << 31
+            val keep = math.max(1L,
+              (space.toDouble * (2.0 * target / n)).toLong)
+            vals.filter(pmod(xxhash64(col("_v"), lit(982451653L)),
+              lit(space)) < lit(keep))
+              .collect().map(_.getDouble(0))
+          }
+        val bounds =
+          if (sampled.isEmpty) Array.empty[Double]
+          else {
+            java.util.Arrays.sort(sampled)
+            (1 until nBlocks)
+              .map(i => sampled((i.toLong * sampled.length / nBlocks).toInt
+                .min(sampled.length - 1)))
+              .distinct.sorted.toArray
+          }
+        val blk =
+          if (bounds.isEmpty) lit(0L)
+          else graft.functions.native.sortedBucketOf(img,
+            bounds.toSeq, bounds.indices.map(_.toLong))
+        val local = Window.partitionBy(col("_blk")).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLocal = hist
+          .withColumn("_blk", blk)
+          .withColumn("_lc", sum(col("_c")).over(local))
+        val tiny = Window.orderBy(col("_blk"))
+        val prefix = withLocal
+          .groupBy(col("_blk")).agg(sum(col("_c")).as("_bt"))
+          .withColumn("_prefix", coalesce(sum(col("_bt")).over(
+            tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("_n", sum(col("_bt")).over(
+            tiny.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("_blk"), col("_prefix"), col("_n"))
+        withLocal
+          .join(broadcast(prefix), "_blk")
+          .withColumn("_before", col("_prefix") + col("_lc") - col("_c"))
+          .select(col(valueCol), col("_c"), col("_before"), col("_n"))
+      case None =>
+        val ranked = graft.operators.PrefixSum
+          .withGlobalCumSum(hist, Seq(col(valueCol)), col("_c"), "_cum")
+          .withColumn("_before", col("_cum") - col("_c"))
+        // total rows = Σ histogram counts: summing the (already
+        // shuffled, distinct-sized) histogram is strictly cheaper than
+        // a second scan of the base frame, and gives the identical n
+        ranked
+          .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+          .select(col(valueCol), col("_c"), col("_before"), col("_n"))
+    }
   }
 
   /** Append the rank-quantile z-order key of (xCol, yCol): each dimension
@@ -155,11 +269,18 @@ object Layout {
     */
   private[graft] def bucketBounds(df: DataFrame, valueCol: String,
       buckets: Int): (Seq[Double], Seq[Long]) = {
+    // sort the ≤ `buckets`-row result on the DRIVER: an orderBy before
+    // the collect was a full range exchange (plus its sampling pass)
+    // spent sorting a table bounded by maxBroadcastBuckets. NaN (the
+    // top-ranked boundary when the corpus has one) must still sort
+    // LAST, which IEEE `<` gets wrong — compare via Double.compare,
+    // matching both engines' NaN-greatest sort order.
     val rows = bucketMap(df, valueCol, buckets, "_b")
       .groupBy(col("_b"))
       .agg(min(col(valueCol)).cast("double").as("_v"))
-      .orderBy(col("_v"))
       .collect()
+      .sortBy(r => r.getDouble(1))(Ordering.fromLessThan(
+        (a, b) => java.lang.Double.compare(a, b) < 0))
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getLong(0)).toSeq)
   }
 
@@ -170,8 +291,8 @@ object Layout {
     val rows = bucketMap(df, valueCol, buckets, "_b")
       .groupBy(col("_b"))
       .agg(min(col(valueCol)).cast("long").as("_v"))
-      .orderBy(col("_v"))
       .collect()
+      .sortBy(_.getLong(1))
     (rows.map(_.getLong(1)).toSeq, rows.map(_.getLong(0)).toSeq)
   }
 
@@ -257,10 +378,17 @@ object Layout {
     // Past the ceiling — or for column types with no exact broadcast
     // kernel (TimestampNTZ, decimal wider than 18 digits) — the join
     // form is the scale path.
+    // the two dimensions' boundary builds are INDEPENDENT collect jobs;
+    // running them from two driver threads lets the second job's tasks
+    // back-fill executor cores the first job's tail leaves idle (FIFO
+    // back-fill) — wall clock ≈ the slower dimension instead of the sum
     val probes =
-      if (b <= maxBroadcastBuckets)
-        (broadcastBucketCol(df, xCol, b), broadcastBucketCol(df, yCol, b))
-      else (None, None)
+      if (b <= maxBroadcastBuckets) {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fx = Future(broadcastBucketCol(df, xCol, b))
+        val fy = Future(broadcastBucketCol(df, yCol, b))
+        (Await.result(fx, Duration.Inf), Await.result(fy, Duration.Inf))
+      } else (None, None)
     probes match {
       case (Some(px), Some(py)) =>
         df.withColumn(zCol, zorderKey2(px, py, bits))

@@ -14,7 +14,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleKnobs {
   def apply(builder: SparkSession.Builder): SparkSession.Builder = {
-    val b1 = builder.config("spark.sql.extensions",
+    val b0 = builder.config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+    // codegen class cache (static conf, default 100 entries): a suite of
+    // 161 distinct queries compiles ~1000+ whole-stage/expression codegen
+    // units, so the default cache thrashes and every bench pass re-pays
+    // Janino compilation for almost every stage. 4096 entries holds the
+    // full suite; scale-neutral (any long-lived app with many distinct
+    // plans — a real cluster driver included — wants the same), and
+    // env-overridable for A/B.
+    val b1 = b0.config("spark.sql.extensions",
       "graft.functions.GraftExtensions")
     val b2 = sys.env.get("SPARK_GRAFT_INIT_PARTS").fold(b1)(n =>
       b1.config(
