@@ -91,8 +91,39 @@ object Schemas {
 
 /** Loaders for the driver-generated test corpus (TESTDATA.md). */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema cache keyed by the file set's (name, size, mtime) signature:
+    * `spark.read.parquet` runs a footer-inference JOB on every call
+    * (~65 ms measured warm), and a bench pass calls [[load]] hundreds of
+    * times over immutable fixtures — the catalog role a production
+    * deployment fills with a metastore. METADATA only (a StructType),
+    * never data; the signature invalidates the entry if a path is
+    * rewritten (tests do), and non-local paths skip the cache entirely.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def fileSig(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Some(s"$path|${f.length}|${f.lastModified}")
+    else if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null) None
+      else Some(path + "|" + kids.iterator
+        .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+        .toSeq.sorted.mkString(","))
+    } else None
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    fileSig(path) match {
+      case Some(sig) =>
+        val sch = schemaCache.computeIfAbsent(sig,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(sch).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
 
   /** `events.parquet` carries nanosecond parquet timestamps, which Spark's
     * vectorized reader rejects; read them as raw nanos and derive usable

@@ -42,6 +42,25 @@ object R16Probe {
             graft.queries.Queries.q102ZorderQuantile(spark, dir).count())
           time("q163 full")(
             graft.queries.Queries.q163ZorderQuantileTime(spark, dir).count())
+        case "schema" =>
+          val p = s"$dir/documents.parquet"
+          val sch = spark.read.parquet(p).schema
+          time("20x read.parquet (inference)") {
+            var k = 0
+            while (k < 20) { spark.read.parquet(p); k += 1 }
+          }
+          time("20x read.schema().parquet") {
+            var k = 0
+            while (k < 20) { spark.read.schema(sch).parquet(p); k += 1 }
+          }
+          time("20x load+count (inference)") {
+            var k = 0
+            while (k < 20) { spark.read.parquet(p).count(); k += 1 }
+          }
+          time("20x load+count (schema given)") {
+            var k = 0
+            while (k < 20) { spark.read.schema(sch).parquet(p).count(); k += 1 }
+          }
         case "aq" =>
           val li = Tables.load(spark, dir, "lineitem")
           time("warm scan")(li.count())
