@@ -5,12 +5,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.tools.ScaleKnobs(SparkSession.builder()
+    val spark = graft.tools.ScaleKnobs.forDir(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions"),
+      sfDir, cpus.toIntOption.getOrElse(4))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Ambient-contention evidence travels WITH the measurement (r15

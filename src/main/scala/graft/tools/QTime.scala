@@ -5,10 +5,10 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf3")
     val names = if (args.length > 1) args.tail.toSeq else Seq("q68_ivf_sq8", "q61_ivf_indexed")
-    val spark = ScaleKnobs(SparkSession.builder().master("local[32]")
+    val spark = ScaleKnobs.forDir(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false"), dir, 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
